@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Simulate the driver's verify pass end-to-end.
+
+Imports ``__spark_entry__`` exactly as the driver would, then:
+1. smoke: ``entry(spark)`` at sf0.001 — rows >= 0, stable schema;
+2. correctness: for every ``queries()`` entry, run the Spark query at
+   sf0.01 and, where an ``oracle_sql()`` twin exists, run it in DuckDB
+   over the same parquet and compare row-count + columns +
+   order-insensitive values (rows-only check otherwise).
+
+Usage: python scripts/driver_check.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as ENTRY  # noqa: E402
+from sql_engine_triangle_spark.catalog import TABLES, table_path  # noqa: E402
+from sql_engine_triangle_spark.session import get_spark  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).dt.tz_localize(None)
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("float64") if s.isna().any() else s.astype("int64")
+        elif s.dtype == object:
+            df[c] = s.astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def values_match(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
+    if len(a) != len(b):
+        return f"rowcount {len(a)} vs {len(b)}"
+    if sorted(a.columns) != sorted(b.columns):
+        return f"columns {sorted(a.columns)} vs {sorted(b.columns)}"
+    a, b = normalize(a), normalize(b)
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(b[c]):
+            for i, (x, y) in enumerate(zip(a[c], b[c])):
+                if pd.isna(x) and pd.isna(y):
+                    continue
+                if pd.isna(x) or pd.isna(y) or not math.isclose(
+                    float(x), float(y), rel_tol=1e-9, abs_tol=1e-9
+                ):
+                    return f"col {c} row {i}: {x!r} vs {y!r}"
+        else:
+            if (a[c].astype(str) != b[c].astype(str)).any():
+                i = (a[c].astype(str) != b[c].astype(str)).idxmax()
+                return f"col {c} row {i}: {a[c][i]!r} vs {b[c][i]!r}"
+    return None
+
+
+def main() -> int:
+    spark = get_spark(app_name="driver_check")
+
+    t0 = time.time()
+    res = ENTRY.entry(spark)
+    rows = res.collect()
+    print(f"[smoke] entry(): {len(rows)} rows, schema={res.columns}, "
+          f"{time.time() - t0:.1f}s")
+    assert len(rows) >= 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(SF_DIR, t)}')"
+        )
+
+    qs, oracles = ENTRY.queries(), ENTRY.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in sorted(qs.items()):
+        t0 = time.time()
+        try:
+            spark_pdf = fn(spark, SF_DIR).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"[FAIL] {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name in oracles:
+            try:
+                oracle_pdf = con.execute(oracles[name]).fetchdf()
+            except Exception as e:  # noqa: BLE001
+                print(f"[FAIL] {name}: oracle error: {e}")
+                n_fail += 1
+                continue
+            err = values_match(spark_pdf, oracle_pdf)
+            if err:
+                print(f"[FAIL] {name}: {err}")
+                n_fail += 1
+            else:
+                print(f"[ok]   {name}: {len(spark_pdf)} rows match oracle ({dt:.1f}s)")
+                n_pass += 1
+        else:
+            print(f"[rows] {name}: {len(spark_pdf)} rows (no oracle, rows-only) ({dt:.1f}s)")
+            n_rows_only += 1
+
+    print(f"\n{n_pass} oracle-match, {n_rows_only} rows-only, {n_fail} FAIL")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
