@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Headline-query benchmark (driver contract).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and
+prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per-query wall-clock is measured on a warmed session (JVM startup and
+first-parquet-footer reads excluded via a warmup pass), matching how
+the reference lab reports steady-state per-query timings
+(BASELINE.md — single-query wall-clock, not cold start).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sql_engine_triangle_spark.queries import registry  # noqa: E402
+from sql_engine_triangle_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_agg_by_type",
+    "q2_town_month_rollup",
+    "q3_yoy_window",
+    "q4_top_nations_percentiles",
+    "q4_approx_percentiles",
+]
+# Optional extras benched when present (filled in as rounds add ops).
+EXTRA = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "text_quality_scores",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="bench")
+    names = [n for n in HEADLINE + EXTRA if n in registry.names()]
+
+    # Warmup: touch every input table once (footer/schema reads, JVM
+    # JIT) without executing the benchmark queries themselves.
+    from sql_engine_triangle_spark.catalog import TABLES, load_table
+
+    for t in TABLES:
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception:  # noqa: BLE001
+            pass
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry.get(name).fn
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count() if len(df.columns) > 6 else len(df.collect())
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    short = {
+        "q1_agg_by_type": "q1",
+        "q2_town_month_rollup": "q2",
+        "q3_yoy_window": "q3",
+        "q4_top_nations_percentiles": "q4",
+        "q4_approx_percentiles": "q4a",
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": {short.get(k, k): v for k, v in timings.items()},
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

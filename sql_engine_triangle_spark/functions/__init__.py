@@ -1,0 +1,1 @@
+"""Engine scalar-function helpers (SURVEY.md §2.8)."""

@@ -1,0 +1,635 @@
+"""Auxiliary operator-family queries — one registry entry per
+SURVEY.md §2 family beyond the four core queries.
+
+Each entry exercises a specific operator set (tags) with a DuckDB
+oracle twin. These are the engine's "unit operators": small,
+deterministic (explicit tie-break ordering everywhere a LIMIT or
+window ordering appears), and aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sql_engine_triangle_spark.catalog import load_table
+from sql_engine_triangle_spark.queries.registry import register
+
+# ---------------------------------------------------------------------------
+# P family — projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+P_PREDICATES_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  CAST(round(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)), 2)
+       AS DOUBLE) AS net_price,
+  (l_quantity > 25.0) AS is_bulk
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+  AND l_returnflag IN ('A', 'R')
+  AND l_linestatus = 'F'
+  AND l_discount > 0.02
+  AND NULLIF(l_tax, 0.0) IS NOT NULL
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register(
+    "p_predicates",
+    oracle=P_PREDICATES_ORACLE,
+    tags=("P1", "P2", "P4", "P5", "P6", "P7", "P8", "P9", "F11"),
+)
+def p_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter kitchen-sink: BETWEEN (P4), IN (P5), equality (P6),
+    IS NOT NULL (P7), conjunction (P8), boolean derivation (P9),
+    derived projection (P2). Reference: preparedataset.sql:203-242,
+    q2/q4 WHERE clauses. All predicates push to the Parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_shipdate").between("1997-01-01", "1997-12-31 00:00:00")
+            & F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_linestatus") == "F")
+            & (F.col("l_discount") > 0.02)
+            & F.nullif(F.col("l_tax"), F.lit(0.0)).isNotNull()
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            # Product of two 2-decimal values is an exact 4-decimal
+            # quantity; binary doubles land on .xx5 ties where Spark
+            # (decimal-string HALF_UP) and DuckDB (binary) disagree.
+            # Routing through DECIMAL(18,4) makes rounding exact and
+            # engine-independent (SURVEY.md §7 hazard 2).
+            F.round(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("net_price"),
+            (F.col("l_quantity") > 25.0).alias("is_bulk"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+P_HAVING_ORACLE = """
+SELECT p_brand, count(*) AS cnt, round(avg(p_retailprice), 2) AS avg_price
+FROM part
+GROUP BY p_brand
+HAVING count(*) > 50
+ORDER BY cnt DESC, p_brand
+LIMIT 50
+"""
+
+
+@register("p_having_topk", oracle=P_HAVING_ORACLE, tags=("P10", "A13", "O5"))
+def p_having_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING threshold + ORDER + LIMIT (preparedataset.sql:236-242)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("p_retailprice"), 2).alias("avg_price"))
+        .filter(F.col("cnt") > 50)
+        .orderBy(F.desc("cnt"), "p_brand")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J family — joins
+# ---------------------------------------------------------------------------
+
+J_MULTIWAY_ORACLE = """
+SELECT r_name, count(*) AS num_customers, round(avg(c_acctbal), 2) AS avg_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+@register("j_multiway_broadcast", oracle=J_MULTIWAY_ORACLE, tags=("J1", "A2", "A5"))
+def j_multiway_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way inner equi-join through two small dims (J1, q4
+    README.md:69-79). Both dims are broadcast — zero fact shuffles
+    before the aggregation; at 100 TB the only shuffle is on r_name."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("num_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+J_LEFT_ORACLE = """
+SELECT n_name, count(c_custkey) AS num_customers
+FROM nation
+LEFT JOIN customer ON n_nationkey = c_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@register("j_left_outer", oracle=J_LEFT_ORACLE, tags=("J1",))
+def j_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving empty dims (free Spark surface —
+    SURVEY.md §2.3 notes outer joins absent from the reference)."""
+    nat = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        nat.join(cust, nat.n_nationkey == cust.c_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("num_customers"))
+        .orderBy("n_name")
+    )
+
+
+J_SEMI_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0
+)
+ORDER BY o_orderkey
+"""
+
+
+@register("j_semi", oracle=J_SEMI_ORACLE, tags=("J3",))
+def j_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — the implicit semi-join the lab's q4 CTE join
+    reduces to (SURVEY.md §2.3 J3)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_quantity") >= 49.0)
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+J_ANTI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+ORDER BY c_custkey
+"""
+
+
+@register("j_anti", oracle=J_ANTI_ORACLE, tags=("J3",))
+def j_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS) — free Spark surface. Predicate
+    chosen so the anti side is non-empty at every fixture sf."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A family — aggregations
+# ---------------------------------------------------------------------------
+
+A_GLOBAL_ORACLE = """
+SELECT
+  count(*) AS cnt,
+  round(sum(l_quantity), 1) AS sum_qty,
+  round(avg(l_extendedprice), 2) AS avg_price,
+  round(min(l_extendedprice), 2) AS min_price,
+  round(max(l_extendedprice), 2) AS max_price,
+  round(sum(length(l_returnflag) + length(l_linestatus)), 0) AS sum_flag_len
+FROM lineitem
+"""
+
+
+@register("a_global_stats", oracle=A_GLOBAL_ORACLE, tags=("A1", "A2", "A3", "A4", "A12", "F8"))
+def a_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-group) aggregate: count/sum/avg/min/max plus the
+    lab's derived-length size estimate (clickhouse/queries.sql:3-8)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("l_quantity"), 1).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.sum(F.length("l_returnflag") + F.length("l_linestatus")), 0).alias(
+            "sum_flag_len"
+        ),
+    )
+
+
+A_COUNT_DISTINCT_ORACLE = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS uniq_parts, count(*) AS cnt
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("a_count_distinct", oracle=A_COUNT_DISTINCT_ORACLE, tags=("A11",))
+def a_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct (the lab's `uniq` probes,
+    clickhouse/queries.sql:21-27, exact variant). At 100 TB prefer
+    `approx_count_distinct` (see q4_approx_percentiles) — exact
+    distinct requires a per-key shuffle of the distinct values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("uniq_parts"), F.count("*").alias("cnt"))
+        .orderBy("l_returnflag")
+    )
+
+
+A_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@register("a_rollup", oracle=A_ROLLUP_ORACLE, tags=("A5", "A6"))
+def a_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (free Spark surface; SURVEY.md §2.4
+    notes grouping sets absent from the reference but native here)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+A_CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+       round(sum(o_totalprice), 1) AS sum_total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@register("a_cube", oracle=A_CUBE_ORACLE, tags=("A5", "A6"))
+def a_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two keys (free Spark surface)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 1).alias("sum_total"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W family — windows (beyond Q3's LAG)
+# ---------------------------------------------------------------------------
+
+W_RANK_ORACLE = """
+SELECT o_orderstatus, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+ORDER BY o_orderstatus, rn
+"""
+
+
+@register("w_rank_topk_per_group", oracle=W_RANK_ORACLE, tags=("W1", "O3"))
+def w_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number (ranking functions are free
+    Spark surface per SURVEY.md §2.5). Deterministic tie-break on
+    o_orderkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderstatus", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_orderstatus", "rn")
+    )
+
+
+W_MOVING_ORACLE = """
+SELECT user_id, event_id, value,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
+         AS moving_avg
+FROM events
+WHERE user_id <= 50
+ORDER BY user_id, event_id
+"""
+
+
+@register("w_moving_avg", oracle=W_MOVING_ORACLE, tags=("W1", "W2"))
+def w_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average with an explicit ROWS frame over the event
+    stream (frame specs are free Spark surface; the stream-shaped
+    table is user_events, 01-create-table.sql:31-41)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return (
+        ev.filter(F.col("user_id") <= 50)
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.round(F.avg("value").over(w), 4).alias("moving_avg"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O family — sorts / limits / top-k
+# ---------------------------------------------------------------------------
+
+O_TOPK_ORACLE = """
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@register("o_topk_rows", oracle=O_TOPK_ORACLE, tags=("O4",))
+def o_topk_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-row top-k (preparedataset.sql:203-215) →
+    TakeOrderedAndProject, not a full sort: each task keeps a k-heap,
+    driver merges — O(n) scan at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# U family — set operations
+# ---------------------------------------------------------------------------
+
+U_UNION_ORACLE = """
+SELECT 'orders' AS src, count(*) AS cnt FROM orders
+UNION ALL
+SELECT 'lineitem' AS src, count(*) AS cnt FROM lineitem
+UNION ALL
+SELECT 'customer' AS src, count(*) AS cnt FROM customer
+ORDER BY src
+"""
+
+
+@register("u_union_counts", oracle=U_UNION_ORACLE, tags=("U1", "A14"))
+def u_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL verification stitching — the lab's cross-engine
+    row-count parity check (preparedataset.sql:155-159,
+    postgres/get_size.sql:33-47)."""
+    frames = []
+    for t in ("orders", "lineitem", "customer"):
+        frames.append(
+            load_table(spark, sf_dir, t).agg(F.count("*").alias("cnt")).select(
+                F.lit(t).alias("src"), "cnt"
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("src")
+
+
+U_INTERSECT_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders
+ORDER BY c_custkey
+"""
+
+
+@register("u_intersect", oracle=U_INTERSECT_ORACLE, tags=("U1",))
+def u_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) — free Spark surface (SURVEY.md §2.7)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    with_orders = orders.select(F.col("o_custkey").alias("c_custkey"))
+    return rich.intersect(with_orders).orderBy("c_custkey")
+
+
+U_EXCEPT_ORACLE = """
+SELECT p_brand FROM part
+EXCEPT
+SELECT p_brand FROM part WHERE p_size >= 49
+ORDER BY p_brand
+"""
+
+
+@register("u_except", oracle=U_EXCEPT_ORACLE, tags=("U1",))
+def u_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — free Spark surface. Predicate chosen so
+    the difference is non-empty at the fixture sfs."""
+    part = load_table(spark, sf_dir, "part")
+    big = part.filter(F.col("p_size") >= 49).select("p_brand")
+    # subtract == EXCEPT DISTINCT (set semantics); exceptAll would be
+    # bag semantics and keep surviving duplicates.
+    return part.select("p_brand").subtract(big).orderBy("p_brand")
+
+
+# ---------------------------------------------------------------------------
+# F family — scalar functions
+# ---------------------------------------------------------------------------
+
+F_SCALAR_ORACLE = """
+SELECT
+  p_partkey,
+  length(p_name) AS name_len,
+  split_part(p_name, ' ', 2) AS second_word,
+  string_split(p_name, ' ')[1] AS first_word,
+  upper(p_brand) AS brand_upper,
+  CAST(p_size AS BIGINT) AS size_long,
+  CAST(p_partkey AS VARCHAR) AS key_str,
+  round(p_retailprice / 1024.0, 4) AS price_kb
+FROM part
+ORDER BY p_partkey
+"""
+
+
+@register(
+    "f_scalar_suite",
+    oracle=F_SCALAR_ORACLE,
+    tags=("F6", "F8", "F9", "F10", "F11", "F12"),
+)
+def f_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function suite: length (F8), splitByChar[i] (F6, 1-based
+    like ClickHouse — README.md:150-151), casts (F9/F10), arithmetic
+    formatting (F11/F12). All JVM-side, inside whole-stage codegen."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.length("p_name").alias("name_len"),
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_word"),
+            F.element_at(F.split("p_name", " "), 1).alias("first_word"),
+            F.upper("p_brand").alias("brand_upper"),
+            F.col("p_size").cast("long").alias("size_long"),
+            F.col("p_partkey").cast("string").alias("key_str"),
+            F.round(F.col("p_retailprice") / 1024.0, 4).alias("price_kb"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+F_ENUM_ORACLE = """
+SELECT
+  CASE l_returnflag
+    WHEN 'A' THEN 'accepted'
+    WHEN 'R' THEN 'returned'
+    WHEN 'N' THEN 'none'
+    ELSE l_returnflag
+  END AS flag_name,
+  count(*) AS cnt
+FROM lineitem
+GROUP BY 1
+ORDER BY flag_name
+"""
+
+
+@register("f_enum_decode", oracle=F_ENUM_ORACLE, tags=("F7",))
+def f_enum_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enum decode via transform()-style mapping (F7,
+    README.md:154-167). ClickHouse `transform` keeps unmatched input
+    unchanged — mirrored by the trailing otherwise(col)."""
+    from sql_engine_triangle_spark.functions.scalar import decode_enum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    mapping = {"A": "accepted", "R": "returned", "N": "none"}
+    return (
+        li.select(decode_enum(F.col("l_returnflag"), mapping).alias("flag_name"))
+        .groupBy("flag_name")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("flag_name")
+    )
+
+
+F_DATE_ORACLE = """
+SELECT
+  CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+  CAST(year(o_orderdate) AS INTEGER) AS yr,
+  strftime(o_orderdate, '%Y%m') AS yyyymm,
+  CAST(o_orderdate AS DATE) AS odate,
+  count(*) AS cnt
+FROM orders
+GROUP BY 1, 2, 3, 4
+ORDER BY odate
+"""
+
+
+@register("f_date_buckets", oracle=F_DATE_ORACLE, tags=("F2", "F3", "F4"))
+def f_date_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date bucketing: date_trunc (F2), year extract (F3),
+    toYYYYMM-style formatting (F4, 01-create-table.sql:72)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+            F.year("o_orderdate").alias("yr"),
+            F.date_format("o_orderdate", "yyyyMM").alias("yyyymm"),
+            F.col("o_orderdate").cast("date").alias("odate"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("odate")
+    )
+
+
+F_JSON_ORACLE = """
+SELECT
+  event_type,
+  count(*) AS cnt,
+  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 3) AS avg_k,
+  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("f_json_extract", oracle=F_JSON_ORACLE, tags=("F-json",))
+def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction over the event stream's `props`
+    column (north-star surface motivated by the fixtures —
+    SURVEY.md §2.8 note). get_json_object runs JVM-side."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.avg(k), 3).alias("avg_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-entry demonstration: the same logical plan via spark.sql over
+# direct parquet paths (Entry A in SURVEY.md §3). One representative.
+# ---------------------------------------------------------------------------
+
+
+@register("sql_entry_q1", oracle=None, tags=("EP-A",))
+def sql_entry_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 expressed as a SQL string over `parquet.` paths — proves
+    the spark.sql entry point builds the identical logical plan as
+    the DataFrame form (tested for equality in tests/test_sql_entry).
+    Rows-only for the driver (the DF twin q1_agg_by_type carries the
+    oracle)."""
+    path = f"{sf_dir}/lineitem.parquet"
+    return spark.sql(
+        f"""
+        SELECT
+          l_returnflag,
+          count(*) AS cnt,
+          round(avg(l_extendedprice), 2) AS avg_price,
+          round(min(l_extendedprice), 2) AS min_price,
+          round(max(l_extendedprice), 2) AS max_price
+        FROM parquet.`{path}`
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        GROUP BY l_returnflag
+        ORDER BY avg_price DESC, l_returnflag
+        """
+    )

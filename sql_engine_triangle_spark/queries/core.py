@@ -226,6 +226,40 @@ def q4_top_nations_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .select(F.col("n_name").alias("nation"), "l_extendedprice")
     )
+    # Single-pass plan: the CTE's top-N and the percentile aggregation
+    # group by the same key, so compute both in ONE aggregation and
+    # take the top-N afterwards over |nations| rows — one fact scan,
+    # one shuffle, no re-join (strictly better than the lab's two-pass
+    # shape while returning identical rows; the join form is kept as
+    # q4_semi_join_form below for J1/J2 parity).
+    return (
+        fact.groupBy("nation")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 2).alias("p25"),
+            F.round(F.expr("percentile(l_extendedprice, 0.50)"), 2).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 2).alias("p75"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 2).alias("p95"),
+        )
+        .orderBy(F.desc("cnt"), "nation")
+        .limit(10)
+    )
+
+
+@register("q4_semi_join_form", oracle=Q4_ORACLE, tags=("J1", "J2", "J3", "O3"))
+def q4_semi_join_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lab's literal two-pass Q4 shape: top-N CTE, broadcast hash
+    re-join against the fact (q4 README.md:69-79). Same oracle, same
+    rows as q4_top_nations_percentiles — kept to exercise J1/J2 with
+    a CTE build side explicitly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    fact = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "l_extendedprice")
+    )
     top_nations = (
         fact.groupBy("nation")
         .agg(F.count("*").alias("cnt"))

@@ -52,6 +52,10 @@ def get_spark(
         # Match DuckDB/ANSI timestamp behavior for parquet written
         # without UTC adjustment (the driver fixtures).
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Fixture `events.ts` is TIMESTAMP(NANOS) parquet, which the
+        # Spark reader rejects by default; read as long, catalog layer
+        # converts back to TimestampType (micros).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
