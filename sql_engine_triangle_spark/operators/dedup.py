@@ -1,0 +1,240 @@
+"""Deduplication operators over a document DataFrame.
+
+Five dedup families (training-data pipeline surface):
+- exact: md5-of-text hash groups (engine-independent, oracle-checked)
+- fingerprint: md5 of normalized text (near-exact: whitespace/case)
+- n-gram Jaccard: exact pairwise similarity via shingle self-join
+- MinHash + LSH: banded signature buckets → candidate pairs → exact
+  Jaccard verify (the 100 TB scale path for near-dup detection)
+- SimHash: 64-bit bit-vote sketch + banded Hamming candidate pairs
+
+Everything is built-in JVM expressions (higher-order array functions
+and xxhash64) — deterministic, partition-parallel, no Python in the
+hot path.
+
+Scale notes:
+- The exact shingle self-join is quadratic in the worst case (shared
+  shingle hubs); at 100 TB use minhash_lsh_pairs whose band-bucket
+  join only pairs documents sharing a full band (16 bands × 4 rows
+  below ⇒ P[pair at J=0.8 missed] ≈ (1-0.8^4)^16 ≈ 2e-4).
+- Signature computation is a single narrow projection — no shuffle;
+  the only shuffles are the band groupBy and the verify join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sql_engine_triangle_spark.operators import textops
+
+MINHASH_PERMS = 64
+LSH_BANDS = 16
+LSH_ROWS = 4  # MINHASH_PERMS / LSH_BANDS
+
+
+def exact_hash_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by md5(text); keep_id = min id per group.
+    Reference pattern: hash-groupBy, one shuffle on the digest."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("h"), F.col(id_col))
+        .groupBy("h")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_cnt"))
+    )
+
+
+def fingerprint_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-exact dedup on the normalized-text fingerprint."""
+    return (
+        docs.select(textops.fingerprint_md5(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_cnt"))
+    )
+
+
+def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"), textops.shingles(F.col(text_col), n).alias("sh")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle self-join.
+
+    inter(a,b) from an equi-join on exploded distinct shingles;
+    J = inter / (|A| + |B| - inter). Quadratic worst case — the LSH
+    variant below is the scale path; this is the correctness oracle.
+    """
+    sh = _shingled(docs, id_col, text_col, n)
+    exploded = sh.select("doc_id", F.explode("sh").alias("s"))
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    if round_digits is not None:
+        j = F.round(j, round_digits)
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_perms: int = MINHASH_PERMS,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signature per document: sig[p] = min over shingles of
+    xxhash64(shingle, p).
+
+    Implementation note (measured, not guessed): the obvious nested
+    higher-order form transform(seq, p -> array_min(transform(sh,...)))
+    is interpreted expression evaluation that re-inlines the whole
+    shingle-construction subtree per permutation per row after
+    projection collapse — ~150 s for 5k docs. Instead: explode the
+    shingles once and compute the 64 minima as 64 plain min()
+    aggregate columns — one shuffle of narrow rows, fully
+    vectorized (0.6 s for the same input)."""
+    sh = _shingled(docs, id_col, text_col, n)
+    exploded = sh.select("doc_id", F.explode("sh").alias("s"))
+    mins = [
+        F.min(F.xxhash64(F.col("s"), F.lit(p))).alias(f"m{p}")
+        for p in range(num_perms)
+    ]
+    per_doc = exploded.groupBy("doc_id").agg(*mins)
+    sig = F.array(*[F.col(f"m{p}") for p in range(num_perms)])
+    return per_doc.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
+
+    Pipeline: signatures → per-band bucket key (xxhash64 of the band's
+    rows) → explode bands → candidate pairs from bucket equi-join →
+    verify with exact Jaccard on the shingle sets (array_intersect /
+    union sizes) → threshold filter.
+
+    Only documents sharing a band bucket are ever paired, so the join
+    fan-out is bounded by bucket occupancy, not |docs|² — this is the
+    100 TB path.
+    """
+    sigs = minhash_signatures(docs, bands * rows, n, id_col, text_col)
+    band_keys = F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> "
+        f"  xxhash64(concat_ws(',', transform(slice(sig, b * {rows} + 1, {rows}), "
+        f"    v -> cast(v as string))), b))"
+    )
+    # Candidate generation on bare ids only — the shingle arrays are
+    # joined back AFTER pair dedup so the band self-join and the
+    # dropDuplicates shuffle move narrow rows, not document payloads.
+    banded = sigs.select("doc_id", F.posexplode(band_keys).alias("band", "bucket"))
+    a = banded.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    b = banded.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh = _shingled(docs, id_col, text_col, n)
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cands.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: per-bit vote over distinct token
+    hashes, packed into one bigint.
+
+    Same shape as minhash_signatures: explode tokens once (multiset —
+    term frequency is the SimHash weight), 64 sum() vote aggregates
+    (±1 per bit), pack with shiftleft in the final projection —
+    avoids the interpreted nested-HOF pathology."""
+    toks = textops.tokens(F.col(text_col))
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("t")
+    )
+    h = F.xxhash64(F.col("t"))
+    votes = [
+        F.sum(
+            F.when((F.shiftright(h, b).bitwiseAND(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    per_doc = exploded.groupBy("doc_id").agg(*votes)
+    packed = None
+    for b in range(64):
+        bit = F.shiftleft((F.col(f"v{b}") > 0).cast("long"), b)
+        packed = bit if packed is None else packed + bit
+    return per_doc.select("doc_id", packed.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit sketch into 4
+    16-bit chunks (pigeonhole: hamming ≤ 3 guarantees an identical
+    chunk; larger radii are best-effort), candidate-join on chunk
+    equality, verify with bit_count(xor) ≤ max_hamming."""
+    sims = simhash(docs, id_col, text_col)
+    chunks = F.expr(
+        "transform(sequence(0, 3), c -> "
+        "  concat(cast(c as string), ':', "
+        "         cast((shiftright(simhash, c * 16) & 65535) as string)))"
+    )
+    banded = sims.select("doc_id", "simhash", F.explode(chunks).alias("chunk"))
+    a = banded.select(
+        F.col("chunk"), F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a")
+    )
+    b = banded.select(
+        F.col("chunk"), F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b")
+    )
+    return (
+        a.join(b, "chunk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,325 @@
+"""Training-data pipeline queries (registry entries + oracles).
+
+Float-parity discipline: values derived purely from integer counts
+(ratios like jaccard = inter/union) are emitted UNROUNDED — the same
+IEEE division of the same integers is bit-identical in Spark and
+DuckDB, which is stronger than any rounding. Rounding is reserved for
+aggregates whose accumulation order varies (avg over doubles) and
+cross-engine float kernels (cosine), where ties are measure-zero.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_engine_triangle_spark.catalog import load_table
+from sql_engine_triangle_spark.operators import dedup, multimodal, similarity, textops
+from sql_engine_triangle_spark.queries.registry import register
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_cnt
+FROM documents
+GROUP BY md5(text)
+ORDER BY keep_id
+"""
+
+
+@register("dedup_exact", oracle=DEDUP_EXACT_ORACLE, tags=("LLM-dedup",))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5(text) hash groups, keep lowest doc_id.
+    One shuffle on the digest; at 100 TB add a pre-shuffle partial
+    (first 8 bytes of digest) only if group skew demands it."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_hash_groups(docs).orderBy("keep_id")
+
+
+DEDUP_FP_ORACLE = r"""
+SELECT
+  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+  min(doc_id) AS keep_id,
+  count(*) AS dup_cnt
+FROM documents
+GROUP BY 1
+ORDER BY keep_id
+"""
+
+
+@register("dedup_fingerprint", oracle=DEDUP_FP_ORACLE, tags=("LLM-dedup",))
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup on the normalized-text md5 fingerprint
+    (case/whitespace-insensitive)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.fingerprint_groups(docs).orderBy("keep_id")
+
+
+DEDUP_NGRAM_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+shing AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM tok
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shing),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shing),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=DEDUP_NGRAM_ORACLE, tags=("LLM-dedup",))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.5) via
+    shingle self-join — the correctness baseline for the MinHash-LSH
+    scale path. jaccard emitted unrounded (pure integer division —
+    bit-identical across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.5, round_digits=None)
+
+
+@register("dedup_minhash_lsh", oracle=None, tags=("LLM-dedup",))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + 16×4 banded LSH candidate pairs, exact-Jaccard
+    verified at 0.5. No SQL oracle (xxhash64 seeds are
+    engine-specific); pytest cross-checks recall against
+    dedup_ngram_jaccard on the fixtures."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+@register("dedup_simhash_pairs", oracle=None, tags=("LLM-dedup",))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64) banded near-dup pairs at Hamming ≤ 8 (rows-only:
+    bit-vote sketch is hash-engine-specific)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=8)
+
+
+EMB_PAIRS_ORACLE = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.45
+ORDER BY vec_a, vec_b
+"""
+
+
+@register("dedup_embedding_pairs", oracle=EMB_PAIRS_ORACLE, tags=("LLM-dedup",))
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force, threshold 0.45 —
+    the fixture has no true dups; threshold sits inside the observed
+    similarity range to exercise the operator). Scale path: sign-LSH
+    buckets (operators/similarity.ann_topk) instead of the quadratic
+    join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(emb, threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis family
+# ---------------------------------------------------------------------------
+
+TEXT_QUALITY_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+)
+SELECT
+  doc_id,
+  length(text) AS n_chars,
+  len(toks) AS n_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+  length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+    / greatest(length(text), 1) AS punct_ratio,
+  len(list_filter(toks, x -> x IN ('the','a','and','of','to','is','in','it')))
+    / greatest(len(toks), 1) AS stopword_ratio,
+  list_sum(list_transform(toks, x -> length(x)))
+    / greatest(len(toks), 1) AS avg_token_len,
+  (1.0 - length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+       / greatest(length(text), 1))
+    * least(1.0, len(toks) / 50.0) AS quality_score
+FROM t
+ORDER BY doc_id
+"""
+
+
+@register("text_quality_scores", oracle=TEXT_QUALITY_ORACLE, tags=("LLM-text",))
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: char/token/BPE-ish counts,
+    punctuation + stopword ratios, quality score. All JVM-side
+    (split/filter/aggregate/regexp) — a narrow map, no shuffle.
+    Ratios are int/int IEEE divisions — unrounded, bit-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    return (
+        docs.select(
+            "doc_id",
+            F.length(text).alias("n_chars"),
+            textops.token_count(text).alias("n_tokens"),
+            textops.bpe_token_count(text).alias("n_bpe_tokens"),
+            textops.punct_ratio(text).alias("punct_ratio"),
+            textops.stopword_ratio(text).alias("stopword_ratio"),
+            textops.avg_token_len(text).alias("avg_token_len"),
+            textops.quality_score(text).alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LANG_ID_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), hits AS (
+  SELECT doc_id, lang,
+    len(list_filter(toks, x -> x IN ('the','a','and','of','to','is','in','it'))) AS en_h,
+    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS de_h,
+    len(list_filter(toks, x -> x IN ('le','la','et','les','des','est','une'))) AS fr_h,
+    len(list_filter(toks, x -> x IN ('el','la','los','las','es','una','que'))) AS es_h
+  FROM t
+)
+SELECT doc_id, lang,
+  CASE WHEN greatest(en_h, de_h, fr_h, es_h) <= 0 THEN 'und'
+       WHEN en_h = greatest(en_h, de_h, fr_h, es_h) THEN 'en'
+       WHEN de_h = greatest(en_h, de_h, fr_h, es_h) THEN 'de'
+       WHEN fr_h = greatest(en_h, de_h, fr_h, es_h) THEN 'fr'
+       ELSE 'es'
+  END AS pred_lang
+FROM hits
+ORDER BY doc_id
+"""
+
+
+@register("text_lang_id", oracle=LANG_ID_ORACLE, tags=("LLM-text",))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (deterministic heuristic; the
+    fixture vocabulary is synthetic so prediction accuracy is not the
+    contract — the computation is)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", textops.lang_id(F.col("text")).alias("pred_lang")
+    ).orderBy("doc_id")
+
+
+FINGERPRINT_ORACLE = r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("text_fingerprint", oracle=FINGERPRINT_ORACLE, tags=("LLM-text",))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text md5 fingerprint per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textops.fingerprint_md5(F.col("text")).alias("fp")
+    ).orderBy("doc_id")
+
+
+@register("text_rolling_hash", oracle=None, tags=("LLM-text",))
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash (Rabin-Karp) fingerprint — rows-only
+    (no portable SQL twin); pytest cross-checks against a pure-Python
+    reference implementation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textops.rolling_hash(F.col("text")).alias("rhash")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search family
+# ---------------------------------------------------------------------------
+
+SIM_TOPK_ORACLE = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    CAST(q.qe AS DOUBLE[])), 4) AS cos_sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+@register("sim_cosine_topk", oracle=SIM_TOPK_ORACLE, tags=("LLM-sim",))
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for query vector vec_id=0.
+    Plan: narrow projection + TakeOrderedAndProject — one linear pass
+    with a per-task k-heap at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = similarity.query_vector(emb, 0)
+    return similarity.brute_force_topk(emb, qvec, k=10, exclude_id=0)
+
+
+@register("sim_ann_lsh_topk", oracle=None, tags=("LLM-sim",))
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via sign-LSH (8 hyperplanes, multi-probe
+    Hamming≤1) + exact rerank inside candidate buckets. Rows-only
+    (bucketing is seed-specific). NOTE: sign-LSH recall is only high
+    when true neighbors are high-cosine; on mid-similarity data use
+    sim_ivf_topk — kept here as the near-dup-regime ANN variant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = similarity.query_vector(emb, 0)
+    return similarity.ann_topk(emb, qvec, k=10, exclude_id=0)
+
+
+@register("sim_ivf_topk", oracle=None, tags=("LLM-sim",))
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: deterministic distributed k-means
+    coarse quantizer, nprobe=3 probe, exact rerank of ~30% of
+    vectors. Rows-only; pytest checks recall ≥ 7/10 vs brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = similarity.query_vector(emb, 0)
+    return similarity.ivf_topk(emb, qvec, k=10, exclude_id=0)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       CAST(octet_length(encode(text)) % 1024 AS INTEGER) AS width,
+       CAST((octet_length(encode(text)) * 7) % 768 AS INTEGER) AS height
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_metadata", oracle=MULTIMODAL_ORACLE, tags=("LLM-mm",))
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-asset metadata extraction through mapInPandas (Arrow
+    batches over an opaque binary column). n_bytes is real; width/
+    height are the documented deterministic decode stand-in
+    (operators/multimodal.py) so the plumbing is oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.docs_as_assets(docs)
+    return multimodal.extract_asset_metadata(assets).orderBy("doc_id")

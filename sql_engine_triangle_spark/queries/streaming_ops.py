@@ -1,0 +1,97 @@
+"""Batch-mode registry entries for the streaming window operators.
+
+The SAME builder functions power `readStream` (see
+streaming/windows.py and tests/test_streaming.py); registering the
+batch form gives each windowed operator a DuckDB oracle
+(`time_bucket` / gaps-and-islands SQL), which is exactly the
+batch-stream unification Spark's incrementalization model promises.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sql_engine_triangle_spark.catalog import load_table
+from sql_engine_triangle_spark.queries.registry import register
+from sql_engine_triangle_spark.streaming import windows as W
+
+TUMBLING_ORACLE = """
+SELECT
+  time_bucket(INTERVAL '1 hour', ts) AS window_start,
+  time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+  event_type,
+  count(*) AS cnt,
+  round(sum(value), 3) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
+@register("stream_tumbling_counts", oracle=TUMBLING_ORACLE, tags=("STR-tumbling",))
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows over the event stream (batch surface of
+    the streaming operator — identical logical plan under
+    readStream + watermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return W.tumbling_counts(ev).orderBy("window_start", "event_type")
+
+
+SLIDING_ORACLE = """
+WITH slides AS (
+  SELECT e.*,
+         time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' * s.i
+           AS window_start
+  FROM events e
+  CROSS JOIN (SELECT unnest(range(0, 2)) AS i) s
+)
+SELECT window_start,
+       window_start + INTERVAL '1 hour' AS window_end,
+       event_type,
+       count(*) AS cnt
+FROM slides
+WHERE ts >= window_start AND ts < window_start + INTERVAL '1 hour'
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
+@register("stream_sliding_counts", oracle=SLIDING_ORACLE, tags=("STR-sliding",))
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30min windows (each event lands in 2 windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    return W.sliding_counts(ev).orderBy("window_start", "event_type")
+
+
+SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '15 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL '15 minutes' AS session_end,
+       user_id,
+       count(*) AS n_events,
+       round(sum(value), 3) AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+@register("stream_session_windows", oracle=SESSION_ORACLE, tags=("STR-session",))
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 15-minute-gap session windows (Spark session_window;
+    oracle is the classic gaps-and-islands SQL). Session end in both
+    is last-event + gap."""
+    ev = load_table(spark, sf_dir, "events")
+    return W.session_windows(ev).orderBy("user_id", "session_start")

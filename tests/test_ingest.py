@@ -1,0 +1,138 @@
+"""Ingestion pipeline end-to-end (S1-S9): raw CSV with planted bad
+rows → tolerant parse → bad-row budget → typed projection (casts,
+split, enum decode, best-effort dates) → partitioned sorted parquet →
+pruned read-back. Plus introspection helpers (S10-S11)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_engine_triangle_spark.sources import ingest, introspect
+
+RAW_COLS = [
+    "uuid_string",
+    "price_string",
+    "time",
+    "postcode",
+    "a",
+    "b",
+    "c",
+    "addr1",
+    "addr2",
+    "street",
+    "locality",
+    "town",
+    "district",
+    "county",
+]
+
+CSV_ROWS = [
+    # uuid, price, time, postcode, a(type), b(new), c(dur), addr1, addr2, street, locality, town, district, county
+    '"u1","185000","2021-03-15","SW1A 1AA","T","Y","F","1","","DOWNING ST","","LONDON","WESTMINSTER","GREATER LONDON"',
+    '"u2","99950","2020-11-02","YO1 7HH","S","N","L","2","","SHAMBLES","","YORK","YORK","NORTH YORKSHIRE"',
+    '"u3","450000","2021-03-29","M1 1AE","D","N","F","3","","MARKET ST","","MANCHESTER","MANCHESTER","GREATER MANCHESTER"',
+    '"u4","325000","2020/06/18","LS1 4AP","F","Y","L","4","","BRIGGATE","","LEEDS","LEEDS","WEST YORKSHIRE"',
+    '"u5","210000","2021-07-01","B1 1BB","X","N","U","5","","NEW ST","","BIRMINGHAM","BIRMINGHAM","WEST MIDLANDS"',
+]
+# A malformed line (unclosed quote mid-row breaks the parse).
+BAD_ROW = '"u6","oops"unterminated,"notadate"'
+
+
+@pytest.fixture()
+def csv_path(tmp_path):
+    p = tmp_path / "pp.csv"
+    header = ",".join(RAW_COLS)
+    p.write_text("\n".join([header, *CSV_ROWS, BAD_ROW]) + "\n")
+    return str(p)
+
+
+def test_tolerant_read_and_budget(spark, csv_path):
+    raw = ingest.read_csv_tolerant(spark, csv_path, RAW_COLS)
+    clean = ingest.enforce_bad_row_budget(raw, ingest.BadRowBudget())
+    assert clean.count() == 5
+    assert "_corrupt_record" not in clean.columns
+
+
+def test_bad_row_budget_exceeded(spark, csv_path):
+    raw = ingest.read_csv_tolerant(spark, csv_path, RAW_COLS)
+    with pytest.raises(ValueError, match="bad-row budget"):
+        ingest.enforce_bad_row_budget(raw, ingest.BadRowBudget(max_rows=0))
+
+
+def test_typed_projection_semantics(spark, csv_path):
+    raw = ingest.read_csv_tolerant(spark, csv_path, RAW_COLS)
+    clean = ingest.enforce_bad_row_budget(raw, ingest.BadRowBudget())
+    typed = ingest.typed_projection(clean).orderBy("price")
+    rows = {r.addr1: r for r in typed.collect()}
+    r1 = rows["1"]
+    assert r1.price == 185000 and str(r1.date) == "2021-03-15"
+    assert r1.postcode1 == "SW1A" and r1.postcode2 == "1AA"
+    assert r1.type == "terraced" and r1.is_new is True and r1.duration == "freehold"
+    # Alternate date format parsed best-effort (F5).
+    assert str(rows["4"].date) == "2020-06-18"
+    # Unmatched enum input passes through unchanged (CH transform
+    # semantics, F7).
+    assert rows["5"].type == "X"
+
+
+def test_partitioned_sorted_write_and_pruned_read(spark, csv_path, tmp_path):
+    raw = ingest.read_csv_tolerant(spark, csv_path, RAW_COLS)
+    typed = ingest.typed_projection(
+        ingest.enforce_bad_row_budget(raw, ingest.BadRowBudget())
+    ).withColumn("month", ingest.month_col(F.col("date")))
+    out = str(tmp_path / "pp_parquet")
+    ingest.write_partitioned(typed, out, sort_cols=["postcode1", "postcode2"])
+
+    # Hive-style month partitions on disk.
+    parts = {d for d in os.listdir(out) if d.startswith("month=")}
+    assert {"month=202103", "month=202011", "month=202006", "month=202107"} == parts
+
+    back = spark.read.parquet(out)
+    assert back.count() == 5
+    # Partition pruning: the month filter must reach PartitionFilters.
+    pruned = back.filter(F.col("month") == "202103")
+    assert pruned.count() == 2
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "month" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_csv_export_roundtrip(spark, csv_path, tmp_path):
+    raw = ingest.read_csv_tolerant(spark, csv_path, RAW_COLS)
+    typed = ingest.typed_projection(
+        ingest.enforce_bad_row_budget(raw, ingest.BadRowBudget())
+    )
+    out = str(tmp_path / "export_csv")
+    ingest.export_csv(typed.select("price", "town"), out)
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 5
+    assert set(back.columns) == {"price", "town"}
+
+
+def test_values_frame(spark):
+    df = ingest.values_frame(
+        spark,
+        [(1, "Laptop", 999.99), (2, "Mouse", 29.99)],
+        "id long, product_name string, price double",
+    )
+    assert df.count() == 2
+
+
+def test_partition_stats_and_table_sizes(spark, csv_path, tmp_path):
+    raw = ingest.read_csv_tolerant(spark, csv_path, RAW_COLS)
+    typed = ingest.typed_projection(
+        ingest.enforce_bad_row_budget(raw, ingest.BadRowBudget())
+    ).withColumn("month", ingest.month_col(F.col("date")))
+    out = str(tmp_path / "pp_parquet")
+    ingest.write_partitioned(typed, out)
+
+    stats = introspect.partition_stats(spark, out).collect()
+    assert {r.partition for r in stats} >= {"month=202103"}
+    assert all(r.total_bytes > 0 and r.pretty_size.endswith("B") for r in stats)
+
+    sizes = introspect.table_sizes(spark, "/root/testdata/sf0.001").collect()
+    by_name = {r.table_name: r for r in sizes}
+    assert by_name["lineitem"].n_rows > 5000
+    assert by_name["region"].n_rows == 5
