@@ -1,0 +1,71 @@
+"""Physical-plan assertion helpers.
+
+The reference lab checks EXPLAIN output as a first-class artifact
+(EXPLAIN (ANALYZE, BUFFERS) / EXPLAIN PIPELINE per query —
+q1 README.md:51,88,125,161). Our analog: assert that the executed
+SparkPlan exhibits the behaviors Catalyst is expected to produce
+(pushed filters, column pruning, partial+final aggregation,
+broadcast joins, top-k without full sort, whole-stage codegen).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def has_pushed_filter(df: DataFrame, column: str) -> bool:
+    """The parquet scan carries a data filter on `column`
+    (predicate pushdown — §4 row 1)."""
+    plan = executed_plan(df)
+    for m in re.finditer(r"(?:PushedFilters|DataFilters): \[(.*?)\]", plan):
+        if column in m.group(1):
+            return True
+    return False
+
+
+def scan_columns(df: DataFrame) -> list[str]:
+    """Columns actually read by the (first) parquet scan — column
+    pruning check (§4 row 4). Parsed from `FileScan parquet [cols]`."""
+    plan = executed_plan(df)
+    m = re.search(r"FileScan parquet.*?\[(.*?)\]", plan)
+    if not m:
+        return []
+    return [c.split("#")[0].strip() for c in m.group(1).split(",") if c.strip()]
+
+
+def has_partial_final_agg(df: DataFrame) -> bool:
+    """partial_* then final HashAggregate (§4 row 5; the lab's
+    'Partial + Final HashAggregate', q3 README.md:88)."""
+    plan = executed_plan(df)
+    return "partial_" in plan and "HashAggregate" in plan
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in executed_plan(df) or "BroadcastNestedLoopJoin" in executed_plan(df)
+
+
+def has_take_ordered(df: DataFrame) -> bool:
+    """ORDER BY + LIMIT planned as TakeOrderedAndProject (true top-k,
+    no full sort — §4 row 8)."""
+    return "TakeOrderedAndProject" in executed_plan(df)
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Number of WholeStageCodegen subtrees (vectorized/pipelined
+    execution — §4 rows 9-10). Uses EXPLAIN CODEGEN because the AQE
+    pre-execution plan string carries no codegen markers."""
+    # AQE hides codegen stages until the plan is finalized — execute,
+    # then count the `*(n)` codegen markers in the final plan.
+    df.collect()
+    plan = executed_plan(df)
+    return len(set(re.findall(r"\*\((\d+)\)", plan)))

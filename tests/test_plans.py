@@ -1,0 +1,54 @@
+"""Plan-shape assertions: the physical behaviors the reference lab
+documents (SURVEY.md §4) must appear in our executed plans."""
+
+from __future__ import annotations
+
+from sql_engine_triangle_spark.plans import asserts as pa
+from sql_engine_triangle_spark.queries import registry
+from tests.conftest import SF_DIR
+
+
+def _q(spark, name):
+    return registry.get(name).fn(spark, SF_DIR)
+
+
+def test_q1_pushdown_pruning_partial_agg(spark):
+    df = _q(spark, "q1_agg_by_type")
+    # Predicate pushdown on the date filter (§4: FDW pushdown analog).
+    assert pa.has_pushed_filter(df, "l_shipdate")
+    # Column pruning: only the 3 referenced columns are scanned
+    # (§4: index-only scan / columnar read analog).
+    assert set(pa.scan_columns(df)) == {"l_returnflag", "l_extendedprice", "l_shipdate"}
+    # Partial + final aggregation (§4: 'Partial + Final HashAggregate').
+    assert pa.has_partial_final_agg(df)
+    # Pipelined vectorized execution.
+    assert pa.codegen_stage_count(df) >= 1
+
+
+def test_q2_pushes_in_list(spark):
+    df = _q(spark, "q2_town_month_rollup")
+    assert pa.has_pushed_filter(df, "o_orderpriority")
+    assert pa.has_pushed_filter(df, "o_orderdate")
+    assert pa.has_partial_final_agg(df)
+
+
+def test_q4_broadcast_join_and_topk(spark):
+    df = _q(spark, "q4_semi_join_form")
+    # The 10-row CTE side must be broadcast (§4: hash join with small
+    # build side; q4 README.md:79), as must the dim tables.
+    assert pa.has_broadcast_join(df)
+
+    topk = _q(spark, "o_topk_rows")
+    # ORDER BY + LIMIT without a full sort (§4: top-N optimization).
+    assert pa.has_take_ordered(topk)
+
+
+def test_aggregation_only_reads_needed_columns(spark):
+    df = _q(spark, "a_count_distinct")
+    assert set(pa.scan_columns(df)) == {"l_returnflag", "l_partkey"}
+
+
+def test_semi_join_planned_as_semi(spark):
+    df = _q(spark, "j_semi")
+    plan = pa.executed_plan(df)
+    assert "LeftSemi" in plan
