@@ -52,9 +52,46 @@ def fingerprint_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     )
 
 
+def shingle_rows(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct (doc_id, shingle) rows — the scalable shingle form.
+
+    posexplode the tokens once (split runs once per document), build
+    n-grams with window lead()s, keep full n-grams plus the
+    whole-document fallback for docs shorter than n tokens — the same
+    semantics as textops.shingles, but fully whole-stage-codegen
+    (the array-lambda form re-evaluates the token split per shingle;
+    measured 9.2 s → ~1 s for 5k docs)."""
+    from pyspark.sql.window import Window
+
+    toks = textops.tokens(F.col(text_col))
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, n)]
+    cnt = F.count("*").over(Window.partitionBy("doc_id"))
+    return (
+        exploded.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", *leads).alias("s"),
+            leads[-1].isNotNull().alias("full"),
+            cnt.alias("n_toks"),
+        )
+        .filter(F.col("full") | ((F.col("n_toks") <= n - 1) & (F.col("pos") == 0)))
+        .select("doc_id", "s")
+        .distinct()
+    )
+
+
 def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return docs.select(
-        F.col(id_col).alias("doc_id"), textops.shingles(F.col(text_col), n).alias("sh")
+    """(doc_id, sh array) built from shingle_rows via collect_set —
+    one codegen shingle pass + one shuffle; order within the set is
+    irrelevant (consumers only take sizes/intersections)."""
+    return (
+        shingle_rows(docs, id_col, text_col, n)
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("sh"))
     )
 
 
@@ -72,9 +109,8 @@ def ngram_jaccard_pairs(
     J = inter / (|A| + |B| - inter). Quadratic worst case — the LSH
     variant below is the scale path; this is the correctness oracle.
     """
-    sh = _shingled(docs, id_col, text_col, n)
-    exploded = sh.select("doc_id", F.explode("sh").alias("s"))
-    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    exploded = shingle_rows(docs, id_col, text_col, n)
+    sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
@@ -115,8 +151,7 @@ def minhash_signatures(
     shingles once and compute the 64 minima as 64 plain min()
     aggregate columns — one shuffle of narrow rows, fully
     vectorized (0.6 s for the same input)."""
-    sh = _shingled(docs, id_col, text_col, n)
-    exploded = sh.select("doc_id", F.explode("sh").alias("s"))
+    exploded = shingle_rows(docs, id_col, text_col, n)
     mins = [
         F.min(F.xxhash64(F.col("s"), F.lit(p))).alias(f"m{p}")
         for p in range(num_perms)

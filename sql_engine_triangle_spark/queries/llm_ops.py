@@ -301,6 +301,64 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temporal: as-of join (custom Spark operator, DuckDB-native oracle)
+# ---------------------------------------------------------------------------
+
+ASOF_ORACLE = """
+WITH views AS (
+  SELECT user_id, ts, max(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts,
+       v.view_event_id AS r_view_event_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM purchases p
+ASOF LEFT JOIN views v ON p.user_id = v.user_id AND v.ts <= p.ts
+ORDER BY p.event_id
+"""
+
+
+@register("asof_purchase_attribution", oracle=ASOF_ORACLE, tags=("J-asof",))
+def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attribute each purchase to the user's most recent
+    preceding view (inclusive). Spark has no native ASOF JOIN — this
+    uses the union-sort-window operator (operators/temporal.py, one
+    key shuffle, no range explosion) and is differentially tested
+    against DuckDB's native ASOF LEFT JOIN."""
+    from sql_engine_triangle_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_payload=["view_event_id", "ts"],
+        tie_col="view_event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "r_view_event_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("r_ts"))).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
 
