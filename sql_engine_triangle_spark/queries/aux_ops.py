@@ -605,6 +605,58 @@ def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+J_STAR_ORACLE = """
+SELECT
+  r_name,
+  n_name,
+  count(*) AS cnt,
+  round(sum(l_extendedprice * (1.0 - l_discount)) / 1000.0, 1) AS revenue_k
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1999-01-01'
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+@register("j_star_revenue", oracle=J_STAR_ORACLE, tags=("J1", "A4", "A6"))
+def j_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-table star join (fact → orders → customer → nation →
+    region) with revenue rollup — the join-reordering/broadcast
+    stress shape. The orders join is the only fact-sized shuffle;
+    customer/nation/region are broadcast. Revenue is divided to the
+    thousands before rounding so float accumulation-order noise sits
+    far below the rounding digit (driver hash stability)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                / 1000.0,
+                1,
+            ).alias("revenue_k"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL-entry demonstration: the same logical plan via spark.sql over
 # direct parquet paths (Entry A in SURVEY.md §3). One representative.

@@ -1,0 +1,130 @@
+"""Property-based differential testing (hypothesis): random
+filter→group→agg query specs compiled BOTH to a Spark DataFrame plan
+and to ANSI SQL for DuckDB, results compared exactly.
+
+This generalizes the reference lab's premise — identical SQL
+semantics across engines (README.md:32-38) — from 4 fixed queries to
+a randomized family over the orders table.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sql_engine_triangle_spark.catalog import load_table
+from tests.conftest import SF_DIR, assert_frames_match
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+STATUSES = ["O", "F", "P"]
+GROUP_KEYS = ["o_orderstatus", "o_orderpriority"]
+
+spec_strategy = st.fixed_dictionaries(
+    {
+        "priorities": st.lists(
+            st.sampled_from(PRIORITIES), min_size=1, max_size=5, unique=True
+        ),
+        "statuses": st.lists(
+            st.sampled_from(STATUSES), min_size=1, max_size=3, unique=True
+        ),
+        "min_total": st.integers(min_value=0, max_value=400_000),
+        "year_lo": st.integers(min_value=1995, max_value=2001),
+        "group_key": st.sampled_from(GROUP_KEYS),
+        "aggs": st.lists(
+            st.sampled_from(["cnt", "min_total_v", "max_total_v", "sum_key"]),
+            min_size=1,
+            max_size=4,
+            unique=True,
+        ),
+    }
+)
+
+# Lazy: Column construction needs an active SparkSession.
+AGG_SPARK = {
+    "cnt": lambda: F.count("*").alias("cnt"),
+    "min_total_v": lambda: F.min("o_totalprice").alias("min_total_v"),
+    "max_total_v": lambda: F.max("o_totalprice").alias("max_total_v"),
+    "sum_key": lambda: F.sum("o_orderkey").alias("sum_key"),
+}
+AGG_SQL = {
+    "cnt": "count(*) AS cnt",
+    "min_total_v": "min(o_totalprice) AS min_total_v",
+    "max_total_v": "max(o_totalprice) AS max_total_v",
+    "sum_key": "sum(o_orderkey) AS sum_key",
+}
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=spec_strategy)
+def test_random_query_spec_parity(spark, ddb, spec):
+    orders = load_table(spark, SF_DIR, "orders")
+    in_p = spec["priorities"]
+    in_s = spec["statuses"]
+    df = (
+        orders.filter(
+            F.col("o_orderpriority").isin(in_p)
+            & F.col("o_orderstatus").isin(in_s)
+            & (F.col("o_totalprice") >= float(spec["min_total"]))
+            & (F.year("o_orderdate") >= spec["year_lo"])
+        )
+        .groupBy(spec["group_key"])
+        .agg(*[AGG_SPARK[a]() for a in spec["aggs"]])
+        .orderBy(spec["group_key"])
+    )
+
+    def q(vals):
+        return ", ".join(f"'{v}'" for v in vals)
+
+    sql = f"""
+    SELECT {spec['group_key']}, {', '.join(AGG_SQL[a] for a in spec['aggs'])}
+    FROM orders
+    WHERE o_orderpriority IN ({q(in_p)})
+      AND o_orderstatus IN ({q(in_s)})
+      AND o_totalprice >= {spec['min_total']}
+      AND year(o_orderdate) >= {spec['year_lo']}
+    GROUP BY {spec['group_key']}
+    ORDER BY {spec['group_key']}
+    """
+    spark_pdf = df.toPandas()
+    oracle_pdf = ddb.execute(sql).fetchdf()
+    if len(spark_pdf) == 0 and len(oracle_pdf) == 0:
+        return
+    assert_frames_match(spark_pdf, oracle_pdf)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lo=st.integers(min_value=0, max_value=50),
+    hi=st.integers(min_value=0, max_value=50),
+    flag=st.sampled_from(["A", "N", "R"]),
+)
+def test_random_range_filter_parity(spark, ddb, lo, hi, flag):
+    """Random BETWEEN bounds (possibly empty/inverted ranges) on
+    lineitem quantities — boundary semantics must agree."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    df = li.filter(
+        F.col("l_quantity").between(float(lo), float(hi))
+        & (F.col("l_returnflag") == flag)
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum("l_linenumber").alias("sum_ln"),
+    )
+    sql = f"""
+    SELECT count(*) AS cnt, sum(l_linenumber) AS sum_ln
+    FROM lineitem
+    WHERE l_quantity BETWEEN {lo} AND {hi} AND l_returnflag = '{flag}'
+    """
+    spark_pdf = df.toPandas()
+    oracle_pdf = ddb.execute(sql).fetchdf()
+    # NULL sums (empty input) normalize to NaN on both sides.
+    assert_frames_match(spark_pdf, oracle_pdf)
