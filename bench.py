@@ -39,6 +39,9 @@ EXTRA = [
     "dedup_minhash_lsh",
     "sim_cosine_topk",
     "text_quality_scores",
+    "pipeline_corpus_prep",
+    "j_star_revenue",
+    "asof_purchase_attribution",
 ]
 
 

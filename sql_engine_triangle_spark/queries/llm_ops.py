@@ -301,6 +301,64 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Composite corpus-prep pipeline: dedup ∘ quality-filter ∘ selection
+# ---------------------------------------------------------------------------
+
+CORPUS_PREP_ORACLE = r"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+         (1.0 - length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+              / greatest(length(text), 1))
+           * least(1.0, len(string_split_regex(lower(trim(text)), '\s+')) / 50.0)
+           AS quality_score,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+keeps AS (
+  SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM scored
+)
+SELECT doc_id, lang, n_tokens, quality_score
+FROM keeps
+WHERE doc_id = keep_id
+  AND n_tokens >= 20
+  AND quality_score >= 0.9
+ORDER BY doc_id
+"""
+
+
+@register("pipeline_corpus_prep", oracle=CORPUS_PREP_ORACLE, tags=("LLM-pipeline",))
+def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation in one plan: quality
+    scoring ∘ fingerprint dedup (keep lowest doc_id per group) ∘
+    length/quality selection. One narrow scoring projection, one
+    window over the fingerprint — the whole pipeline is a single
+    Catalyst plan with no materialization between stages."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        textops.token_count(text).alias("n_tokens"),
+        textops.quality_score(text).alias("quality_score"),
+        textops.fingerprint_md5(text).alias("fp"),
+    )
+    keep = F.min("doc_id").over(Window.partitionBy("fp"))
+    return (
+        scored.withColumn("keep_id", keep)
+        .filter(
+            (F.col("doc_id") == F.col("keep_id"))
+            & (F.col("n_tokens") >= 20)
+            & (F.col("quality_score") >= 0.9)
+        )
+        .select("doc_id", "lang", "n_tokens", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Temporal: as-of join (custom Spark operator, DuckDB-native oracle)
 # ---------------------------------------------------------------------------
 
