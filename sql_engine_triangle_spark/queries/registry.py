@@ -55,20 +55,17 @@ def register(
 
 
 def _ensure_loaded() -> None:
-    """Import every module that registers queries (idempotent)."""
-    # Imported lazily to avoid circular imports at package init.
-    from sql_engine_triangle_spark.queries import core  # noqa: F401
-
-    for mod in (
-        "aux_ops",
-        "llm_ops",
-        "streaming_ops",
-        "ingest_ops",
-    ):
-        try:
-            __import__(f"sql_engine_triangle_spark.queries.{mod}")
-        except ImportError:
-            pass
+    """Import every module that registers queries (idempotent).
+    Imported lazily to avoid circular imports at package init; import
+    errors propagate — a broken module must fail loudly, not silently
+    shrink the driver contract."""
+    from sql_engine_triangle_spark.queries import (  # noqa: F401
+        aux_ops,
+        core,
+        ingest_ops,
+        llm_ops,
+        streaming_ops,
+    )
 
 
 def all_queries() -> dict[str, QueryFn]:
