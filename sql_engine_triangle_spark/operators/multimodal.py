@@ -21,7 +21,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -93,3 +95,72 @@ def extract_asset_metadata(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(extract, META_SCHEMA)
+
+
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas.
+
+    STAND-IN KERNEL: a real deployment would run an image/audio
+    encoder here; this environment has no codecs, so the feature is a
+    deterministic byte-histogram projection (numpy, Arrow-batched) —
+    the batch shape, schema contract (array<float>), and partition
+    parallelism are exactly what a real encoder UDF uses.
+    """
+    import numpy as np
+
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf["content"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype(np.float64)
+                norm = np.linalg.norm(hist)
+                feats.append((hist / norm if norm else hist).astype(np.float32).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "feature": feats})
+
+    return assets.mapInPandas(feat, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling over "video" payloads via mapInPandas: emit
+    n_frames evenly-spaced byte slices per asset (1 row in → N rows
+    out — the fan-out shape of real frame extraction). The slicing is
+    the deterministic stand-in for an actual video decoder."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "n_bytes": []}
+            for doc_id, b in zip(pdf["doc_id"], pdf["content"]):
+                raw = bytes(b)
+                step = max(len(raw) // n_frames, 1)
+                for i in range(n_frames):
+                    chunk = raw[i * step : (i + 1) * step]
+                    if not chunk:
+                        break
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(chunk)
+                    out["n_bytes"].append(len(chunk))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(frames, FRAME_SCHEMA)

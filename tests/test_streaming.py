@@ -39,6 +39,20 @@ def test_stream_session_windows_matches_batch(spark):
     )
 
 
+def test_stream_sliding_matches_batch(spark):
+    from sql_engine_triangle_spark.catalog import load_table
+
+    stream = W.stream_from_parquet(spark, SF_DIR_SMALL)
+    agg = W.sliding_counts(stream.withWatermark("ts", W.WATERMARK))
+    got = W.run_stream_to_memory(spark, agg, "t_sliding", output_mode="complete")
+
+    batch = W.sliding_counts(load_table(spark, SF_DIR_SMALL, "events"))
+    assert_frames_match(
+        got.orderBy("window_start", "event_type").toPandas(),
+        batch.orderBy("window_start", "event_type").toPandas(),
+    )
+
+
 def test_watermark_bounds_state(spark):
     """The watermarked streaming agg in append mode only emits
     finalized windows — state is bounded, late data beyond the
