@@ -66,9 +66,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         fn = registry.get(name).fn
+
+        def run() -> int:
+            df = fn(spark, sf_dir)
+            return df.count() if len(df.columns) > 6 else len(df.collect())
+
+        run()  # warmup: steady-state per-query wall-clock, matching
+        # how the reference lab reports warm timings (BASELINE.md).
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count() if len(df.columns) > 6 else len(df.collect())
+        n = run()
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)

@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: formatted physical plans of the core queries
+at sf0.1 — the analog of the reference lab's checked-in
+*.plan.txt artifacts (SURVEY.md §5 point 3).
+
+Usage: python scripts/dump_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from sql_engine_triangle_spark.queries import registry  # noqa: E402
+from sql_engine_triangle_spark.session import get_spark  # noqa: E402
+
+QUERIES = [
+    "q1_agg_by_type",
+    "q2_town_month_rollup",
+    "q3_yoy_window",
+    "q4_top_nations_percentiles",
+    "q4_semi_join_form",
+    "o_topk_rows",
+    "j_star_revenue",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="dump_plans")
+    out = [
+        "# PLANS — formatted physical plans (auto-generated)",
+        "",
+        f"Source: `scripts/dump_plans.py` at `{sf_dir}`. The EXPLAIN-as-artifact",
+        "practice of the reference lab (per-query plan files) applied to our",
+        "engine: check PushedFilters/ReadSchema (pushdown + pruning), partial",
+        "+ final HashAggregate, BroadcastHashJoin, TakeOrderedAndProject.",
+        "",
+    ]
+    for name in QUERIES:
+        df = registry.get(name).fn(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        out += [f"## {name}", "", "```", buf.getvalue().rstrip(), "```", ""]
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"wrote PLANS.md ({len(QUERIES)} plans)")
+
+
+if __name__ == "__main__":
+    main()
