@@ -7,11 +7,19 @@ its DataFrame builder and (where SQL-expressible) a DuckDB oracle.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from sql_engine_triangle_spark.queries import registry
+# Robust against being imported by file path (driver-side importlib):
+# the package lives next to this file.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from sql_engine_triangle_spark.queries import registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -605,6 +605,71 @@ def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+W_VALUE_ORACLE = """
+SELECT o_orderstatus, o_orderkey, o_totalprice,
+       first_value(o_totalprice) OVER w AS max_in_status,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank
+FROM orders
+WHERE o_orderkey <= 2000
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey
+"""
+
+
+@register("w_value_functions", oracle=W_VALUE_ORACLE, tags=("W1",))
+def w_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window value/distribution functions (first_value, ntile,
+    percent_rank) — free Spark surface beyond the reference's LAG
+    (SURVEY.md §2.5). percent_rank is (rank-1)/(n-1): integer-derived,
+    rounded only to normalize repr."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        orders.select(
+            "o_orderstatus",
+            "o_orderkey",
+            "o_totalprice",
+            F.first("o_totalprice").over(w).alias("max_in_status"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        )
+        .orderBy("o_orderstatus", F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+SUB_CORR_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > 2.0 * (
+  SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+)
+ORDER BY o_orderkey
+"""
+
+
+@register("sub_correlated_scalar", oracle=SUB_CORR_ORACLE, tags=("P-sub",))
+def sub_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders above 2x their customer's
+    average) — expressed via spark.sql so Catalyst performs the
+    decorrelation rewrite (free surface; the DataFrame equivalent is
+    a groupBy+join, but the SQL form exercises the decorrelator)."""
+    path = f"{sf_dir}/orders.parquet"
+    return spark.sql(
+        f"""
+        WITH o AS (SELECT * FROM parquet.`{path}`)
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM o
+        WHERE o_totalprice > 2.0 * (
+          SELECT avg(o2.o_totalprice) FROM o o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        ORDER BY o_orderkey
+        """
+    )
+
+
 J_STAR_ORACLE = """
 SELECT
   r_name,

@@ -98,6 +98,65 @@ def test_random_query_spec_parity(spark, ddb, spec):
     assert_frames_match(spark_pdf, oracle_pdf)
 
 
+JOIN_TYPES = {
+    "inner": "JOIN",
+    "left": "LEFT JOIN",
+    "left_semi": None,  # SQL via EXISTS
+    "left_anti": None,  # SQL via NOT EXISTS
+}
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    how=st.sampled_from(list(JOIN_TYPES)),
+    min_bal=st.integers(min_value=-1000, max_value=9000),
+    statuses=st.lists(st.sampled_from(STATUSES), min_size=1, max_size=3, unique=True),
+)
+def test_random_join_spec_parity(spark, ddb, how, min_bal, statuses):
+    """Random join type × filters on customer⋈orders: per-nation
+    counts must agree with DuckDB's equivalent (semi/anti expressed
+    as EXISTS/NOT EXISTS in SQL)."""
+    cust = load_table(spark, SF_DIR, "customer").filter(
+        F.col("c_acctbal") >= float(min_bal)
+    )
+    orders = load_table(spark, SF_DIR, "orders").filter(
+        F.col("o_orderstatus").isin(statuses)
+    )
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey, how)
+    df = (
+        joined.groupBy("c_nationkey")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("c_nationkey")
+    )
+
+    s_list = ", ".join(f"'{s}'" for s in statuses)
+    base = f"SELECT * FROM customer WHERE c_acctbal >= {min_bal}"
+    ordsql = f"SELECT * FROM orders WHERE o_orderstatus IN ({s_list})"
+    if how in ("inner", "left"):
+        sql = f"""
+        SELECT c_nationkey, count(*) AS cnt
+        FROM ({base}) c {JOIN_TYPES[how]} ({ordsql}) o ON c.c_custkey = o.o_custkey
+        GROUP BY c_nationkey ORDER BY c_nationkey
+        """
+    else:
+        op = "EXISTS" if how == "left_semi" else "NOT EXISTS"
+        sql = f"""
+        SELECT c_nationkey, count(*) AS cnt
+        FROM ({base}) c
+        WHERE {op} (SELECT 1 FROM ({ordsql}) o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_nationkey ORDER BY c_nationkey
+        """
+    spark_pdf = df.toPandas()
+    oracle_pdf = ddb.execute(sql).fetchdf()
+    if len(spark_pdf) == 0 and len(oracle_pdf) == 0:
+        return
+    assert_frames_match(spark_pdf, oracle_pdf)
+
+
 @settings(
     max_examples=15,
     deadline=None,
