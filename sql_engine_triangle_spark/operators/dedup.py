@@ -139,12 +139,24 @@ def minhash_signatures(
     is interpreted expression evaluation that re-inlines the whole
     shingle-construction subtree per permutation per row after
     projection collapse — ~150 s for 5k docs. Instead: explode the
-    shingles once and compute the 64 minima as 64 plain min()
-    aggregate columns — one shuffle of narrow rows, fully
-    vectorized (0.6 s for the same input)."""
+    shingles once and compute the minima as plain min() aggregate
+    columns — one shuffle of narrow rows, fully vectorized.
+
+    Permutations use the classic universal-hash construction
+    (Broder): one string hash per shingle, then h_p = (a_p·h + b_p)
+    mod M per permutation — 64 integer ops instead of 64 string
+    hashes. a_p < 2^16 keeps a_p·h < 2^47, overflow-safe under ANSI
+    mode."""
+    import random
+
+    M = 2_147_483_647  # 2^31 - 1 (prime)
+    rnd = random.Random(42)
+    A = [rnd.randrange(1, 65_521) for _ in range(num_perms)]
+    B = [rnd.randrange(0, M) for _ in range(num_perms)]
     exploded = shingle_rows(docs, id_col, text_col, n)
+    base = F.pmod(F.xxhash64(F.col("s")), F.lit(M))
     mins = [
-        F.min(F.xxhash64(F.col("s"), F.lit(p))).alias(f"m{p}")
+        F.min(F.pmod(F.lit(A[p]) * base + F.lit(B[p]), F.lit(M))).alias(f"m{p}")
         for p in range(num_perms)
     ]
     per_doc = exploded.groupBy("doc_id").agg(*mins)

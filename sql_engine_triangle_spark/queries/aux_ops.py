@@ -605,6 +605,59 @@ def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+J_RANGE_ORACLE = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('budget', 0.0, 20000.0),
+         ('mid', 20000.0, 60000.0),
+         ('high', 60000.0, 120000.0),
+         ('lux', 120000.0, 1e18)
+)
+SELECT band, count(*) AS cnt,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem
+JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY band
+ORDER BY band
+"""
+
+
+@register("j_range_bands", oracle=J_RANGE_ORACLE, tags=("J-range", "S9"))
+def j_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join of the fact table against a literal
+    VALUES band dimension (S9) — broadcast nested-loop with 4 rows on
+    the build side, so the 'range join' is a single scan + band probe
+    (the scalable pattern for banding; for large band tables use a
+    bucketized equi-join on floor(price/width) instead)."""
+    from sql_engine_triangle_spark.sources.ingest import values_frame
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = values_frame(
+        spark,
+        [
+            ("budget", 0.0, 20000.0),
+            ("mid", 20000.0, 60000.0),
+            ("high", 60000.0, 120000.0),
+            ("lux", 120000.0, 1e18),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_extendedprice") >= F.col("lo"))
+            & (F.col("l_extendedprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+        .orderBy("band")
+    )
+
+
 W_VALUE_ORACLE = """
 SELECT o_orderstatus, o_orderkey, o_totalprice,
        first_value(o_totalprice) OVER w AS max_in_status,
