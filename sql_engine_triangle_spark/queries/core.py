@@ -173,6 +173,12 @@ def q3_yoy_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Covers O3 top-N, J1/J2 join, A9 percentile_cont, A1, P7.
 # ---------------------------------------------------------------------------
 
+# Percentile-rounding parity: interpolating 2-decimal prices yields
+# exact 4-decimal quantities whose binary doubles sit on .xx5 rounding
+# ties (e.g. 52789.245) — Spark (decimal-string HALF_UP) and DuckDB
+# (binary) disagree there. Both sides route through DECIMAL(18,4)
+# before round(,2) so the rounding input is the exact intended value
+# (SURVEY.md §7 hazard 2; caught by the sf0.1 cross-check).
 Q4_ORACLE = """
 WITH top_nations AS (
   SELECT n_name AS nation, count(*) AS cnt
@@ -186,10 +192,10 @@ WITH top_nations AS (
 SELECT
   f.nation,
   count(*) AS cnt,
-  round(quantile_cont(f.l_extendedprice, 0.25), 2) AS p25,
-  round(quantile_cont(f.l_extendedprice, 0.50), 2) AS p50,
-  round(quantile_cont(f.l_extendedprice, 0.75), 2) AS p75,
-  round(quantile_cont(f.l_extendedprice, 0.95), 2) AS p95
+  CAST(round(CAST(quantile_cont(f.l_extendedprice, 0.25) AS DECIMAL(18,4)), 2) AS DOUBLE) AS p25,
+  CAST(round(CAST(quantile_cont(f.l_extendedprice, 0.50) AS DECIMAL(18,4)), 2) AS DOUBLE) AS p50,
+  CAST(round(CAST(quantile_cont(f.l_extendedprice, 0.75) AS DECIMAL(18,4)), 2) AS DOUBLE) AS p75,
+  CAST(round(CAST(quantile_cont(f.l_extendedprice, 0.95) AS DECIMAL(18,4)), 2) AS DOUBLE) AS p95
 FROM (
   SELECT n_name AS nation, l_extendedprice
   FROM lineitem
@@ -200,6 +206,12 @@ JOIN top_nations tn ON f.nation = tn.nation
 GROUP BY f.nation
 ORDER BY cnt DESC, f.nation
 """
+
+
+def _pct_col(expr_str: str) -> "F.Column":
+    """round-through-decimal for exact-percentile outputs (see
+    Q4_ORACLE comment)."""
+    return F.round(F.expr(expr_str).cast("decimal(18,4)"), 2).cast("double")
 
 
 @register("q4_top_nations_percentiles", oracle=Q4_ORACLE, tags=("O3", "J1", "J2", "A9", "A1"))
@@ -236,16 +248,23 @@ def q4_top_nations_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # percentile(col, array(...)) sorts each group's values once
     # instead of four times — measured ~2x on the sf0.1 fixture.
     pcts = F.expr("percentile(l_extendedprice, array(0.25, 0.50, 0.75, 0.95))")
+
+    def pct(i: int) -> "F.Column":
+        return (
+            F.round(F.element_at("_p", i).cast("decimal(18,4)"), 2)
+            .cast("double")
+        )
+
     return (
         fact.groupBy("nation")
         .agg(F.count("*").alias("cnt"), pcts.alias("_p"))
         .select(
             "nation",
             "cnt",
-            F.round(F.element_at("_p", 1), 2).alias("p25"),
-            F.round(F.element_at("_p", 2), 2).alias("p50"),
-            F.round(F.element_at("_p", 3), 2).alias("p75"),
-            F.round(F.element_at("_p", 4), 2).alias("p95"),
+            pct(1).alias("p25"),
+            pct(2).alias("p50"),
+            pct(3).alias("p75"),
+            pct(4).alias("p95"),
         )
         .orderBy(F.desc("cnt"), "nation")
         .limit(10)
@@ -278,10 +297,10 @@ def q4_semi_join_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nation")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 2).alias("p25"),
-            F.round(F.expr("percentile(l_extendedprice, 0.50)"), 2).alias("p50"),
-            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 2).alias("p75"),
-            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 2).alias("p95"),
+            _pct_col("percentile(l_extendedprice, 0.25)").alias("p25"),
+            _pct_col("percentile(l_extendedprice, 0.50)").alias("p50"),
+            _pct_col("percentile(l_extendedprice, 0.75)").alias("p75"),
+            _pct_col("percentile(l_extendedprice, 0.95)").alias("p95"),
         )
         .orderBy(F.desc("cnt"), "nation")
     )

@@ -131,10 +131,10 @@ WITH top_counties AS (
 )
 SELECT p.county,
        count(*) AS cnt,
-       round(quantile_cont(p.price, 0.25), 2) AS p25,
-       round(quantile_cont(p.price, 0.50), 2) AS p50,
-       round(quantile_cont(p.price, 0.75), 2) AS p75,
-       round(quantile_cont(p.price, 0.95), 2) AS p95
+       CAST(round(CAST(quantile_cont(p.price, 0.25) AS DECIMAL(28,4)), 2) AS DOUBLE) AS p25,
+       CAST(round(CAST(quantile_cont(p.price, 0.50) AS DECIMAL(28,4)), 2) AS DOUBLE) AS p50,
+       CAST(round(CAST(quantile_cont(p.price, 0.75) AS DECIMAL(28,4)), 2) AS DOUBLE) AS p75,
+       CAST(round(CAST(quantile_cont(p.price, 0.95) AS DECIMAL(28,4)), 2) AS DOUBLE) AS p95
 FROM property_sales p
 JOIN top_counties tc USING (county)
 WHERE p.date >= DATE '2020-01-01'
@@ -149,16 +149,21 @@ def q4(spark: SparkSession, path: str) -> DataFrame:
         & (F.col("date") >= F.lit("2020-01-01").cast("date"))
     )
     pcts = F.expr("percentile(price, array(0.25, 0.50, 0.75, 0.95))")
+
+    def pct(i: int):
+        # decimal-routed rounding — see core.py Q4_ORACLE comment.
+        return F.round(F.element_at("_p", i).cast("decimal(28,4)"), 2).cast("double")
+
     return (
         ps.groupBy("county")
         .agg(F.count("*").alias("cnt"), pcts.alias("_p"))
         .select(
             "county",
             "cnt",
-            F.round(F.element_at("_p", 1), 2).alias("p25"),
-            F.round(F.element_at("_p", 2), 2).alias("p50"),
-            F.round(F.element_at("_p", 3), 2).alias("p75"),
-            F.round(F.element_at("_p", 4), 2).alias("p95"),
+            pct(1).alias("p25"),
+            pct(2).alias("p50"),
+            pct(3).alias("p75"),
+            pct(4).alias("p95"),
         )
         .orderBy(F.desc("cnt"), "county")
         .limit(10)
