@@ -10,6 +10,16 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def round_stable(col: Column, digits: int = 2, capture: int = 6) -> Column:
+    """Engine-independent rounding for float aggregates (averages,
+    percentiles): cast through DECIMAL(18,capture) first so decimal
+    ties (.xx5 values that binary doubles represent inexactly) round
+    identically in Spark (decimal-string HALF_UP) and DuckDB (binary
+    half-away). Oracle twin: CAST(round(CAST(x AS DECIMAL(18,c)), d)
+    AS DOUBLE). See SURVEY.md §7 hazard 2."""
+    return F.round(col.cast(f"decimal(18,{capture})"), digits).cast("double")
+
+
 def decode_enum(col: Column, mapping: dict[str, str]) -> Column:
     """ClickHouse ``transform(x, [from...], [to...])`` analog (F7,
     reference README.md:154-167): chained CASE WHEN that leaves

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sql_engine_triangle_spark.catalog import load_table
+from sql_engine_triangle_spark.functions.scalar import round_stable
 from sql_engine_triangle_spark.queries.registry import register
 
 # ---------------------------------------------------------------------------
@@ -79,7 +80,8 @@ def p_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 P_HAVING_ORACLE = """
-SELECT p_brand, count(*) AS cnt, round(avg(p_retailprice), 2) AS avg_price
+SELECT p_brand, count(*) AS cnt,
+       CAST(round(CAST(avg(p_retailprice) AS DECIMAL(18,6)), 2) AS DOUBLE) AS avg_price
 FROM part
 GROUP BY p_brand
 HAVING count(*) > 50
@@ -94,7 +96,7 @@ def p_having_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     return (
         part.groupBy("p_brand")
-        .agg(F.count("*").alias("cnt"), F.round(F.avg("p_retailprice"), 2).alias("avg_price"))
+        .agg(F.count("*").alias("cnt"), round_stable(F.avg("p_retailprice")).alias("avg_price"))
         .filter(F.col("cnt") > 50)
         .orderBy(F.desc("cnt"), "p_brand")
         .limit(50)
@@ -106,7 +108,8 @@ def p_having_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 J_MULTIWAY_ORACLE = """
-SELECT r_name, count(*) AS num_customers, round(avg(c_acctbal), 2) AS avg_bal
+SELECT r_name, count(*) AS num_customers,
+       CAST(round(CAST(avg(c_acctbal) AS DECIMAL(18,6)), 2) AS DOUBLE) AS avg_bal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -129,7 +132,7 @@ def j_multiway_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count("*").alias("num_customers"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+            round_stable(F.avg("c_acctbal")).alias("avg_bal"),
         )
         .orderBy("r_name")
     )
@@ -216,7 +219,7 @@ A_GLOBAL_ORACLE = """
 SELECT
   count(*) AS cnt,
   round(sum(l_quantity), 1) AS sum_qty,
-  round(avg(l_extendedprice), 2) AS avg_price,
+  CAST(round(CAST(avg(l_extendedprice) AS DECIMAL(18,6)), 2) AS DOUBLE) AS avg_price,
   round(min(l_extendedprice), 2) AS min_price,
   round(max(l_extendedprice), 2) AS max_price,
   round(sum(length(l_returnflag) + length(l_linestatus)), 0) AS sum_flag_len
@@ -232,7 +235,7 @@ def a_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         F.count("*").alias("cnt"),
         F.round(F.sum("l_quantity"), 1).alias("sum_qty"),
-        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        round_stable(F.avg("l_extendedprice")).alias("avg_price"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         F.round(F.sum(F.length("l_returnflag") + F.length("l_linestatus")), 0).alias(
@@ -579,7 +582,7 @@ F_JSON_ORACLE = """
 SELECT
   event_type,
   count(*) AS cnt,
-  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 3) AS avg_k,
+  CAST(round(CAST(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DECIMAL(18,9)), 3) AS DOUBLE) AS avg_k,
   max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
 FROM events
 GROUP BY event_type
@@ -598,7 +601,7 @@ def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.avg(k), 3).alias("avg_k"),
+            round_stable(F.avg(k), 3, 9).alias("avg_k"),
             F.max(k).alias("max_k"),
         )
         .orderBy("event_type")

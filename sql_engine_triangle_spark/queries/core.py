@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sql_engine_triangle_spark.catalog import load_table
+from sql_engine_triangle_spark.functions.scalar import round_stable
 from sql_engine_triangle_spark.queries.registry import register
 
 # ---------------------------------------------------------------------------
@@ -35,7 +36,7 @@ Q1_ORACLE = """
 SELECT
   l_returnflag,
   count(*) AS cnt,
-  round(avg(l_extendedprice), 2) AS avg_price,
+  CAST(round(CAST(avg(l_extendedprice) AS DECIMAL(18,6)), 2) AS DOUBLE) AS avg_price,
   round(min(l_extendedprice), 2) AS min_price,
   round(max(l_extendedprice), 2) AS max_price
 FROM lineitem
@@ -59,7 +60,7 @@ def q1_agg_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            round_stable(F.avg("l_extendedprice")).alias("avg_price"),
             F.round(F.min("l_extendedprice"), 2).alias("min_price"),
             F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         )
@@ -78,7 +79,7 @@ SELECT
   o_orderpriority,
   CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
   count(*) AS cnt,
-  round(avg(o_totalprice), 2) AS avg_total
+  CAST(round(CAST(avg(o_totalprice) AS DECIMAL(18,6)), 2) AS DOUBLE) AS avg_total
 FROM orders
 WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
   AND o_orderdate >= TIMESTAMP '1997-01-01'
@@ -104,7 +105,7 @@ def q2_town_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_total"),
+            round_stable(F.avg("o_totalprice")).alias("avg_total"),
         )
         .orderBy("o_orderpriority", "month")
     )
@@ -120,7 +121,7 @@ WITH yearly AS (
   SELECT
     l_returnflag,
     CAST(year(l_shipdate) AS INTEGER) AS yr,
-    round(avg(l_extendedprice), 2) AS avg_price,
+    CAST(round(CAST(avg(l_extendedprice) AS DECIMAL(18,6)), 2) AS DOUBLE) AS avg_price,
     count(*) AS cnt
   FROM lineitem
   GROUP BY l_returnflag, CAST(year(l_shipdate) AS INTEGER)
@@ -131,7 +132,8 @@ SELECT
   avg_price,
   cnt,
   round(avg_price - lag(avg_price) OVER w, 2) AS yoy_delta,
-  round(100.0 * (avg_price - lag(avg_price) OVER w) / lag(avg_price) OVER w, 2)
+  CAST(round(CAST(100.0 * (avg_price - lag(avg_price) OVER w)
+                   / lag(avg_price) OVER w AS DECIMAL(18,6)), 2) AS DOUBLE)
     AS yoy_pct
 FROM yearly
 WINDOW w AS (PARTITION BY l_returnflag ORDER BY yr)
@@ -152,7 +154,7 @@ def q3_yoy_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
             F.year("l_shipdate").alias("yr"),
         ).agg(
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            round_stable(F.avg("l_extendedprice")).alias("avg_price"),
             F.count("*").alias("cnt"),
         )
     )
@@ -162,7 +164,7 @@ def q3_yoy_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         yearly.withColumn("yoy_delta", F.round(F.col("avg_price") - prev, 2))
         .withColumn(
             "yoy_pct",
-            F.round(F.lit(100.0) * (F.col("avg_price") - prev) / prev, 2),
+            round_stable(F.lit(100.0) * (F.col("avg_price") - prev) / prev),
         )
         .orderBy("l_returnflag", "yr")
     )
