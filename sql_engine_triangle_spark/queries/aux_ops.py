@@ -731,7 +731,8 @@ SELECT
   r_name,
   n_name,
   count(*) AS cnt,
-  round(sum(l_extendedprice * (1.0 - l_discount)) / 1000.0, 1) AS revenue_k
+  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+             / 1000.0, 1) AS DOUBLE) AS revenue_k
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -749,9 +750,11 @@ def j_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five-table star join (fact → orders → customer → nation →
     region) with revenue rollup — the join-reordering/broadcast
     stress shape. The orders join is the only fact-sized shuffle;
-    customer/nation/region are broadcast. Revenue is divided to the
-    thousands before rounding so float accumulation-order noise sits
-    far below the rounding digit (driver hash stability)."""
+    customer/nation/region are broadcast. Revenue accumulates as
+    DECIMAL(18,4) — decimal sums are exact and order-independent, so
+    both engines produce identical values regardless of accumulation
+    order (a float sum could drift enough to flip the rounding
+    digit)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -769,10 +772,16 @@ def j_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("cnt"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                )
                 / 1000.0,
                 1,
-            ).alias("revenue_k"),
+            )
+            .cast("double")
+            .alias("revenue_k"),
         )
         .orderBy("r_name", "n_name")
     )
