@@ -35,9 +35,9 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" in plan
         assert "Exchange" not in plan, f"bucketed join shuffled:\n{plan[:800]}"
-        # Same result as the plain join.
+        # Same result as the plain join (row count scales with sf).
         plain = li.join(orders, "l_orderkey")
-        assert joined.count() == plain.count() == 60000
+        assert joined.count() == plain.count() == li.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         for t in ("b_lineitem", "b_orders"):

@@ -16,7 +16,7 @@ def test_external_table_register_query_drop(spark):
     ddl.drop_table_if_exists(spark, "ext_lineitem")
     ddl.create_external_table(spark, "ext_lineitem", table_path(SF_DIR, "lineitem"))
     n = spark.sql("SELECT count(*) AS n FROM ext_lineitem").head().n
-    assert n == 60000
+    assert n == spark.read.parquet(table_path(SF_DIR, "lineitem")).count()
     ddl.drop_table_if_exists(spark, "ext_lineitem")
     assert "ext_lineitem" not in [t.name for t in spark.catalog.listTables()]
     # External semantics: dropping must not delete the data files.
@@ -28,7 +28,8 @@ def test_analyze_populates_stats(spark):
     ddl.create_external_table(spark, "ext_orders", table_path(SF_DIR, "orders"))
     assert ddl.table_row_count_stat(spark, "ext_orders") is None
     ddl.analyze_table(spark, "ext_orders", columns=["o_orderkey", "o_totalprice"])
-    assert ddl.table_row_count_stat(spark, "ext_orders") == 15000
+    expected = spark.read.parquet(table_path(SF_DIR, "orders")).count()
+    assert ddl.table_row_count_stat(spark, "ext_orders") == expected
     ddl.drop_table_if_exists(spark, "ext_orders")
 
 

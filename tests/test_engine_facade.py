@@ -15,7 +15,7 @@ def test_engine_three_entry_points_agree(spark):
     eng = Engine(spark=spark, sf_dir=SF_DIR)
     sql_n = eng.sql("SELECT count(*) AS n FROM lineitem").head().n
     df_n = eng.table("lineitem").count()
-    assert sql_n == df_n == 60000
+    assert sql_n == df_n > 0
     q = eng.query("q1_agg_by_type").toPandas()
     assert list(q.columns) == ["l_returnflag", "cnt", "avg_price", "min_price", "max_price"]
     assert "q1_agg_by_type" in eng.query_names()
