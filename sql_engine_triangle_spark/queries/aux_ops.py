@@ -312,6 +312,30 @@ def a_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+A_GROUPING_SETS_ORACLE = """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@register("a_grouping_sets", oracle=A_GROUPING_SETS_ORACLE, tags=("A5", "A6"))
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (free Spark surface; SQL entry since the
+    DataFrame API exposes only rollup/cube)."""
+    path = f"{sf_dir}/lineitem.parquet"
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        FROM parquet.`{path}`
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # W family — windows (beyond Q3's LAG)
 # ---------------------------------------------------------------------------
