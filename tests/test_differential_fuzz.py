@@ -98,6 +98,49 @@ def test_random_query_spec_parity(spark, ddb, spec):
     assert_frames_match(spark_pdf, oracle_pdf)
 
 
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    preceding=st.integers(min_value=0, max_value=10),
+    following=st.integers(min_value=0, max_value=10),
+    agg=st.sampled_from(["sum", "min", "max", "count"]),
+)
+def test_random_window_frame_parity(spark, ddb, preceding, following, agg):
+    """Random ROWS frame bounds × aggregate over the event stream —
+    frame-boundary semantics must agree with DuckDB."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("user_id") <= 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-preceding, following)
+    )
+    spark_agg = {
+        "sum": F.round(F.sum("value").over(w), 4),
+        "min": F.round(F.min("value").over(w), 4),
+        "max": F.round(F.max("value").over(w), 4),
+        "count": F.count("*").over(w),
+    }[agg]
+    df = ev.select("user_id", "event_id", spark_agg.alias("v")).orderBy(
+        "user_id", "event_id"
+    )
+    sql_fn = {"sum": "round(sum(value) OVER w, 4)", "min": "round(min(value) OVER w, 4)",
+              "max": "round(max(value) OVER w, 4)", "count": "count(*) OVER w"}[agg]
+    sql = f"""
+    SELECT user_id, event_id, {sql_fn} AS v
+    FROM events
+    WHERE user_id <= 30
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {preceding} PRECEDING AND {following} FOLLOWING)
+    ORDER BY user_id, event_id
+    """
+    assert_frames_match(df.toPandas(), ddb.execute(sql).fetchdf())
+
+
 JOIN_TYPES = {
     "inner": "JOIN",
     "left": "LEFT JOIN",
