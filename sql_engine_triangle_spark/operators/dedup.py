@@ -202,6 +202,11 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # Exact-Jaccard verify on the candidate pairs via per-doc shingle
+    # sets (array_intersect/union). Measured against an
+    # exploded-shingle join variant: the array form wins here because
+    # it adds only one collect_set shuffle, vs three extra
+    # shingle_rows+join shuffles for the exploded form.
     sh = _shingled(docs, id_col, text_col, n)
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
