@@ -38,6 +38,12 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # events.parquet stores TIMESTAMP(NANOS), which Spark rejects by
+    # default. The conf is runtime-settable, and callers (the driver,
+    # notebooks) may hand us a bare SparkSession that never went
+    # through session.get_spark — set it here so every session can
+    # read the table.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) parquet read via nanosAsLong (see

@@ -212,10 +212,14 @@ def minhash_lsh_pairs(
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
+    # Threshold on the UNROUNDED jaccard (matching ngram_jaccard_pairs'
+    # default) so the LSH output stays a strict subset of the exact
+    # path — rounding before the filter would admit J in
+    # [threshold - 5e-5, threshold) pairs the exact path rejects.
     return (
         cands.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
-        .withColumn("jaccard", F.round(inter / union, 4))
+        .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")

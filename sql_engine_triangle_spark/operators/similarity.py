@@ -122,27 +122,72 @@ def ivf_centroids(emb: DataFrame, k: int = 10, iters: int = 3) -> np.ndarray:
     """Deterministic distributed k-means coarse quantizer (IVF).
 
     Init: the first k vectors by vec_id (deterministic). Each Lloyd
-    iteration is fully distributed: assignment via an Arrow-batched
-    numpy UDF, centroid update via posexplode(dim) → groupBy(cid,dim)
-    → avg — only k×dim floats ever reach the driver. This is the
-    standard IVF build cost at 100 TB (sample or mini-batch to cut
-    iterations on real deployments).
+    iteration is Arrow-batched map-side partial sums: mapInPandas
+    emits one (cid, sum_vec, cnt) row per centroid per Arrow batch
+    (≤ k rows per batch — NOT n×dim exploded rows), then a k-group
+    applyInPandas reduce sums the partials; only k rows of dim
+    doubles ever shuffle or reach the driver. At 100 TB the per-
+    iteration cost is one scan + a (partitions × k)-row shuffle —
+    the posexplode/groupBy(cid,dim) alternative shuffles n×dim rows
+    (a 768× blow-up at real embedding widths) and was rejected for
+    it. Determinism: fixed init, fixed iteration count, and partials
+    carry (partition, batch) ids so the reduce sums in a stable
+    order regardless of task arrival.
     """
     init_rows = emb.orderBy("vec_id").limit(k).select("embedding").collect()
     C = np.array([list(r[0]) for r in init_rows], dtype=np.float64)
+    schema = (
+        "cid int, pid int, batch int, sum_vec array<double>, cnt long"
+    )
     for _ in range(iters):
-        assign = _assign_udf(C)
-        assigned = emb.select(
-            assign(F.col("embedding")).alias("cid"),
-            F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
-        )
-        means = (
-            assigned.groupBy("cid", "dim")
-            .agg(F.avg("v").alias("m"))
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+        def partials(batches):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+            for bi, pdf in enumerate(batches):
+                X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+                Xn = X / np.maximum(
+                    np.linalg.norm(X, axis=1, keepdims=True), 1e-12
+                )
+                cids = (Xn @ Cn.T).argmax(axis=1)
+                uniq = np.unique(cids)
+                yield pd.DataFrame(
+                    {
+                        "cid": uniq.astype(np.int32),
+                        "pid": np.full(len(uniq), pid, dtype=np.int32),
+                        "batch": np.full(len(uniq), bi, dtype=np.int32),
+                        "sum_vec": [
+                            X[cids == c].sum(axis=0).tolist() for c in uniq
+                        ],
+                        "cnt": [int((cids == c).sum()) for c in uniq],
+                    }
+                )
+
+        def reduce_partials(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["pid", "batch"])  # stable sum order
+            vecs = np.vstack([np.asarray(v) for v in pdf["sum_vec"]])
+            return pd.DataFrame(
+                {
+                    "cid": [int(pdf["cid"].iloc[0])],
+                    "pid": [0],
+                    "batch": [0],
+                    "sum_vec": [vecs.sum(axis=0).tolist()],
+                    "cnt": [int(pdf["cnt"].sum())],
+                }
+            )
+
+        totals = (
+            emb.select("embedding")
+            .mapInPandas(partials, schema=schema)
+            .groupBy("cid")
+            .applyInPandas(reduce_partials, schema=schema)
             .collect()
         )
-        for row in means:
-            C[row.cid][row.dim] = row.m
+        for row in totals:
+            if row.cnt > 0:
+                C[row.cid] = np.asarray(row.sum_vec) / row.cnt
     return C
 
 

@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 
 from sql_engine_triangle_spark.catalog import load_table
 from sql_engine_triangle_spark.functions.scalar import round_stable
+from sql_engine_triangle_spark.queries.core import Q1_ORACLE
 from sql_engine_triangle_spark.queries.registry import register
 
 # ---------------------------------------------------------------------------
@@ -218,7 +219,7 @@ def j_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 A_GLOBAL_ORACLE = """
 SELECT
   count(*) AS cnt,
-  round(sum(l_quantity), 1) AS sum_qty,
+  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 1) AS DOUBLE) AS sum_qty,
   CAST(round(CAST(avg(l_extendedprice) AS DECIMAL(18,6)), 2) AS DOUBLE) AS avg_price,
   round(min(l_extendedprice), 2) AS min_price,
   round(max(l_extendedprice), 2) AS max_price,
@@ -230,11 +231,16 @@ FROM lineitem
 @register("a_global_stats", oracle=A_GLOBAL_ORACLE, tags=("A1", "A2", "A3", "A4", "A12", "F8"))
 def a_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global (no-group) aggregate: count/sum/avg/min/max plus the
-    lab's derived-length size estimate (clickhouse/queries.sql:3-8)."""
+    lab's derived-length size estimate (clickhouse/queries.sql:3-8).
+    sum_qty accumulates as DECIMAL — exact and order-independent, so
+    Spark and DuckDB agree regardless of partial-agg ordering (a
+    double sum can drift enough to flip the rounding digit)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.count("*").alias("cnt"),
-        F.round(F.sum("l_quantity"), 1).alias("sum_qty"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 1)
+        .cast("double")
+        .alias("sum_qty"),
         round_stable(F.avg("l_extendedprice")).alias("avg_price"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
@@ -724,7 +730,8 @@ SUB_CORR_ORACLE = """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders o
 WHERE o_totalprice > 2.0 * (
-  SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+  SELECT CAST(avg(o2.o_totalprice) AS DECIMAL(18,6))
+  FROM orders o2 WHERE o2.o_custkey = o.o_custkey
 )
 ORDER BY o_orderkey
 """
@@ -735,7 +742,10 @@ def sub_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery (orders above 2x their customer's
     average) — expressed via spark.sql so Catalyst performs the
     decorrelation rewrite (free surface; the DataFrame equivalent is
-    a groupBy+join, but the SQL form exercises the decorrelator)."""
+    a groupBy+join, but the SQL form exercises the decorrelator).
+    The average is quantized through DECIMAL(18,6) on both sides so
+    accumulation-order float drift can't flip rows sitting at the
+    2x-average boundary."""
     path = f"{sf_dir}/orders.parquet"
     return spark.sql(
         f"""
@@ -743,7 +753,8 @@ def sub_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM o
         WHERE o_totalprice > 2.0 * (
-          SELECT avg(o2.o_totalprice) FROM o o2 WHERE o2.o_custkey = o.o_custkey
+          SELECT CAST(avg(o2.o_totalprice) AS DECIMAL(18,6))
+          FROM o o2 WHERE o2.o_custkey = o.o_custkey
         )
         ORDER BY o_orderkey
         """
@@ -817,20 +828,22 @@ def j_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("sql_entry_q1", oracle=None, tags=("EP-A",))
+@register("sql_entry_q1", oracle=Q1_ORACLE, tags=("EP-A",))
 def sql_entry_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1 expressed as a SQL string over `parquet.` paths — proves
     the spark.sql entry point builds the identical logical plan as
     the DataFrame form (tested for equality in tests/test_sql_entry).
-    Rows-only for the driver (the DF twin q1_agg_by_type carries the
-    oracle)."""
+    Carries the same oracle as q1_agg_by_type; avg is decimal-routed
+    (round_stable's SQL spelling) so both entry points round
+    identically."""
     path = f"{sf_dir}/lineitem.parquet"
     return spark.sql(
         f"""
         SELECT
           l_returnflag,
           count(*) AS cnt,
-          round(avg(l_extendedprice), 2) AS avg_price,
+          CAST(round(CAST(avg(l_extendedprice) AS DECIMAL(18,6)), 2) AS DOUBLE)
+            AS avg_price,
           round(min(l_extendedprice), 2) AS min_price,
           round(max(l_extendedprice), 2) AS max_price
         FROM parquet.`{path}`

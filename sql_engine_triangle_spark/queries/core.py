@@ -308,6 +308,92 @@ def q4_semi_join_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q4_TWO_KEY_ORACLE = """
+WITH top_nations AS (
+  SELECT n_name AS nation, count(*) AS cnt
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  GROUP BY n_name
+  ORDER BY cnt DESC, nation
+  LIMIT 10
+)
+SELECT
+  f.nation,
+  f.l_returnflag AS returnflag,
+  count(*) AS transactions,
+  CAST(round(CAST(avg(f.l_extendedprice) AS DECIMAL(18,6)), 2) AS DOUBLE) AS avg_price,
+  CAST(round(CAST(quantile_cont(f.l_extendedprice, 0.25) AS DECIMAL(18,4)), 2) AS DOUBLE) AS p25,
+  CAST(round(CAST(quantile_cont(f.l_extendedprice, 0.50) AS DECIMAL(18,4)), 2) AS DOUBLE) AS median,
+  CAST(round(CAST(quantile_cont(f.l_extendedprice, 0.75) AS DECIMAL(18,4)), 2) AS DOUBLE) AS p75,
+  CAST(round(CAST(quantile_cont(f.l_extendedprice, 0.95) AS DECIMAL(18,4)), 2) AS DOUBLE) AS p95
+FROM (
+  SELECT n_name AS nation, l_returnflag, l_extendedprice
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+) f
+JOIN top_nations tn ON f.nation = tn.nation
+GROUP BY f.nation, f.l_returnflag
+ORDER BY f.nation, returnflag
+"""
+
+
+@register("q4_two_key_percentiles", oracle=Q4_TWO_KEY_ORACLE, tags=("A7", "A9", "J1", "O2"))
+def q4_two_key_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lab's LITERAL Q4 grain: the top-N CTE groups by one key
+    but the outer aggregation groups by TWO (county, type → here
+    nation × returnflag) with transactions + rounded avg + four
+    percentiles, ordered by the group keys (q4 README.md:59-73).
+    Because the top-N key is a prefix of the outer grain, the
+    single-pass trick of q4_top_nations_percentiles doesn't apply —
+    this is the join-back form with the 10-row CTE broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    fact = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("l_returnflag").alias("returnflag"),
+            "l_extendedprice",
+        )
+    )
+    top_nations = (
+        fact.groupBy("nation")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "nation")
+        .limit(10)
+        .select("nation")
+    )
+    pcts = F.expr("percentile(l_extendedprice, array(0.25, 0.50, 0.75, 0.95))")
+
+    def pct(i: int) -> "F.Column":
+        return F.round(F.element_at("_p", i).cast("decimal(18,4)"), 2).cast("double")
+
+    return (
+        fact.join(F.broadcast(top_nations), "nation")
+        .groupBy("nation", "returnflag")
+        .agg(
+            F.count("*").alias("transactions"),
+            round_stable(F.avg("l_extendedprice")).alias("avg_price"),
+            pcts.alias("_p"),
+        )
+        .select(
+            "nation",
+            "returnflag",
+            "transactions",
+            "avg_price",
+            pct(1).alias("p25"),
+            pct(2).alias("median"),
+            pct(3).alias("p75"),
+            pct(4).alias("p95"),
+        )
+        .orderBy("nation", "returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q4' — the ClickHouse-flavored approximate variant (A10/A11 sketches).
 # No oracle: sketch outputs are engine-specific (the lab itself pairs

@@ -95,12 +95,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, threshold=0.5, round_digits=None)
 
 
-@register("dedup_minhash_lsh", oracle=None, tags=("LLM-dedup",))
+@register("dedup_minhash_lsh", oracle=DEDUP_NGRAM_ORACLE, tags=("LLM-dedup",))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + 16×4 banded LSH candidate pairs, exact-Jaccard
-    verified at 0.5. No SQL oracle (xxhash64 seeds are
-    engine-specific); pytest cross-checks recall against
-    dedup_ngram_jaccard on the fixtures."""
+    verified at 0.5.
+
+    Oracle: the exact n-gram-Jaccard pair SQL (same as
+    dedup_ngram_jaccard). LSH output is a subset of the exact pairs
+    with per-pair miss probability (1 - J^4)^16 ≈ 2e-4 at J = 0.8 —
+    at fixture scale the outputs match exactly; the pytest recall
+    test remains the semantic guard if a future fixture ever lands on
+    a band-miss."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, threshold=0.5)
 

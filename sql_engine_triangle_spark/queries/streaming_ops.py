@@ -92,6 +92,10 @@ ORDER BY user_id, session_start
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user 15-minute-gap session windows (Spark session_window;
     oracle is the classic gaps-and-islands SQL). Session end in both
-    is last-event + gap."""
+    is last-event + gap. Boundary semantics (verified empirically,
+    locked by test_streaming's exact-gap test): Spark MERGES two
+    events exactly `gap` apart into one session — the session extent
+    is closed, [ts, ts+gap] — so the oracle's new-session condition
+    is strictly `diff > gap`."""
     ev = load_table(spark, sf_dir, "events")
     return W.session_windows(ev).orderBy("user_id", "session_start")

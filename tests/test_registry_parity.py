@@ -23,3 +23,27 @@ def test_rows_only_smoke(spark, name):
     df = registry.get(name).fn(spark, SF_DIR)
     assert len(df.columns) > 0
     assert df.count() >= 0
+
+
+EVENTS_TOUCHING = [
+    "w_moving_avg",
+    "f_json_extract",
+    "asof_purchase_attribution",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+]
+
+
+@pytest.mark.parametrize("name", EVENTS_TOUCHING)
+def test_events_queries_on_driver_like_session(spark, name):
+    """The CORRECTNESS driver builds its OWN SparkSession, without
+    session.get_spark's builder confs — round 1 lost six entries to
+    PARQUET_TYPE_ILLEGAL because nanosAsLong only existed in the
+    builder. catalog.load_table must now force the conf itself, so an
+    events query has to survive a session where the conf is wrong."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    df = registry.get(name).fn(s2, SF_DIR)
+    assert df.count() >= 0
+    assert dict(df.dtypes).get("ts", "timestamp") != "bigint"

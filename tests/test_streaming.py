@@ -53,6 +53,34 @@ def test_stream_sliding_matches_batch(spark):
     )
 
 
+def test_session_window_exact_gap_boundary(spark):
+    """Boundary semantics the SESSION_ORACLE depends on: Spark's
+    session_window MERGES two events exactly `gap` apart (closed
+    session extent [ts, ts+gap]), so a new session starts only on a
+    strictly-greater gap. The fixture has no exact-gap pairs, so this
+    synthetic case is the only guard — if a Spark upgrade flips to
+    half-open windows, this fails and the oracle's `>` must become
+    `>=`."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 1.0),
+        (1, t0 + dt.timedelta(minutes=15), 2.0),  # exactly gap: merge
+        (2, t0, 1.0),
+        (2, t0 + dt.timedelta(minutes=15, seconds=1), 2.0),  # > gap: split
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    got = {
+        r.user_id: r.n
+        for r in W.session_windows(df)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == {1: 1, 2: 2}
+
+
 def test_watermark_bounds_state(spark):
     """The watermarked streaming agg in append mode only emits
     finalized windows — state is bounded, late data beyond the
