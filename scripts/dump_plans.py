@@ -23,6 +23,7 @@ QUERIES = [
     "q3_yoy_window",
     "q4_top_nations_percentiles",
     "q4_semi_join_form",
+    "q4_two_key_percentiles",
     "o_topk_rows",
     "j_star_revenue",
 ]
