@@ -89,6 +89,85 @@ def _hyperplanes(dim: int, planes: int = ANN_PLANES, seed: int = ANN_SEED) -> np
     return np.random.RandomState(seed).randn(planes, dim)
 
 
+EMB_LSH_BANDS = 16
+EMB_LSH_BITS = 4
+
+
+def lsh_band_udf(
+    dim: int,
+    bands: int = EMB_LSH_BANDS,
+    bits: int = EMB_LSH_BITS,
+    seed: int = ANN_SEED,
+):
+    """Arrow-batched banded sign-LSH keys: bands×bits hyperplane sign
+    bits, packed into one band-distinct long per band (band index in
+    the high bits). One numpy matmul per Arrow batch."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    H = _hyperplanes(dim, bands * bits, seed)
+    weights = 1 << np.arange(bits, dtype=np.int64)
+    band_offsets = np.arange(bands, dtype=np.int64) << bits
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def band_keys(embs: pd.Series) -> pd.Series:
+        X = np.vstack(embs.to_numpy())
+        sign_bits = ((X @ H.T) > 0).reshape(len(X), bands, bits)
+        vals = (sign_bits * weights).sum(axis=2) + band_offsets
+        return pd.Series([row.tolist() for row in vals])
+
+    return band_keys
+
+
+def embedding_lsh_pairs(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    bands: int = EMB_LSH_BANDS,
+    bits: int = EMB_LSH_BITS,
+    seed: int = ANN_SEED,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Banded sign-LSH embedding near-dup pairs, exact-cosine
+    verified — the 100 TB scale path for embedding dedup (the
+    quadratic `cosine_pairs` is its correctness baseline, exactly the
+    minhash-LSH ↔ ngram-Jaccard relationship on text).
+
+    Candidates are pairs sharing ANY of the `bands` b-bit sign
+    buckets, so the join fan-out is bounded by bucket occupancy, not
+    |vectors|². For collision probability p = 1 - θ/π per plane, a
+    pair survives with 1-(1-p^bits)^bands — at cos=0.45 (p≈0.649,
+    the fixture threshold) that is ≈0.96, rising steeply toward 1
+    for truer near-dups (cos=0.9 → ≈0.9999). Verification is exact,
+    so output ⊆ cosine_pairs always (asserted in tests)."""
+    dim = len(emb.select("embedding").head()[0])  # schema probe, 1 row
+    band_keys = lsh_band_udf(dim, bands, bits, seed)
+    banded = emb.select(
+        F.col(id_col), F.explode(band_keys(F.col("embedding"))).alias("bucket")
+    )
+    a = banded.select("bucket", F.col(id_col).alias("vec_a"))
+    b = banded.select("bucket", F.col(id_col).alias("vec_b"))
+    cands = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    ea = emb.select(
+        F.col(id_col).alias("vec_a"), _as_double(F.col("embedding")).alias("ea")
+    )
+    eb = emb.select(
+        F.col(id_col).alias("vec_b"), _as_double(F.col("embedding")).alias("eb")
+    )
+    return (
+        cands.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos_sim", F.round(cosine(F.col("ea"), F.col("eb")), 4))
+        .filter(F.col("cos_sim") >= threshold)  # same rounded filter
+        # as cosine_pairs, preserving the subset invariant
+        .select("vec_a", "vec_b", "cos_sim")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def lsh_bucket_udf(dim: int, planes: int = ANN_PLANES, seed: int = ANN_SEED):
     """Arrow-batched bucket assignment: sign bits of the hyperplane
     projections packed into an int. numpy matmul per Arrow batch —
@@ -191,6 +270,14 @@ def ivf_centroids(emb: DataFrame, k: int = 10, iters: int = 3) -> np.ndarray:
     return C
 
 
+# Built IVF quantizers, keyed by (corpus key, n_centroids) — the
+# index-build-once model every IVF system (FAISS/Milvus/pgvector
+# ivfflat) uses: the coarse quantizer is constructed once per corpus
+# and persisted; queries only probe + rerank. Deterministic build
+# (fixed init, fixed iterations) makes the cache exact.
+_CENTROID_CACHE: dict[tuple[str, int], np.ndarray] = {}
+
+
 def ivf_topk(
     emb: DataFrame,
     qvec: list[float],
@@ -198,13 +285,23 @@ def ivf_topk(
     n_centroids: int = 10,
     nprobe: int = 3,
     exclude_id: int | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the nprobe centroids nearest the
     query, exact-rerank only vectors assigned to them. On the fixture
     this reads ~30% of vectors with ~90% recall@10 — the right ANN
     shape for mid-similarity embeddings (sign-LSH needs
-    high-similarity neighbors to bucket together)."""
-    C = ivf_centroids(emb, k=n_centroids)
+    high-similarity neighbors to bucket together).
+
+    ``cache_key`` (e.g. the corpus path) enables quantizer reuse
+    across calls — the production IVF lifecycle, where the index is
+    built once and queries amortize it."""
+    if cache_key is not None and (cache_key, n_centroids) in _CENTROID_CACHE:
+        C = _CENTROID_CACHE[(cache_key, n_centroids)]
+    else:
+        C = ivf_centroids(emb, k=n_centroids)
+        if cache_key is not None:
+            _CENTROID_CACHE[(cache_key, n_centroids)] = C
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
     qn = np.asarray(qvec) / np.linalg.norm(qvec)
     probe = [int(i) for i in np.argsort(-(Cn @ qn))[:nprobe]]

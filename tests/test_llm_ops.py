@@ -65,6 +65,23 @@ def test_rolling_hash_matches_python_reference(spark):
         assert got[r.doc_id] == ref(r.text), f"doc {r.doc_id}"
 
 
+def test_embedding_lsh_subset_and_recall(spark):
+    """Banded sign-LSH embedding pairs: output must be a subset of
+    the exact quadratic baseline (verification is exact + identically
+    rounded), and recall on the fixture's pairs must be high (per-pair
+    survival ≈0.96 at cos=0.45, →1 for truer near-dups). Deterministic
+    hyperplanes ⇒ stable across runs."""
+    exact = registry.get("dedup_embedding_pairs").fn(spark, SF_DIR)
+    lsh = registry.get("dedup_embedding_lsh").fn(spark, SF_DIR)
+    exact_pairs = _pairs(exact, cols=("vec_a", "vec_b"))
+    lsh_pairs = _pairs(lsh, cols=("vec_a", "vec_b"))
+    assert exact_pairs, "fixture should contain near-dup embedding pairs"
+    assert lsh_pairs <= exact_pairs
+    assert len(lsh_pairs) >= 0.8 * len(exact_pairs), (
+        f"LSH recall too low: {len(lsh_pairs)}/{len(exact_pairs)}"
+    )
+
+
 def test_ivf_recall_vs_brute_force(spark):
     """IVF ANN top-10 must overlap the exact top-10 by >= 70% on the
     fixture (deterministic k-means, nprobe=3)."""
