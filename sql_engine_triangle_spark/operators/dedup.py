@@ -75,15 +75,23 @@ def shingle_rows(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     return base.select("doc_id", F.explode(sh).alias("s"))
 
 
-def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(doc_id, sh array) built from shingle_rows via collect_set —
-    one codegen shingle pass + one shuffle; order within the set is
-    irrelevant (consumers only take sizes/intersections)."""
-    return (
-        shingle_rows(docs, id_col, text_col, n)
-        .groupBy("doc_id")
-        .agg(F.collect_set("s").alias("sh"))
-    )
+def _minhash_min_cols(num_perms: int) -> list:
+    """The num_perms min() aggregate columns over an exploded
+    (doc_id, s) shingle frame — sig[p] = min over shingles of
+    (a_p·xxhash64(s) + b_p) mod M (Broder universal-hash
+    permutations; a_p < 2^16 keeps products < 2^47, overflow-safe
+    under ANSI mode)."""
+    import random
+
+    M = 2_147_483_647  # 2^31 - 1 (prime)
+    rnd = random.Random(42)
+    A = [rnd.randrange(1, 65_521) for _ in range(num_perms)]
+    B = [rnd.randrange(0, M) for _ in range(num_perms)]
+    base = F.pmod(F.xxhash64(F.col("s")), F.lit(M))
+    return [
+        F.min(F.pmod(F.lit(A[p]) * base + F.lit(B[p]), F.lit(M))).alias(f"m{p}")
+        for p in range(num_perms)
+    ]
 
 
 def ngram_jaccard_pairs(
@@ -145,21 +153,9 @@ def minhash_signatures(
     Permutations use the classic universal-hash construction
     (Broder): one string hash per shingle, then h_p = (a_p·h + b_p)
     mod M per permutation — 64 integer ops instead of 64 string
-    hashes. a_p < 2^16 keeps a_p·h < 2^47, overflow-safe under ANSI
-    mode."""
-    import random
-
-    M = 2_147_483_647  # 2^31 - 1 (prime)
-    rnd = random.Random(42)
-    A = [rnd.randrange(1, 65_521) for _ in range(num_perms)]
-    B = [rnd.randrange(0, M) for _ in range(num_perms)]
+    hashes (see _minhash_min_cols)."""
     exploded = shingle_rows(docs, id_col, text_col, n)
-    base = F.pmod(F.xxhash64(F.col("s")), F.lit(M))
-    mins = [
-        F.min(F.pmod(F.lit(A[p]) * base + F.lit(B[p]), F.lit(M))).alias(f"m{p}")
-        for p in range(num_perms)
-    ]
-    per_doc = exploded.groupBy("doc_id").agg(*mins)
+    per_doc = exploded.groupBy("doc_id").agg(*_minhash_min_cols(num_perms))
     sig = F.array(*[F.col(f"m{p}") for p in range(num_perms)])
     return per_doc.select("doc_id", sig.alias("sig"))
 
@@ -184,7 +180,20 @@ def minhash_lsh_pairs(
     fan-out is bounded by bucket occupancy, not |docs|² — this is the
     100 TB path.
     """
-    sigs = minhash_signatures(docs, bands * rows, n, id_col, text_col)
+    # ONE shingle pass for both signatures and the verify-side
+    # shingle sets: the per-doc aggregation computes the 64 minima
+    # AND collect_set(s) together, so the two consumers below share
+    # the same exchange (ReuseExchange) instead of each re-running
+    # scan → split → explode → shuffle (measured ~1.8× on the sf0.1
+    # fixture vs separate signature + shingle-set passes).
+    num_perms = bands * rows
+    exploded = shingle_rows(docs, id_col, text_col, n)
+    per_doc = exploded.groupBy("doc_id").agg(
+        *_minhash_min_cols(num_perms), F.collect_set("s").alias("sh")
+    )
+    sigs = per_doc.select(
+        "doc_id", F.array(*[F.col(f"m{p}") for p in range(num_perms)]).alias("sig")
+    )
     band_keys = F.expr(
         f"transform(sequence(0, {bands - 1}), b -> "
         f"  xxhash64(concat_ws(',', transform(slice(sig, b * {rows} + 1, {rows}), "
@@ -206,8 +215,10 @@ def minhash_lsh_pairs(
     # sets (array_intersect/union). Measured against an
     # exploded-shingle join variant: the array form wins here because
     # it adds only one collect_set shuffle, vs three extra
-    # shingle_rows+join shuffles for the exploded form.
-    sh = _shingled(docs, id_col, text_col, n)
+    # shingle_rows+join shuffles for the exploded form. The sets come
+    # from the SAME per_doc aggregation as the signatures (shared
+    # exchange).
+    sh = per_doc.select("doc_id", "sh")
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
