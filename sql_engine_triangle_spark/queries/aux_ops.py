@@ -608,6 +608,93 @@ def f_date_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+F_PIVOT_ORACLE = """
+SELECT o_orderstatus,
+  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("f_pivot", oracle=F_PIVOT_ORACLE, tags=("A6", "F-pivot"))
+def f_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (cross-tab) — free Spark surface; the oracle is the
+    portable conditional-aggregation form. Pivot values are given
+    explicitly so the schema is static (no discovery pass over the
+    data — the two-pass implicit form is a scan you don't want at
+    100 TB) and missing cells coalesce to 0 to match FILTER counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    aliases = ("urgent", "high", "medium", "not_specified", "low")
+    piv = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", list(_PRIORITIES))
+        .agg(F.count(F.lit(1)))  # count(*) is rejected inside Pivot
+    )
+    return piv.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(a)
+            for v, a in zip(_PRIORITIES, aliases)
+        ],
+    ).orderBy("o_orderstatus")
+
+
+F_ARRAY_AGG_ORACLE = """
+SELECT l_orderkey,
+       array_to_string(list_sort(list_distinct(list(l_linenumber))), ',') AS lines,
+       len(list_distinct(list(l_linenumber))) AS n_lines
+FROM lineitem
+WHERE l_orderkey <= 500
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+"""
+
+
+@register("f_array_agg", oracle=F_ARRAY_AGG_ORACLE, tags=("F-array",))
+def f_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation surface: collect_set → sort_array →
+    array_join/size (nest-and-serialize). Deterministic because the
+    set is sorted before joining."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    arr = F.sort_array(F.collect_set("l_linenumber"))
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_join(arr, ",").alias("lines"),
+            F.size(arr).alias("n_lines"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+F_EXPLODE_ORACLE = """
+SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+FROM part
+WHERE p_partkey <= 100
+ORDER BY p_partkey, word
+"""
+
+
+@register("f_lateral_explode", oracle=F_EXPLODE_ORACLE, tags=("F-lateral",))
+def f_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral array expansion (explode / UNNEST) — the row-generating
+    surface every shingle/token operator builds on."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    return (
+        part.select(
+            "p_partkey", F.explode(F.split("p_name", " ")).alias("word")
+        )
+        .orderBy("p_partkey", "word")
+    )
+
+
 F_JSON_ORACLE = """
 SELECT
   event_type,

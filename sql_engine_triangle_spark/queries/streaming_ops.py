@@ -63,6 +63,22 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.sliding_counts(ev).orderBy("window_start", "event_type")
 
 
+DEDUP_KEYS_ORACLE = """
+SELECT DISTINCT user_id, event_type
+FROM events
+ORDER BY user_id, event_type
+"""
+
+
+@register("stream_dedup_keys", oracle=DEDUP_KEYS_ORACLE, tags=("STR-dedup",))
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming key dedup (dropDuplicates), batch surface — the
+    exactly-once ingestion pattern; real streaming path tested in
+    tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return W.dedup_keys(ev).orderBy("user_id", "event_type")
+
+
 SESSION_ORACLE = """
 WITH marked AS (
   SELECT user_id, ts, value,

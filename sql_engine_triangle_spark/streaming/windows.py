@@ -78,6 +78,18 @@ def session_windows(events: DataFrame, gap: str = "15 minutes") -> DataFrame:
     )
 
 
+def dedup_keys(events: DataFrame, keys: tuple[str, ...] = ("user_id", "event_type")) -> DataFrame:
+    """Exactly-once key dedup — first arrival wins. The same plan
+    runs over batch and stream (streaming keeps per-key state and
+    emits each key once, the standard at-least-once → exactly-once
+    ingestion repair). Scale note: global dropDuplicates state grows
+    with |keys|; on an unbounded stream prefer
+    `dropDuplicatesWithinWatermark` with an event-time column, which
+    bounds state at the cost of re-admitting keys that reappear
+    beyond the watermark."""
+    return events.select(*keys).dropDuplicates(list(keys))
+
+
 def stream_from_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events fixture (file source; schema from
     the batch read, including the nanos→micros ts normalization).

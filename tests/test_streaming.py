@@ -53,6 +53,22 @@ def test_stream_sliding_matches_batch(spark):
     )
 
 
+def test_stream_dedup_matches_batch_distinct(spark):
+    """Streaming dropDuplicates (append mode, per-key state) must
+    emit exactly the batch-distinct key set."""
+    from sql_engine_triangle_spark.catalog import load_table
+
+    stream = W.stream_from_parquet(spark, SF_DIR_SMALL)
+    got = W.run_stream_to_memory(
+        spark, W.dedup_keys(stream), "t_dedup", output_mode="append"
+    )
+    batch = W.dedup_keys(load_table(spark, SF_DIR_SMALL, "events"))
+    got_keys = {(r.user_id, r.event_type) for r in got.collect()}
+    batch_keys = {(r.user_id, r.event_type) for r in batch.collect()}
+    assert got_keys == batch_keys
+    assert got.count() == len(got_keys)  # no duplicate emissions
+
+
 def test_session_window_exact_gap_boundary(spark):
     """Boundary semantics the SESSION_ORACLE depends on: Spark's
     session_window MERGES two events exactly `gap` apart (closed
