@@ -409,6 +409,49 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CORPUS_SPLIT_ORACLE = """
+SELECT lang,
+       count(*) AS n_total,
+       count(*) FILTER (
+         WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                    AS INTEGER) % 10 < 8) AS n_train,
+       count(*) FILTER (
+         WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                    AS INTEGER) % 10 >= 8) AS n_heldout
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("pipeline_corpus_split", oracle=CORPUS_SPLIT_ORACLE, tags=("LLM-pipeline",))
+def pipeline_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/heldout split via hash bucketing — the
+    reproducible-sampling primitive a training pipeline needs instead
+    of rand() (whose draw depends on partition layout, so reruns and
+    repartitions move documents between splits). Bucket =
+    int(md5(doc_id)[:4], 16) % 10; md5 is engine-portable so the
+    oracle reproduces the assignment bit-for-bit. Stratified report
+    per language; the same predicate applied to rows yields the
+    actual split frames — a narrow map, no shuffle beyond the
+    count aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 10
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(F.when(bucket < 8, 1)).alias("n_train"),
+            F.count(F.when(bucket >= 8, 1)).alias("n_heldout"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Temporal: as-of join (custom Spark operator, DuckDB-native oracle)
 # ---------------------------------------------------------------------------
