@@ -52,3 +52,34 @@ def test_semi_join_planned_as_semi(spark):
     df = _q(spark, "j_semi")
     plan = pa.executed_plan(df)
     assert "LeftSemi" in plan
+
+
+# Entries whose plans legitimately contain a nested-loop/cartesian
+# join: documented quadratic correctness baselines (their scale paths
+# are the bucketed LSH variants) and genuinely non-equi joins.
+ALLOWED_NESTED_LOOP = {
+    "dedup_embedding_pairs",  # exact pairwise baseline for dedup_embedding_lsh
+    "dedup_ngram_jaccard",  # pair join is equi on shingle, but the
+    # doc_a < doc_b self-pair predicate can plan as BNLJ at tiny sf
+    "j_range_bands",  # non-equi band join (BroadcastNestedLoop by design)
+    "sub_correlated_scalar",  # decorrelated rewrite may nest at tiny sf
+}
+
+
+def test_no_silent_cartesian_joins(spark):
+    """100 TB guard: no registry entry may silently plan a cartesian
+    product or nested-loop join — at scale that is a run-forever
+    plan. Quadratic baselines are allowlisted explicitly so a new
+    entry (or a Catalyst regression on a bucketed path) fails loudly."""
+    bad = {}
+    for name in registry.names():
+        df = registry.get(name).fn(spark, SF_DIR)
+        plan = pa.executed_plan(df)
+        hits = [
+            kind
+            for kind in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if kind in plan
+        ]
+        if hits and name not in ALLOWED_NESTED_LOOP:
+            bad[name] = hits
+    assert not bad, f"unexpected nested-loop/cartesian plans: {bad}"
