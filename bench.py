@@ -45,6 +45,7 @@ EXTRA = [
     "w_moving_avg",
     "stream_tumbling_counts",
     "sim_ivf_topk",
+    "pipeline_funnel_conversion",
 ]
 
 

@@ -409,6 +409,82 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS first_view
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS first_click
+  FROM events e JOIN per_user p USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= p.first_view
+  GROUP BY e.user_id
+), pu AS (
+  SELECT e.user_id, min(e.ts) AS first_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= c.first_click
+  GROUP BY e.user_id
+)
+SELECT count(*) AS n_users,
+       count(p.first_view) AS n_viewed,
+       count(c.first_click) AS n_clicked,
+       count(pu.first_purchase) AS n_purchased,
+       sum(epoch_us(pu.first_purchase) - epoch_us(p.first_view))
+         / count(pu.first_purchase) AS avg_funnel_us
+FROM per_user p
+LEFT JOIN c USING (user_id)
+LEFT JOIN pu USING (user_id)
+"""
+
+
+@register("pipeline_funnel_conversion", oracle=FUNNEL_ORACLE, tags=("LLM-pipeline", "W1"))
+def pipeline_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-stage funnel (view → click → purchase) over the event
+    stream: per-user first view, first click at-or-after it, first
+    purchase at-or-after that, then global conversion counts and the
+    exact view→purchase latency.
+
+    Spark-first shape: the per-user stage mins are three chained
+    unordered window aggregates over ONE partitionBy(user_id)
+    exchange (each stage's predicate references the previous stage's
+    column, which a single aggregation can't express; self-joins —
+    the oracle's form — would re-shuffle the events three times).
+    avg_funnel_us is an integer-sum / integer-count IEEE division —
+    bit-identical across engines, per the module's float discipline."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    is_type = lambda t: F.col("event_type") == t  # noqa: E731
+    e = ev.withColumn("first_view", F.min(F.when(is_type("view"), F.col("ts"))).over(w))
+    e = e.withColumn(
+        "first_click",
+        F.min(
+            F.when(is_type("click") & (F.col("ts") >= F.col("first_view")), F.col("ts"))
+        ).over(w),
+    )
+    e = e.withColumn(
+        "first_purchase",
+        F.min(
+            F.when(
+                is_type("purchase") & (F.col("ts") >= F.col("first_click")), F.col("ts")
+            )
+        ).over(w),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.first("first_view").alias("first_view"),
+        F.first("first_click").alias("first_click"),
+        F.first("first_purchase").alias("first_purchase"),
+    )
+    lat = F.unix_micros(F.col("first_purchase")) - F.unix_micros(F.col("first_view"))
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("first_view").alias("n_viewed"),
+        F.count("first_click").alias("n_clicked"),
+        F.count("first_purchase").alias("n_purchased"),
+        (F.sum(lat) / F.count("first_purchase")).alias("avg_funnel_us"),
+    )
+
+
 CORPUS_SPLIT_ORACLE = """
 SELECT lang,
        count(*) AS n_total,
