@@ -813,6 +813,53 @@ def w_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+W_RANGE_ORACLE = """
+WITH daily AS (
+  SELECT o_orderpriority,
+         CAST(o_orderdate AS DATE) AS day,
+         datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS daily_total
+  FROM orders
+  GROUP BY 1, 2, 3
+)
+SELECT o_orderpriority, day,
+       CAST(round(sum(daily_total) OVER (
+         PARTITION BY o_orderpriority ORDER BY day_num
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 1) AS DOUBLE) AS trailing_7d
+FROM daily
+ORDER BY o_orderpriority, day
+"""
+
+
+@register("w_range_frame", oracle=W_RANGE_ORACLE, tags=("W1", "F2"))
+def w_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame: trailing 7-day revenue per priority,
+    value-based (not row-based) framing over a day-number ordering —
+    days with no orders correctly shrink the window. Daily totals
+    accumulate as DECIMAL so the windowed sum is exact and
+    order-independent on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.col("o_orderdate").cast("date")
+    daily = orders.groupBy(
+        "o_orderpriority",
+        day.alias("day"),
+        F.datediff(day, F.lit("1995-01-01").cast("date")).alias("day_num"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("daily_total"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return (
+        daily.select(
+            "o_orderpriority",
+            "day",
+            F.round(F.sum("daily_total").over(w), 1).cast("double").alias("trailing_7d"),
+        )
+        .orderBy("o_orderpriority", "day")
+    )
+
+
 SUB_CORR_ORACLE = """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders o
