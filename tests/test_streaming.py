@@ -69,6 +69,46 @@ def test_stream_dedup_matches_batch_distinct(spark):
     assert got.count() == len(got_keys)  # no duplicate emissions
 
 
+def test_stream_dedup_checkpoint_resume(spark, tmp_path):
+    """Exactly-once across restarts: run the streaming dedup with a
+    checkpoint, stop, land a second batch of files, resume with the
+    SAME checkpoint — the second run must process only the new files
+    and the dedup state must survive the restart (no key emitted
+    twice across the two runs)."""
+    from sql_engine_triangle_spark.catalog import load_table
+
+    batch = load_table(spark, SF_DIR_SMALL, "events")
+    half1 = batch.filter(F.col("event_id") % 2 == 0)
+    half2 = batch.filter(F.col("event_id") % 2 == 1)
+    stage, out, ckpt = (str(tmp_path / d) for d in ("stage", "out", "ckpt"))
+    half1.coalesce(1).write.mode("overwrite").parquet(stage)
+
+    def run_once():
+        stream = spark.readStream.schema(batch.schema).parquet(stage)
+        q = (
+            W.dedup_keys(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    half2.coalesce(1).write.mode("append").parquet(stage)
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    got_keys = {(r.user_id, r.event_type) for r in rows}
+    batch_keys = {(r.user_id, r.event_type) for r in W.dedup_keys(batch).collect()}
+    assert got_keys == batch_keys
+    assert len(rows) == len(got_keys), "a key was re-emitted across the restart"
+    assert n_first <= len(rows)
+
+
 def test_session_window_exact_gap_boundary(spark):
     """Boundary semantics the SESSION_ORACLE depends on: Spark's
     session_window MERGES two events exactly `gap` apart (closed
