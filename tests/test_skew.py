@@ -52,3 +52,30 @@ def test_salted_join_equals_plain(spark):
     )
     assert salted.count() == plain.count()
     assert_frames_match(salted.toPandas(), plain.toPandas())
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The other half of the skew story: AQE's runtime skew-join
+    split (spark.sql.adaptive.skewJoin, on in session.py). Thresholds
+    are lowered to fixture scale on a derived session; the final plan
+    must carry a `skew=true` shuffle read on the hot partition —
+    proof the engine re-plans skew at runtime without manual salting.
+    """
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+    left = s2.range(0, 200_000).select(
+        F.when(F.col("id") % 10 == 0, F.lit(7)).otherwise(F.col("id") % 1000).alias("k"),
+        F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("payload"),
+    )
+    right = s2.range(0, 1000).select(F.col("id").alias("k"), F.lit("dim").alias("d"))
+    j = left.join(right, "k")
+    # collect() (not count()) — count() builds its own query execution,
+    # leaving j's AQE plan unfinalized (isFinalPlan=false).
+    assert len(j.collect()) == 200_000
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in plan, "AQE did not split the skewed partition"
