@@ -57,8 +57,10 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.fingerprint_groups(docs).orderBy("keep_id")
 
 
-DEDUP_NGRAM_ORACLE = r"""
-WITH tok AS (
+# Shared CTE chain producing the exact word-3-gram Jaccard pairs at
+# threshold 0.5 — composed into both the pair oracle and the
+# recursive clustering oracle.
+_NGRAM_PAIR_CTES = r"""tok AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
   FROM documents
 ),
@@ -74,13 +76,19 @@ inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT doc_a, doc_b,
-       inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
+)"""
+
+DEDUP_NGRAM_ORACLE = f"""
+WITH {_NGRAM_PAIR_CTES}
+SELECT doc_a, doc_b, jaccard FROM pairs
 ORDER BY doc_a, doc_b
 """
 
@@ -108,6 +116,45 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     a band-miss."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_NGRAM_PAIR_CTES},
+e AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+)
+SELECT u AS doc_id, least(u, min(v)) AS component
+FROM reach
+GROUP BY u
+ORDER BY doc_id
+"""
+
+
+@register("dedup_clusters", oracle=CLUSTERS_ORACLE, tags=("LLM-dedup",))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: connected components over the
+    exact n-gram-Jaccard pair graph — each document that appears in
+    any near-dup pair is mapped to its component's minimum doc_id
+    (the canonical representative a dedup pipeline keeps). Spark side
+    is iterative min-label propagation (operators/graph.py, fixpoint
+    with lineage truncation); the oracle is DuckDB's recursive-CTE
+    transitive closure over the same pairs."""
+    from sql_engine_triangle_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, round_digits=None)
+    return (
+        connected_components(pairs)
+        .select(F.col("vid").alias("doc_id"), "component")
+        .orderBy("doc_id")
+    )
 
 
 @register("dedup_simhash_pairs", oracle=None, tags=("LLM-dedup",))

@@ -65,6 +65,19 @@ def test_rolling_hash_matches_python_reference(spark):
         assert got[r.doc_id] == ref(r.text), f"doc {r.doc_id}"
 
 
+def test_connected_components_synthetic(spark):
+    """Chain (diameter 3, needs multiple propagation rounds), triangle,
+    and an isolated edge — component = min vertex id."""
+    from sql_engine_triangle_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    cc = {r.vid: r.component for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
 def test_embedding_lsh_subset_and_recall(spark):
     """Banded sign-LSH embedding pairs: output must be a subset of
     the exact quadratic baseline (verification is exact + identically
