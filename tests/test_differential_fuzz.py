@@ -200,6 +200,100 @@ def test_random_join_spec_parity(spark, ddb, how, min_bal, statuses):
     assert_frames_match(spark_pdf, oracle_pdf)
 
 
+SETOPS = ["union_all", "union", "intersect", "except", "intersect_all", "except_all"]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    op=st.sampled_from(SETOPS),
+    pri=st.sampled_from(PRIORITIES),
+    min_total=st.integers(min_value=0, max_value=300_000),
+)
+def test_random_setop_parity(spark, ddb, op, pri, min_total):
+    """Random set operation between two overlapping filtered
+    projections — distinct vs ALL multiplicity semantics must agree
+    with DuckDB."""
+    orders = load_table(spark, SF_DIR, "orders")
+    cols = ["o_custkey", "o_orderstatus"]
+    a = orders.filter(F.col("o_orderpriority") == pri).select(*cols)
+    b = orders.filter(F.col("o_totalprice") >= float(min_total)).select(*cols)
+    df = {
+        "union_all": lambda: a.unionAll(b),
+        "union": lambda: a.union(b).distinct(),
+        "intersect": lambda: a.intersect(b),
+        "except": lambda: a.subtract(b),  # EXCEPT DISTINCT semantics
+        "intersect_all": lambda: a.intersectAll(b),
+        "except_all": lambda: a.exceptAll(b),
+    }[op]().agg(
+        F.count("*").alias("cnt"),
+        F.sum("o_custkey").alias("sum_key"),
+        F.count_distinct("o_custkey").alias("uniq_key"),
+    )
+    sql_op = {
+        "union_all": "UNION ALL",
+        "union": "UNION",
+        "intersect": "INTERSECT",
+        "except": "EXCEPT",
+        "intersect_all": "INTERSECT ALL",
+        "except_all": "EXCEPT ALL",
+    }[op]
+    sql = f"""
+    SELECT count(*) AS cnt, sum(o_custkey) AS sum_key,
+           count(DISTINCT o_custkey) AS uniq_key
+    FROM (
+      SELECT o_custkey, o_orderstatus FROM orders
+      WHERE o_orderpriority = '{pri}'
+      {sql_op}
+      SELECT o_custkey, o_orderstatus FROM orders
+      WHERE o_totalprice >= {min_total}
+    )
+    """
+    assert_frames_match(df.toPandas(), ddb.execute(sql).fetchdf())
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pos=st.integers(min_value=1, max_value=12),
+    ln=st.integers(min_value=0, max_value=15),
+    which=st.sampled_from(["upper_sub", "lower_rev", "concat_trim", "split_part"]),
+)
+def test_random_string_fn_parity(spark, ddb, pos, ln, which):
+    """Random string-function pipelines (substring bounds incl.
+    overflow, case, reverse, concat, split-index) over part names —
+    1-based slicing and out-of-range semantics must agree."""
+    part = load_table(spark, SF_DIR, "part").filter(F.col("p_partkey") <= 300)
+    spark_expr = {
+        "upper_sub": F.upper(F.substring("p_name", pos, ln)),
+        "lower_rev": F.reverse(F.lower("p_name")),
+        "concat_trim": F.concat_ws("-", F.trim(F.substring("p_name", pos, ln)), F.lit("x")),
+        "split_part": F.split("p_name", " ").getItem(0),
+    }[which]
+    sql_expr = {
+        "upper_sub": f"upper(substring(p_name, {pos}, {ln}))",
+        "lower_rev": "reverse(lower(p_name))",
+        "concat_trim": f"concat_ws('-', trim(substring(p_name, {pos}, {ln})), 'x')",
+        "split_part": "string_split(p_name, ' ')[1]",
+    }[which]
+    df = (
+        part.select("p_partkey", spark_expr.alias("s"))
+        .orderBy("p_partkey")
+    )
+    sql = f"""
+    SELECT p_partkey, {sql_expr} AS s
+    FROM part WHERE p_partkey <= 300
+    ORDER BY p_partkey
+    """
+    assert_frames_match(df.toPandas(), ddb.execute(sql).fetchdf())
+
+
 @settings(
     max_examples=15,
     deadline=None,
