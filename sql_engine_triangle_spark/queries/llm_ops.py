@@ -157,6 +157,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_clusters_lsh", oracle=None, tags=("LLM-dedup",))
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production clustering path: connected components over the
+    MinHash-LSH candidate pairs (bounded-fanout pair generation)
+    instead of the exact quadratic pair join. Rows-only (LSH seeds
+    are engine-specific); pytest asserts equality with the
+    oracle-backed dedup_clusters on the fixtures, where the LSH pair
+    set matches the exact set."""
+    from sql_engine_triangle_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    return (
+        connected_components(pairs)
+        .select(F.col("vid").alias("doc_id"), "component")
+        .orderBy("doc_id")
+    )
+
+
 @register("dedup_simhash_pairs", oracle=None, tags=("LLM-dedup",))
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64) banded near-dup pairs at Hamming ≤ 8 (rows-only:

@@ -65,6 +65,21 @@ def test_rolling_hash_matches_python_reference(spark):
         assert got[r.doc_id] == ref(r.text), f"doc {r.doc_id}"
 
 
+def test_clusters_lsh_equals_exact_path(spark):
+    """The LSH-fed clustering (production path) must produce the same
+    components as the exact-pair clustering on the fixture (where the
+    LSH pair set matches the exact set)."""
+    exact = {
+        (r.doc_id, r.component)
+        for r in registry.get("dedup_clusters").fn(spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r.doc_id, r.component)
+        for r in registry.get("dedup_clusters_lsh").fn(spark, SF_DIR).collect()
+    }
+    assert exact == lsh
+
+
 def test_connected_components_synthetic(spark):
     """Chain (diameter 3, needs multiple propagation rounds), triangle,
     and an isolated edge — component = min vertex id."""
