@@ -46,6 +46,7 @@ EXTRA = [
     "stream_tumbling_counts",
     "sim_ivf_topk",
     "pipeline_funnel_conversion",
+    "tpch_q5_local_supplier_volume",
 ]
 
 

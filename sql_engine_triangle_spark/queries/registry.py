@@ -65,6 +65,7 @@ def _ensure_loaded() -> None:
         ingest_ops,
         llm_ops,
         streaming_ops,
+        tpch_like,
     )
 
 
