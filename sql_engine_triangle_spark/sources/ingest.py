@@ -47,6 +47,27 @@ def read_csv_tolerant(
     )
 
 
+def read_jsonl_tolerant(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """JSON-lines reader with the same tolerance contract as the CSV
+    path — the dominant LLM-corpus interchange format. PERMISSIVE
+    mode: syntactically broken lines land whole in _corrupt_record;
+    type mismatches null the offending field. Compose with
+    enforce_bad_row_budget for the error-budget semantics. Schema is
+    explicit (no inference pass — schema inference is a full extra
+    scan at 100 TB)."""
+    full = StructType(
+        list(schema.fields) + [StructField("_corrupt_record", StringType())]
+    )
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
 @dataclass
 class BadRowBudget:
     max_rows: int = 1000

@@ -136,3 +136,45 @@ def test_partition_stats_and_table_sizes(spark, csv_path, tmp_path):
     by_name = {r.table_name: r for r in sizes}
     assert by_name["lineitem"].n_rows > 5000
     assert by_name["region"].n_rows == 5
+
+
+def test_jsonl_tolerant_read_and_budget(spark, tmp_path):
+    """JSONL ingest: valid lines parse to the explicit schema, broken
+    lines (bad syntax) are captured whole in _corrupt_record, type
+    mismatches null the field without killing the row, and the budget
+    filter returns only clean rows."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from sql_engine_triangle_spark.sources.ingest import (
+        BadRowBudget,
+        enforce_bad_row_budget,
+        read_jsonl_tolerant,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "score": 10}\n'
+        '{"doc_id": 2, "text": "ok", "score": 20}\n'
+        "{broken json line\n"
+        '{"doc_id": "not_a_number", "text": "typed-mismatch", "score": 30}\n'
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("score", LongType()),
+        ]
+    )
+    # cache first — Spark disallows queries referencing only the
+    # corrupt column straight off the raw scan (same rule as CSV).
+    raw = read_jsonl_tolerant(spark, str(p), schema).cache()
+    assert raw.filter(raw._corrupt_record.isNotNull()).count() == 2
+    clean = enforce_bad_row_budget(raw, BadRowBudget(max_rows=5, max_ratio=1.0))
+    rows = {r.doc_id: r.text for r in clean.collect()}
+    assert rows == {1: "hello world", 2: "ok"}
+
+    import pytest
+
+    raw2 = read_jsonl_tolerant(spark, str(p), schema)
+    with pytest.raises(ValueError, match="bad-row budget"):
+        enforce_bad_row_budget(raw2, BadRowBudget(max_rows=0, max_ratio=0.0))
