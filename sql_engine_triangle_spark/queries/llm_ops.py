@@ -346,6 +346,49 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).sortWithinPartitions("doc_id")  # see text_quality_scores
 
 
+TERM_STATS_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS t
+  FROM documents
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT t AS token,
+       count(*) AS doc_freq,
+       round(ln(CAST(n.n_docs AS DOUBLE) / count(*)), 6) AS idf
+FROM tok, n
+GROUP BY t, n.n_docs
+ORDER BY doc_freq DESC, token
+LIMIT 50
+"""
+
+
+@register("text_term_stats", oracle=TERM_STATS_ORACLE, tags=("LLM-text",))
+def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level term statistics: per-token document frequency and
+    IDF for the top-50 terms — the TF-IDF building block. One
+    explode + one groupBy shuffle of narrow (token) rows; the corpus
+    size N is a driver-side scalar parameter (one count), not a
+    cross-joined relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(textops.tokens(F.col("text")))).alias("token"),
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+        .select(
+            "token",
+            "doc_freq",
+            F.round(F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6).alias("idf"),
+        )
+        .orderBy(F.desc("doc_freq"), "token")
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search family
 # ---------------------------------------------------------------------------
