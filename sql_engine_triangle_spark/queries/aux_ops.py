@@ -15,7 +15,7 @@ from pyspark.sql.window import Window
 
 from sql_engine_triangle_spark.catalog import load_table
 from sql_engine_triangle_spark.functions.scalar import round_stable
-from sql_engine_triangle_spark.queries.core import Q1_ORACLE
+from sql_engine_triangle_spark.queries.core import Q1_ORACLE, Q4_ORACLE
 from sql_engine_triangle_spark.queries.registry import register
 
 # ---------------------------------------------------------------------------
@@ -984,5 +984,47 @@ def sql_entry_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         GROUP BY l_returnflag
         ORDER BY avg_price DESC, l_returnflag
+        """
+    )
+
+
+@register("sql_entry_q4", oracle=Q4_ORACLE, tags=("EP-A", "A9"))
+def sql_entry_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 via spark.sql with the reference's LITERAL ANSI syntax —
+    `PERCENTILE_CONT(p) WITHIN GROUP (ORDER BY ...)` (q4
+    README.md:64-67) plus a CTE and a broadcast hint. Same oracle and
+    rows as q4_top_nations_percentiles."""
+    li = f"{sf_dir}/lineitem.parquet"
+    su = f"{sf_dir}/supplier.parquet"
+    na = f"{sf_dir}/nation.parquet"
+
+    def pct(p: str, alias: str) -> str:
+        return (
+            f"CAST(round(CAST(percentile_cont({p}) WITHIN GROUP "
+            f"(ORDER BY l_extendedprice) AS DECIMAL(18,4)), 2) AS DOUBLE) AS {alias}"
+        )
+
+    return spark.sql(
+        f"""
+        WITH f AS (
+          SELECT n_name AS nation, l_extendedprice
+          FROM parquet.`{li}` l
+          JOIN parquet.`{su}` s ON l.l_suppkey = s.s_suppkey
+          JOIN parquet.`{na}` n ON s.s_nationkey = n.n_nationkey
+        ),
+        top_nations AS (
+          SELECT nation FROM f GROUP BY nation
+          ORDER BY count(*) DESC, nation LIMIT 10
+        )
+        SELECT /*+ BROADCAST(tn) */
+          f.nation,
+          count(*) AS cnt,
+          {pct('0.25', 'p25')},
+          {pct('0.50', 'p50')},
+          {pct('0.75', 'p75')},
+          {pct('0.95', 'p95')}
+        FROM f JOIN top_nations tn ON f.nation = tn.nation
+        GROUP BY f.nation
+        ORDER BY cnt DESC, f.nation
         """
     )
