@@ -26,6 +26,7 @@ QUERIES = [
     "q4_two_key_percentiles",
     "o_topk_rows",
     "j_star_revenue",
+    "tpch_q5_local_supplier_volume",
     "dedup_minhash_lsh",
     "dedup_embedding_lsh",
     "pipeline_funnel_conversion",
