@@ -646,6 +646,33 @@ def f_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderstatus")
 
 
+F_UNPIVOT_ORACLE = """
+SELECT p_partkey, 'p_retailprice' AS attr, CAST(p_retailprice AS DOUBLE) AS val
+FROM part WHERE p_partkey <= 200
+UNION ALL
+SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE)
+FROM part WHERE p_partkey <= 200
+ORDER BY p_partkey, attr
+"""
+
+
+@register("f_unpivot", oracle=F_UNPIVOT_ORACLE, tags=("F-pivot",))
+def f_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long reshape), the inverse of f_pivot — a
+    zero-shuffle row expansion; oracle is the portable UNION ALL
+    form."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return (
+        part.select(
+            "p_partkey",
+            F.col("p_retailprice").cast("double").alias("p_retailprice"),
+            F.col("p_size").cast("double").alias("p_size"),
+        )
+        .unpivot(["p_partkey"], ["p_retailprice", "p_size"], "attr", "val")
+        .orderBy("p_partkey", "attr")
+    )
+
+
 F_ARRAY_AGG_ORACLE = """
 SELECT l_orderkey,
        array_to_string(list_sort(list_distinct(list(l_linenumber))), ',') AS lines,
