@@ -335,10 +335,24 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).sortWithinPartitions("doc_id")  # see text_quality_scores
 
 
-@register("text_rolling_hash", oracle=None, tags=("LLM-text",))
+ROLLING_HASH_ORACLE = r"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+        c -> CAST(ascii(c) AS BIGINT))),
+    (acc, c) -> (acc * 31 + c) % 1000000007) AS rhash
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("text_rolling_hash", oracle=ROLLING_HASH_ORACLE, tags=("LLM-text",))
 def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Polynomial rolling hash (Rabin-Karp) fingerprint — rows-only
-    (no portable SQL twin); pytest cross-checks against a pure-Python
+    """Polynomial rolling hash (Rabin-Karp) fingerprint — pure
+    integer math, so the DuckDB list_reduce fold reproduces it
+    exactly; pytest additionally cross-checks a pure-Python
     reference implementation."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
