@@ -722,6 +722,64 @@ def f_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROFILE_ORACLE = """
+SELECT 'o_custkey' AS col, count(*) AS n, count(o_custkey) AS non_null,
+       count(DISTINCT o_custkey) AS uniq,
+       CAST(min(o_custkey) AS DOUBLE) AS min_v, CAST(max(o_custkey) AS DOUBLE) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_orderkey', count(*), count(o_orderkey), count(DISTINCT o_orderkey),
+       CAST(min(o_orderkey) AS DOUBLE), CAST(max(o_orderkey) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*), count(o_totalprice), count(DISTINCT o_totalprice),
+       CAST(round(CAST(min(o_totalprice) AS DECIMAL(18,6)), 2) AS DOUBLE),
+       CAST(round(CAST(max(o_totalprice) AS DECIMAL(18,6)), 2) AS DOUBLE)
+FROM orders
+ORDER BY col
+"""
+
+
+@register("profile_columns", oracle=PROFILE_ORACLE, tags=("S11", "A11"))
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (null counts, distincts, ranges) in ONE scan:
+    all per-column aggregates computed in a single aggregation, then
+    reshaped to long form driver-side from the 1-row result — vs the
+    oracle's three scans. The data-quality probe a pipeline runs
+    before trusting a new drop; at 100 TB swap count(DISTINCT) for
+    approx_count_distinct."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderkey", "o_totalprice"]
+    aggs = []
+    for c in cols:
+        mn, mx = F.min(c).cast("double"), F.max(c).cast("double")
+        if c == "o_totalprice":  # float col: decimal-route the bounds
+            mn = F.round(F.min(c).cast("decimal(18,6)"), 2).cast("double")
+            mx = F.round(F.max(c).cast("decimal(18,6)"), 2).cast("double")
+        aggs += [
+            F.count("*").alias(f"{c}__n"),
+            F.count(c).alias(f"{c}__non_null"),
+            F.countDistinct(c).alias(f"{c}__uniq"),
+            mn.alias(f"{c}__min_v"),
+            mx.alias(f"{c}__max_v"),
+        ]
+    row = orders.agg(*aggs).head()
+    data = [
+        (
+            c,
+            row[f"{c}__n"],
+            row[f"{c}__non_null"],
+            row[f"{c}__uniq"],
+            row[f"{c}__min_v"],
+            row[f"{c}__max_v"],
+        )
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        data, "col string, n long, non_null long, uniq long, min_v double, max_v double"
+    ).orderBy("col")
+
+
 F_JSON_ORACLE = """
 SELECT
   event_type,
