@@ -1113,3 +1113,44 @@ def sql_entry_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY cnt DESC, f.nation
         """
     )
+
+
+HISTOGRAM_ORACLE = """
+SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS INTEGER) AS bucket,
+       count(*) AS n,
+       CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,6)), 2)
+            AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+@register("a_histogram", oracle=HISTOGRAM_ORACLE, tags=("A5", "A13"))
+def a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (feature binning): bucket =
+    least(floor(price/50k), 9). The distribution probe / binning
+    primitive for feature engineering. Single hash aggregation with
+    map-side partial combine — at 100 TB this is one scan + a 10-row
+    shuffle. Bucket arithmetic is the same IEEE double division on
+    both engines; the price sum is decimal-routed (order-independent)
+    before rounding."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / F.lit(50000.0)), F.lit(9)).cast(
+        "int"
+    )
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "decimal(28,6)"
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("bucket")
+    )

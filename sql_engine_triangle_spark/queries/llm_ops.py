@@ -734,3 +734,123 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition-local sort: global orderBy's range-sampling pass
     # would execute the mapInPandas decode twice.
     return multimodal.extract_asset_metadata(assets).sortWithinPartitions("doc_id")
+
+
+MM_FRAMES_ORACLE = """
+WITH a AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS len,
+         greatest(octet_length(encode(text)) // 4, 1) AS step
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       least(len - i * step, step) AS n_bytes
+FROM a, generate_series(0, 3) AS t(i)
+WHERE i * step < len
+ORDER BY doc_id, frame_idx
+"""
+
+
+@register("multimodal_frames", oracle=MM_FRAMES_ORACLE, tags=("LLM-mm",))
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (mapInPandas, 1 row in →
+    ≤4 rows out — the fan-out shape of real video-frame extraction).
+    The registry projection drops the frame bytes and verifies the
+    fan-out arithmetic (frame_idx, n_bytes) against a generate_series
+    oracle; byte-level slice content is locked by
+    tests/test_multimodal.py. At 100 TB the blob column rides its own
+    parquet chunk, so only this stage reads bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = multimodal.sample_frames(multimodal.docs_as_assets(docs), n_frames=4)
+    return frames.select("doc_id", "frame_idx", "n_bytes").sortWithinPartitions(
+        "doc_id", "frame_idx"
+    )
+
+
+@register("multimodal_features", oracle=None, tags=("LLM-mm",))
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads (Arrow-batched
+    mapInPandas, numpy kernel): deterministic byte-histogram stand-in
+    for an image/audio encoder (no codecs in this container —
+    operators/multimodal.py documents the swap point). No SQL oracle:
+    the per-byte histogram isn't expressible in DuckDB SQL; kernel
+    determinism + unit-norm + batch-shape are locked by
+    tests/test_multimodal.py. Projects (doc_id, dim, head components)
+    so the driver sees a stable non-array schema."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = multimodal.extract_features(multimodal.docs_as_assets(docs))
+    f0 = F.element_at("feature", 1)
+    return feats.select(
+        "doc_id",
+        F.size("feature").alias("dim"),
+        F.round(f0.cast("double"), 4).alias("f0"),
+        F.round(F.element_at("feature", 2).cast("double"), 4).alias("f1"),
+    ).sortWithinPartitions("doc_id")
+
+
+SAMPLE_STRAT_ORACLE = """
+SELECT doc_id, lang
+FROM documents
+WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+           AS INTEGER) % 100 < 20
+ORDER BY doc_id
+"""
+
+
+@register("sample_stratified", oracle=SAMPLE_STRAT_ORACLE, tags=("LLM-pipeline",))
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% corpus sample via md5 bucketing — the
+    reproducible alternative to df.sample(), whose draw shifts with
+    partition layout. Same-hash discipline as pipeline_corpus_split:
+    md5 is engine-portable, so membership is bit-reproducible across
+    engines and reruns, and downstream joins against the sample are
+    stable. A narrow filter — no shuffle, fully pushdown-friendly."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    return docs.filter(bucket < 20).select("doc_id", "lang").orderBy("doc_id")
+
+
+EMB_NORM_ORACLE = """
+WITH v AS (
+  SELECT vec_id,
+         CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+           AS nrm
+  FROM embeddings
+)
+SELECT vec_id,
+       len(e) AS dim,
+       round(nrm, 4) AS l2_norm,
+       round(e[1] / nrm, 4) AS u0,
+       round(e[2] / nrm, 4) AS u1
+FROM v
+ORDER BY vec_id
+"""
+
+
+@register("emb_l2_normalize", oracle=EMB_NORM_ORACLE, tags=("LLM-sim",))
+def emb_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization of the embedding column — the prep step that
+    turns cosine into a plain dot product for every downstream
+    similarity op. JVM-side aggregate over array<double> (same
+    double-fold the cosine kernel uses, so the DuckDB list_sum oracle
+    reproduces it bit-for-bit before rounding). Narrow map, no
+    shuffle; at 100 TB this runs fused into the scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    base = emb.select("vec_id", v.alias("e"), nrm.alias("nrm"))
+    return base.select(
+        "vec_id",
+        F.size("e").alias("dim"),
+        F.round("nrm", 4).alias("l2_norm"),
+        F.round(F.element_at("e", 1) / F.col("nrm"), 4).alias("u0"),
+        F.round(F.element_at("e", 2) / F.col("nrm"), 4).alias("u1"),
+    ).orderBy("vec_id")
