@@ -158,3 +158,19 @@ def export_csv(df: DataFrame, path: str) -> None:
 def values_frame(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
     """S9: literal VALUES source (01-create-table.sql:20-28)."""
     return spark.createDataFrame(rows, schema)
+
+
+def copy_format(
+    df: DataFrame, path: str, fmt: str = "orc", mode: str = "overwrite"
+) -> None:
+    """Engine-to-engine format copy (S8 generalized): persist a frame
+    in any Spark-native columnar format (orc/parquet/json/csv). ORC
+    carries the same column pruning + predicate-pushdown contract as
+    Parquet, so downstream scans keep their pushed filters."""
+    df.write.mode(mode).format(fmt).save(path)
+
+
+def read_format(spark: SparkSession, path: str, fmt: str = "orc") -> DataFrame:
+    """Scan back a copy_format sink; schema comes from file metadata
+    (self-describing formats)."""
+    return spark.read.format(fmt).load(path)

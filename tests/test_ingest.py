@@ -178,3 +178,30 @@ def test_jsonl_tolerant_read_and_budget(spark, tmp_path):
     raw2 = read_jsonl_tolerant(spark, str(p), schema)
     with pytest.raises(ValueError, match="bad-row budget"):
         enforce_bad_row_budget(raw2, BadRowBudget(max_rows=0, max_ratio=0.0))
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC sink + scan-back: values and schema survive, and the ORC
+    reader honors predicate pushdown like Parquet (PushedFilters in
+    the scan node)."""
+    from sql_engine_triangle_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    out = str(tmp_path / "orders_orc")
+    ingest.copy_format(orders, out, fmt="orc")
+    back = ingest.read_format(spark, out, fmt="orc")
+    assert back.schema == orders.schema
+    assert back.count() == orders.count()
+    # value parity on an aggregate (decimal-routed, order-independent)
+    agg = lambda df: df.agg(  # noqa: E731
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+        F.sum("o_orderkey").alias("k"),
+    ).head()
+    assert agg(back) == agg(orders)
+    # pushdown reaches the ORC scan
+    filtered = back.filter(F.col("o_custkey") == 1)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_custkey" in plan.split("PushedFilters")[1][:120]
