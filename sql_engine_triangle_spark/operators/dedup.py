@@ -296,3 +296,40 @@ def simhash_pairs(
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Shingle-containment near-dup pairs: C(a,b) =
+    inter / min(|A|, |B|) — flags subset/superset documents (one doc
+    embedded in another) that symmetric Jaccard under-scores, the
+    quote/excerpt dup class in web corpora. Same exploded-shingle
+    equi-join as ngram_jaccard_pairs (shared candidate machinery);
+    containment is integer division, emitted unrounded. Quadratic
+    worst case — pair candidates at scale come from the LSH path;
+    this scoring then replaces the Jaccard verify."""
+    exploded = shingle_rows(docs, id_col, text_col, n)
+    sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    c = F.col("inter") / F.least(F.col("na"), F.col("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("containment", c)
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+        .orderBy("doc_a", "doc_b")
+    )

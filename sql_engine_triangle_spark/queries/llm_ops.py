@@ -10,6 +10,7 @@ cross-engine float kernels (cosine), where ties are measure-zero.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -854,3 +855,201 @@ def emb_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("e", 1) / F.col("nrm"), 4).alias("u0"),
         F.round(F.element_at("e", 2) / F.col("nrm"), 4).alias("u1"),
     ).orderBy("vec_id")
+
+
+CONTAINMENT_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+shing AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM tok
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shing),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shing),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter / least(sa.n_sh, sb.n_sh) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter / least(sa.n_sh, sb.n_sh) >= 0.6
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_containment", oracle=CONTAINMENT_ORACLE, tags=("LLM-dedup",))
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment pairs (C = inter/min(|A|,|B|) ≥ 0.6) —
+    catches excerpt/superset duplicates that symmetric Jaccard
+    under-scores. Unrounded integer division, bit-identical to the
+    DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, threshold=0.6)
+
+
+BOILERPLATE_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS pos
+  FROM tok
+),
+bp AS (
+  SELECT t FROM ex
+  GROUP BY t
+  HAVING count(DISTINCT doc_id) > 0.5 * (SELECT count(*) FROM documents)
+),
+kept AS (
+  SELECT e.doc_id, e.t, e.pos
+  FROM ex e ANTI JOIN bp USING (t)
+)
+SELECT t.doc_id,
+       len(t.toks) AS n_before,
+       coalesce(k.n_after, 0) AS n_after,
+       coalesce(k.head, '') AS head
+FROM tok t
+LEFT JOIN (
+  SELECT doc_id, count(*) AS n_after,
+         array_to_string((list(t ORDER BY pos))[1:8], ' ') AS head
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("text_boilerplate_strip", oracle=BOILERPLATE_ORACLE, tags=("LLM-text",))
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-induced boilerplate removal (the CCNet/RefinedWeb
+    pattern, term-grained): induce the high-document-frequency term
+    set (df > 50% of docs) from the corpus itself, then strip those
+    terms from every document, preserving token order. Plan:
+    posexplode → token-DF aggregation → broadcast ANTI join of the
+    induced set against the exploded stream → order-preserving
+    re-assembly (sort_array over (pos, tok) structs). Two shuffles
+    (DF agg, doc re-agg); the boilerplate set is vocabulary-bounded
+    (df-threshold keeps it tiny), so the anti-join broadcasts at any
+    corpus size. n_docs is a 1-scalar driver aggregate (a parameter,
+    not a data collect)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", textops.tokens(F.col("text")).alias("toks")
+    )
+    ex = toks.select("doc_id", F.posexplode("toks").alias("pos", "t"))
+    bp = (
+        ex.groupBy("t")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > 0.5 * n_docs)
+        .select("t")
+    )
+    kept = ex.join(F.broadcast(bp), "t", "left_anti")
+    re_agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_after"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "t"))),
+                    lambda x: x["t"],
+                ),
+                1,
+                8,
+            ),
+        ).alias("head"),
+    )
+    return (
+        toks.select("doc_id", F.size("toks").alias("n_before"))
+        .join(re_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+            F.coalesce("head", F.lit("")).alias("head"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PII_EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9.]+\\.[A-Za-z]+"
+PII_PHONE_RE = "555-[0-9]{4}"
+
+PII_ORACLE = rf"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id ||
+         '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS n_phones,
+       substring(regexp_replace(regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                                '{PII_PHONE_RE}', '<PHONE>', 'g'),
+                 -34) AS redacted_tail
+FROM aug
+ORDER BY doc_id
+"""
+
+
+@register("text_redact_pii", oracle=PII_ORACLE, tags=("LLM-text",))
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (email/phone regex scrub) — the privacy pass a
+    training pipeline runs before tokenization. The fixture corpus
+    carries no PII, so deterministic synthetic PII is appended per
+    doc (doc_id-derived) and then redacted; counts + redacted tail
+    are oracle-checked. Pure JVM regexp — narrow map, codegen'd, no
+    shuffle. Regexes stay in the RE2-compatible subset so Java and
+    DuckDB agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(aug, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.substring(red, -34, 34).alias("redacted_tail"),
+    ).orderBy("doc_id")
+
+
+@register("text_compression_ratio", oracle=None, tags=("LLM-text",))
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (zlib bytes-out / bytes-in):
+    low ratio = repetitive/templated text, a standard corpus-quality
+    feature (Gopher/FineWeb class). zlib isn't expressible in SQL, so
+    no DuckDB oracle — determinism is locked by a pytest against
+    direct zlib on the same rows. Arrow-batched pandas UDF (zlib is
+    C-speed; the batch transfer dominates), narrow map, no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def comp_ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        return s.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+            / max(len(t.encode("utf-8")), 1)
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(comp_ratio(F.col("text")), 4).alias("zlib_ratio"),
+    ).sortWithinPartitions("doc_id")

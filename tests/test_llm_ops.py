@@ -138,3 +138,37 @@ def test_multimodal_decode_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_compression_ratio_matches_direct_zlib(spark, ddb):
+    """The pandas-UDF zlib kernel (no SQL oracle possible) must
+    reproduce direct zlib on the same rows, bit-for-bit after
+    round(4)."""
+    import zlib
+
+    got = (
+        registry.get("text_compression_ratio")
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    texts = ddb.execute("SELECT doc_id, text FROM documents ORDER BY doc_id").df()
+    ref = texts["text"].map(
+        lambda t: round(len(zlib.compress(t.encode("utf-8"), 6)) / max(len(t.encode()), 1), 4)
+    )
+    assert (got["zlib_ratio"].values == ref.values).all()
+
+
+def test_containment_bounds_jaccard(spark):
+    """Containment >= Jaccard for every pair: every Jaccard-0.5 pair
+    must appear in the containment-0.5 pair set."""
+    from sql_engine_triangle_spark.operators import dedup as D
+    from sql_engine_triangle_spark.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    jac = {(r.doc_a, r.doc_b) for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    cont = {
+        (r.doc_a, r.doc_b) for r in D.containment_pairs(docs, threshold=0.5).collect()
+    }
+    assert jac <= cont
