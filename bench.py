@@ -47,6 +47,10 @@ EXTRA = [
     "sim_ivf_topk",
     "pipeline_funnel_conversion",
     "tpch_q5_local_supplier_volume",
+    "text_boilerplate_strip",
+    "dedup_containment",
+    "emb_l2_normalize",
+    "text_compression_ratio",
 ]
 
 

@@ -1053,3 +1053,45 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(comp_ratio(F.col("text")), 4).alias("zlib_ratio"),
     ).sortWithinPartitions("doc_id")
+
+
+REPETITION_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+cnt AS (
+  SELECT doc_id, t, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
+  GROUP BY doc_id, t
+)
+SELECT doc_id,
+       max(c) AS top_term_n,
+       sum(c) AS n_tokens,
+       max(c) / sum(c) AS rep_ratio
+FROM cnt
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("text_repetition_ratio", oracle=REPETITION_ORACLE, tags=("LLM-text",))
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signal (Gopher-class quality rule):
+    share of tokens taken by the single most frequent term —
+    templated/spammy text scores high. Two aggregations with map-side
+    partial combine: (doc_id, term) counts, then a per-doc max/sum.
+    rep_ratio is integer/integer division, emitted unrounded
+    (bit-identical across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(textops.tokens(F.col("text"))).alias("t"))
+    cnt = ex.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_term_n"),
+            F.sum("c").alias("n_tokens"),
+            (F.max("c") / F.sum("c")).alias("rep_ratio"),
+        )
+        .orderBy("doc_id")
+    )
