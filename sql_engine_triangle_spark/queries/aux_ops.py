@@ -1154,3 +1154,49 @@ def a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+STATS_MOMENTS_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n,
+       CAST(round(CAST(stddev_samp(l_quantity) AS DECIMAL(18,6)), 2) AS DOUBLE)
+         AS sd_qty,
+       CAST(round(CAST(var_samp(l_quantity) AS DECIMAL(18,6)), 2) AS DOUBLE)
+         AS var_qty,
+       CAST(round(CAST(covar_samp(l_quantity, l_extendedprice) AS DECIMAL(18,6)), 2)
+            AS DOUBLE) AS cov_qty_price,
+       CAST(round(CAST(corr(l_quantity, l_extendedprice) AS DECIMAL(18,6)), 4)
+            AS DOUBLE) AS corr_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("a_stats_moments", oracle=STATS_MOMENTS_ORACLE, tags=("A1", "A3"))
+def a_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistical aggregates (stddev/variance/
+    covariance/correlation) per return flag — the sample-statistics
+    surface every analytics engine needs beyond sum/avg. Single hash
+    aggregation with map-side partials (Spark's moment aggregates
+    combine via the pairwise-update formula, so partial+final is
+    numerically stable at any partition count). Results are
+    decimal-routed through the round_stable discipline on both
+    engines (accumulation-order float noise sits below the capture
+    precision)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            round_stable(F.stddev_samp("l_quantity")).alias("sd_qty"),
+            round_stable(F.var_samp("l_quantity")).alias("var_qty"),
+            round_stable(F.covar_samp("l_quantity", "l_extendedprice")).alias(
+                "cov_qty_price"
+            ),
+            round_stable(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "corr_qty_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
