@@ -1200,3 +1200,41 @@ def a_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+MERGE_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 7 = 0
+            THEN CAST(round(CAST(o_totalprice * 1.1 AS DECIMAL(18,6)), 2) AS DOUBLE)
+            ELSE o_totalprice END AS o_totalprice,
+       CASE WHEN o_orderkey % 7 = 0 THEN 'updated' ELSE o_orderstatus END
+         AS o_orderstatus
+FROM orders
+WHERE o_orderkey % 11 != 0
+ORDER BY o_orderkey
+"""
+
+
+@register("merge_upsert_snapshot", oracle=MERGE_ORACLE, tags=("S4", "S8"))
+def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / CDC-apply: an update batch (keys ≡ 0 mod 7,
+    price uplift + status overwrite) and a delete batch (keys ≡ 0
+    mod 11) applied to the base snapshot in ONE full-outer join +
+    anti join (operators/merge.py). The oracle states the post-merge
+    truth directly; the Spark side must reproduce it through the
+    actual merge machinery. The price uplift is decimal-routed
+    (round_stable) on both sides — x*1.1 lands on .xx5 ties."""
+    from sql_engine_triangle_spark.operators.merge import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        round_stable(F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.lit("updated").alias("o_orderstatus"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 11 == 0)
+    return merge_upsert(orders, updates, "o_orderkey", deletes=deletes).orderBy(
+        "o_orderkey"
+    )
