@@ -48,7 +48,9 @@ EXTRA = [
     "pipeline_funnel_conversion",
     "tpch_q5_local_supplier_volume",
     "text_boilerplate_strip",
-    "dedup_containment",
+    # dedup_containment intentionally NOT benched: it is the quadratic
+    # correctness baseline (same class as dedup_ngram_jaccard); the
+    # benched scale path for pair generation is dedup_minhash_lsh.
     "emb_l2_normalize",
     "text_compression_ratio",
 ]

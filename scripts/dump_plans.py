@@ -30,6 +30,8 @@ QUERIES = [
     "dedup_minhash_lsh",
     "dedup_embedding_lsh",
     "pipeline_funnel_conversion",
+    "merge_upsert_snapshot",
+    "text_boilerplate_strip",
 ]
 
 
