@@ -1238,3 +1238,37 @@ def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(orders, updates, "o_orderkey", deletes=deletes).orderBy(
         "o_orderkey"
     )
+
+
+LATEST_PER_KEY_ORACLE = """
+SELECT user_id, event_type, event_id, ts, value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+
+@register("w_latest_per_key", oracle=LATEST_PER_KEY_ORACLE, tags=("W1", "O4"))
+def w_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record per key (row_number = 1 per (user_id,
+    event_type), ts desc with a deterministic event_id tie-break) —
+    the QUALIFY-style compaction every CDC/event pipeline runs to
+    materialize current state. One hash exchange on the key + per-key
+    sort; at 100 TB this is the standard log-compaction shape (and a
+    sort-merge-bucketed events table makes it exchange-free)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+        .orderBy("user_id", "event_type")
+    )
