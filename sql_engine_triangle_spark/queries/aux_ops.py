@@ -1258,8 +1258,11 @@ def w_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type), ts desc with a deterministic event_id tie-break) —
     the QUALIFY-style compaction every CDC/event pipeline runs to
     materialize current state. One hash exchange on the key + per-key
-    sort; at 100 TB this is the standard log-compaction shape (and a
-    sort-merge-bucketed events table makes it exchange-free)."""
+    sort; Catalyst's WindowGroupLimit pushes the rn=1 limit below the
+    exchange (verified in the executed plan), so each map task ships
+    only its per-key winner — at 100 TB the shuffle carries ~|keys|
+    rows, not |events|. A sort-merge-bucketed events table makes it
+    exchange-free."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
