@@ -1275,3 +1275,94 @@ def w_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "event_id", "ts", "value")
         .orderBy("user_id", "event_type")
     )
+
+
+NULL_SEMANTICS_ORACLE = """
+WITH t AS (
+  SELECT o_orderkey,
+         nullif(o_custkey % 50, 0) AS prio_nn,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END AS status_n
+  FROM orders
+)
+SELECT
+  count(*) AS n,
+  count(prio_nn) AS n_prio,
+  count(status_n) AS n_status,
+  count(*) FILTER (WHERE status_n IS NOT DISTINCT FROM NULL) AS n_null_safe_null,
+  count(*) FILTER (WHERE status_n IS NOT DISTINCT FROM 'F') AS n_null_safe_f,
+  count(coalesce(status_n, 'X')) AS n_coalesced,
+  count(DISTINCT status_n) AS n_distinct_status
+FROM t
+"""
+
+
+@register("p_null_semantics", oracle=NULL_SEMANTICS_ORACLE, tags=("P6", "F9"))
+def p_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic surface: NULLIF / COALESCE / null-safe
+    equality (<=>, ANSI IS NOT DISTINCT FROM) / COUNT-vs-COUNT(col) /
+    DISTINCT-over-nulls — the semantics corner every engine must get
+    identically right. Single aggregation, no shuffle beyond the
+    1-row reduce."""
+    orders = load_table(spark, sf_dir, "orders")
+    status_n = F.when(F.col("o_orderkey") % 3 == 0, F.lit(None)).otherwise(
+        F.col("o_orderstatus")
+    )
+    t = orders.select(
+        F.nullif(F.col("o_custkey") % 50, F.lit(0)).alias("prio_nn"),
+        status_n.alias("status_n"),
+    )
+    return t.agg(
+        F.count("*").alias("n"),
+        F.count("prio_nn").alias("n_prio"),
+        F.count("status_n").alias("n_status"),
+        F.count(F.when(F.col("status_n").eqNullSafe(F.lit(None)), 1)).alias(
+            "n_null_safe_null"
+        ),
+        F.count(F.when(F.col("status_n").eqNullSafe(F.lit("F")), 1)).alias(
+            "n_null_safe_f"
+        ),
+        F.count(F.coalesce(F.col("status_n"), F.lit("X"))).alias("n_coalesced"),
+        F.countDistinct("status_n").alias("n_distinct_status"),
+    )
+
+
+DATE_ARITH_ORACLE = """
+SELECT o_orderkey,
+       o_orderdate + INTERVAL 30 DAY AS plus_30d,
+       last_day(o_orderdate) AS month_end,
+       date_diff('day', o_orderdate, DATE '2020-01-01') AS days_to_2020,
+       date_diff('month', o_orderdate, DATE '2020-01-01') AS whole_months_to_2020,
+       CAST(date_part('dow', o_orderdate) AS INTEGER) AS dow,
+       CAST(date_part('quarter', o_orderdate) AS INTEGER) AS qtr
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+@register("f_date_arithmetic", oracle=DATE_ARITH_ORACLE, tags=("F2", "F3", "F14"))
+def f_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic surface: interval add, last_day,
+    day/whole-month differences, day-of-week, quarter. Pure JVM
+    column expressions (codegen'd, no shuffle). Semantics pinned to
+    the ANSI forms both engines share: datediff counts calendar days;
+    whole-month difference truncates (DuckDB date_diff('month')
+    boundary-count semantics reproduced via months_between floor +
+    day-of-month correction); dow is 0=Sunday (Spark dayofweek is
+    1=Sunday, shifted by -1)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    target = F.lit("2020-01-01").cast("date")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.date_add(d, 30).alias("plus_30d"),
+            F.last_day(d).alias("month_end"),
+            F.datediff(target, d).cast("long").alias("days_to_2020"),
+            F.floor(F.months_between(target, F.date_trunc("month", d)))
+            .cast("long")
+            .alias("whole_months_to_2020"),
+            (F.dayofweek(d) - 1).cast("int").alias("dow"),
+            F.quarter(d).cast("int").alias("qtr"),
+        )
+        .orderBy("o_orderkey")
+    )

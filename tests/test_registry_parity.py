@@ -47,3 +47,33 @@ def test_events_queries_on_driver_like_session(spark, name):
     df = registry.get(name).fn(s2, SF_DIR)
     assert df.count() >= 0
     assert dict(df.dtypes).get("ts", "timestamp") != "bigint"
+
+
+PARALLELISM_SENSITIVE = [
+    # shuffle-heavy or accumulation-order-prone entries: results must
+    # be identical under a different partition count (emulating a
+    # different executor layout at scale)
+    "text_boilerplate_strip",
+    "merge_upsert_snapshot",
+    "w_latest_per_key",
+    "a_stats_moments",
+    "text_repetition_ratio",
+]
+
+
+@pytest.mark.parametrize("name", PARALLELISM_SENSITIVE)
+def test_partition_count_independence(spark, name):
+    """Same rows under shuffle.partitions=5 as under the default 32 —
+    partition-layout-independent results are what make reruns and
+    cluster-resize safe."""
+    fn = registry.get(name).fn
+    base = fn(spark, SF_DIR).toPandas()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        alt = fn(spark, SF_DIR).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    from tests.conftest import assert_frames_match
+
+    assert_frames_match(base, alt)
