@@ -1366,3 +1366,77 @@ def f_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+FFILL_ORACLE = """
+SELECT event_id, user_id, ts,
+       CASE WHEN event_type = 'purchase' THEN value END AS v_sparse,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS v_filled
+FROM events
+ORDER BY event_id
+"""
+
+
+@register("w_forward_fill", oracle=FFILL_ORACLE, tags=("W1", "W3"))
+def w_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (LOCF gap filling): carry the last purchase value
+    forward per user — last_value IGNORE NULLS over a running frame,
+    the time-series imputation primitive. No arithmetic on the
+    carried value (pure propagation), so doubles stay bit-identical
+    across engines. One hash exchange + per-user sort."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        v.alias("v_sparse"),
+        F.last(v, ignorenulls=True).over(w).alias("v_filled"),
+    ).orderBy("event_id")
+
+
+MAP_OPS_ORACLE = """
+WITH cnt AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       list(event_type ORDER BY event_type) AS types,
+       list(c ORDER BY event_type) AS counts,
+       count(*) AS n_types,
+       max(CASE WHEN event_type = 'purchase' THEN c END) AS n_purchases
+FROM cnt
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("f_map_ops", oracle=MAP_OPS_ORACLE, tags=("F8", "A5"))
+def f_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: per-user event_type→count map built
+    with map_from_entries over key-sorted entries, then decomposed
+    via map_keys/map_values/size/element_at (missing key → NULL,
+    matching the oracle's CASE-max). Output is the sorted-array
+    decomposition so the cross-engine compare is representation-
+    independent. Two aggregations, both with map-side partials."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    m = cnt.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "c")))
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.map_keys("m").alias("types"),
+        F.map_values("m").alias("counts"),
+        F.size("m").cast("long").alias("n_types"),
+        F.element_at(F.col("m"), F.lit("purchase")).alias("n_purchases"),
+    ).orderBy("user_id")
