@@ -1095,3 +1095,53 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+COHORT_ORACLE = """
+WITH f AS (
+  SELECT user_id, ts,
+         min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_date
+  FROM events
+),
+a AS (
+  SELECT DISTINCT user_id, cohort_date,
+         date_diff('day', cohort_date, CAST(ts AS DATE)) AS day_offset
+  FROM f
+)
+SELECT cohort_date, day_offset, count(*) AS n_users
+FROM a
+WHERE day_offset BETWEEN 0 AND 7
+GROUP BY cohort_date, day_offset
+ORDER BY cohort_date, day_offset
+"""
+
+
+@register("pipeline_cohort_retention", oracle=COHORT_ORACLE, tags=("LLM-pipeline", "W3"))
+def pipeline_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen date, counted on
+    each of the next 7 days they return — the standard activation/
+    retention matrix. The cohort date comes from a window min over
+    the user partition (ONE hash exchange; a groupBy-join form would
+    shuffle twice), then a distinct + count rollup. At 100 TB the
+    user_id exchange is the only data-scale shuffle and the output is
+    |cohorts|×8 rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    f = ev.select(
+        "user_id",
+        F.min(F.to_date("ts")).over(w).alias("cohort_date"),
+        F.to_date("ts").alias("d"),
+    )
+    a = f.select(
+        "user_id",
+        "cohort_date",
+        F.datediff("d", F.col("cohort_date")).cast("long").alias("day_offset"),
+    ).distinct()
+    return (
+        a.filter(F.col("day_offset").between(0, 7))
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_date", "day_offset")
+    )
