@@ -1,0 +1,64 @@
+"""Degenerate-input hardening: operators must behave sanely on empty
+frames, single rows, and empty strings — the failure modes that only
+show up in production partitions (empty file splits, freshly-created
+tables, blank documents)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sql_engine_triangle_spark.operators import dedup, textops
+from sql_engine_triangle_spark.operators.merge import merge_upsert
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_merge_empty_updates_is_identity(spark):
+    base = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b")], "k long, v double, s string"
+    )
+    empty = base.filter(F.lit(False))
+    out = merge_upsert(base, empty, "k").orderBy("k").collect()
+    assert [(r.k, r.v, r.s) for r in out] == [(1, 10.0, "a"), (2, 20.0, "b")]
+
+
+def test_merge_empty_base_inserts_all(spark):
+    base = spark.createDataFrame([], "k long, v double, s string")
+    upd = spark.createDataFrame([(5, 1.0, "x")], "k long, v double, s string")
+    out = merge_upsert(base, upd, "k").collect()
+    assert [(r.k, r.v, r.s) for r in out] == [(5, 1.0, "x")]
+
+
+def test_merge_delete_everything(spark):
+    base = spark.createDataFrame([(1, 1.0, "a")], "k long, v double, s string")
+    out = merge_upsert(base, base.filter(F.lit(False)), "k", deletes=base)
+    assert out.count() == 0
+
+
+def test_dedup_pairs_on_empty_and_single(spark):
+    assert dedup.ngram_jaccard_pairs(_docs(spark, [])).count() == 0
+    assert dedup.containment_pairs(_docs(spark, [(1, "a b c d")])).count() == 0
+    assert dedup.minhash_lsh_pairs(_docs(spark, [(1, "a b c d")])).count() == 0
+
+
+def test_textops_on_empty_and_blank_strings(spark):
+    df = _docs(spark, [(1, ""), (2, "   "), (3, "one two three")])
+    out = df.select(
+        "doc_id",
+        textops.token_count(F.col("text")).alias("n"),
+        textops.punct_ratio(F.col("text")).alias("pr"),
+    ).orderBy("doc_id").collect()
+    # blank docs must not crash and must not report negative/null counts
+    assert all(r.n >= 0 for r in out)
+    assert all(r.pr is not None and 0.0 <= r.pr <= 1.0 for r in out)
+    assert out[2].n == 3
+
+
+def test_exact_dedup_all_identical(spark):
+    df = _docs(spark, [(i, "same text") for i in range(5)])
+    groups = dedup.exact_hash_groups(df).collect()
+    assert len(groups) == 1
+    assert groups[0].dup_cnt == 5
+    assert groups[0].keep_id == 0
