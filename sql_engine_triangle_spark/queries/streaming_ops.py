@@ -10,6 +10,7 @@ batch-stream unification Spark's incrementalization model promises.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sql_engine_triangle_spark.catalog import load_table
 from sql_engine_triangle_spark.queries.registry import register
@@ -115,3 +116,46 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     is strictly `diff > gap`."""
     ev = load_table(spark, sf_dir, "events")
     return W.session_windows(ev).orderBy("user_id", "session_start")
+
+
+HOURLY_TOPK_ORACLE = """
+WITH hourly AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         event_type, count(*) AS n
+  FROM events
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY window_start
+                               ORDER BY n DESC, event_type) AS rn
+  FROM hourly
+)
+SELECT window_start, event_type, n
+FROM ranked WHERE rn = 1
+ORDER BY window_start
+"""
+
+
+@register("stream_hourly_topk", oracle=HOURLY_TOPK_ORACLE, tags=("STR-topk", "W1"))
+def stream_hourly_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending composite: top event type per hour — windowed count
+    then per-window rank-1 (deterministic event_type tie-break). The
+    batch twin of the classic streaming leaderboard; the rn=1 filter
+    gets WindowGroupLimit pushdown, so each map task ships one
+    candidate per (window, type) group. In streaming form the hourly
+    counts come from `windows.tumbling_counts` and the rank runs in
+    foreachBatch on the complete-mode sink."""
+    from pyspark.sql import Window as Wnd
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").getField("start").alias("window_start"),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+    w = Wnd.partitionBy("window_start").orderBy(F.desc("n"), "event_type")
+    return (
+        hourly.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("window_start", "event_type", "n")
+        .orderBy("window_start")
+    )
