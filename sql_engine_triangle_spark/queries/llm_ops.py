@@ -1145,3 +1145,47 @@ def pipeline_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("cohort_date", "day_offset")
     )
+
+
+GROUPED_MEDIAN_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       quantile_cont(value, 0.5) AS median_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("udaf_grouped_median", oracle=GROUPED_MEDIAN_ORACLE, tags=("UDAF",))
+def udaf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (the engine's UDAF extension
+    surface, SURVEY §2.10): per-group numpy median, Arrow-batched —
+    the shape a custom statistical aggregate plugs into. np.median's
+    linear interpolation is the same formula as the oracle's
+    quantile_cont(0.5), so values are bit-identical. Note the
+    grouped-agg UDF ships each group's column to Python — the
+    built-in percentile() stays JVM-side and is the preferred form
+    (q4); this entry exists to pin the extension mechanism."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def np_median(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy()))
+
+    # Spark disallows mixing grouped-agg pandas UDFs with JVM
+    # aggregates in one agg — the count rides as a second pandas agg.
+    @pandas_udf("long")
+    def np_count(v: pd.Series) -> int:
+        return len(v)
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            np_count(F.col("value")).alias("n"),
+            np_median(F.col("value")).alias("median_value"),
+        )
+        .orderBy("event_type")
+    )
