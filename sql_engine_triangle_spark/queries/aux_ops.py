@@ -1440,3 +1440,93 @@ def f_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("m").cast("long").alias("n_types"),
         F.element_at(F.col("m"), F.lit("purchase")).alias("n_purchases"),
     ).orderBy("user_id")
+
+
+SHARE_ORACLE = """
+WITH per_nation AS (
+  SELECT n_name,
+         CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DECIMAL(28,6)), 2) AS DOUBLE) AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, revenue,
+       revenue / sum(revenue) OVER () AS revenue_share
+FROM per_nation
+ORDER BY n_name
+"""
+
+
+@register("w_share_of_total", oracle=SHARE_ORACLE, tags=("W3", "A4"))
+def w_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total (ratio_to_report): each nation's revenue share
+    via an unpartitioned window — applied on the AGGREGATED frame
+    (|nations| rows), which is the scale-safe form: an over-()
+    window on the fact table would serialize all rows into one
+    partition, but here the single partition holds 25 rows. Revenue
+    is decimal-routed before the share division; the share divides
+    two identical doubles on both engines (bit-stable unrounded)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "decimal(28,6)"
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy()
+    return per_nation.select(
+        "n_name",
+        "revenue",
+        (F.col("revenue") / F.sum("revenue").over(w)).alias("revenue_share"),
+    ).orderBy("n_name")
+
+
+CTE_CHAIN_SQL = """
+WITH flagged AS (
+  SELECT l_orderkey, l_returnflag, l_quantity, l_extendedprice
+  FROM {lineitem}
+  WHERE l_returnflag IN ('A', 'R')
+),
+per_order AS (
+  SELECT l_orderkey, l_returnflag,
+         sum(l_quantity) AS qty,
+         count(*) AS n_lines
+  FROM flagged
+  GROUP BY l_orderkey, l_returnflag
+)
+SELECT l_returnflag,
+       count(*) AS n_orders,
+       sum(qty) AS total_qty,
+       max(n_lines) AS max_lines
+FROM per_order
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "sql_entry_cte_chain",
+    oracle=CTE_CHAIN_SQL.replace("{lineitem}", "lineitem"),
+    tags=("SQL-API",),
+)
+def sql_entry_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-CTE chain through the spark.sql() entry point — the
+    WITH-clause surface verified as text (same string runs on DuckDB
+    modulo table binding). l_quantity sums are whole numbers in the
+    fixture (exact in doubles), so no rounding is needed."""
+    ev = load_table(spark, sf_dir, "lineitem")
+    ev.createOrReplaceTempView("cte_lineitem")
+    return spark.sql(CTE_CHAIN_SQL.replace("{lineitem}", "cte_lineitem"))

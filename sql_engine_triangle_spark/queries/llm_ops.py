@@ -1049,9 +1049,12 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     docs = load_table(spark, sf_dir, "documents")
+    # emitted UNROUNDED: compressed-len / byte-len is integer/integer,
+    # bit-identical to any reference implementation (rounding would
+    # re-introduce engine-specific tie behavior — hit at sf0.1).
     return docs.select(
         "doc_id",
-        F.round(comp_ratio(F.col("text")), 4).alias("zlib_ratio"),
+        comp_ratio(F.col("text")).alias("zlib_ratio"),
     ).sortWithinPartitions("doc_id")
 
 

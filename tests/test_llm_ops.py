@@ -142,8 +142,8 @@ def test_multimodal_decode_is_stubbed():
 
 def test_compression_ratio_matches_direct_zlib(spark, ddb):
     """The pandas-UDF zlib kernel (no SQL oracle possible) must
-    reproduce direct zlib on the same rows, bit-for-bit after
-    round(4)."""
+    reproduce direct zlib on the same rows, bit-for-bit (unrounded
+    int/int division)."""
     import zlib
 
     got = (
@@ -155,7 +155,7 @@ def test_compression_ratio_matches_direct_zlib(spark, ddb):
     )
     texts = ddb.execute("SELECT doc_id, text FROM documents ORDER BY doc_id").df()
     ref = texts["text"].map(
-        lambda t: round(len(zlib.compress(t.encode("utf-8"), 6)) / max(len(t.encode()), 1), 4)
+        lambda t: len(zlib.compress(t.encode("utf-8"), 6)) / max(len(t.encode()), 1)
     )
     assert (got["zlib_ratio"].values == ref.values).all()
 
