@@ -1192,3 +1192,51 @@ def udaf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+UNIGRAM_LOGPROB_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+  FROM documents
+),
+freq AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY t
+),
+total AS (SELECT count(*) AS n FROM tok)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(avg(ln(CAST(freq.c AS DOUBLE) / total.n)), 6) AS avg_logprob
+FROM tok
+JOIN freq USING (t), total
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("text_unigram_logprob", oracle=UNIGRAM_LOGPROB_ORACLE, tags=("LLM-text",))
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram language-model score: mean log p(token) under
+    the corpus's own unigram distribution — the cheap perplexity
+    proxy that flags outlier/garbled documents. Plan: one token
+    explode feeds both the frequency table (vocab-bounded, broadcast)
+    and the per-doc average; corpus token total is a driver scalar
+    (one count). avg(ln(...)) is an order-varying double aggregate →
+    round(6), the precision at which ln agreed across engines on all
+    fixtures (text_term_stats precedent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(textops.tokens(F.col("text"))).alias("t")
+    )
+    n_total = tok.count()
+    freq = tok.groupBy("t").agg(F.count("*").alias("c"))
+    return (
+        tok.join(F.broadcast(freq), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.lit(float(n_total)))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
