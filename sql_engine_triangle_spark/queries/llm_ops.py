@@ -1240,3 +1240,54 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+INTERVAL_JOIN_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       v.event_id AS view_id,
+       p.user_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL '30 minutes'
+ AND v.ts <= p.ts
+ORDER BY purchase_id, view_id
+"""
+
+
+@register("j_interval_events", oracle=INTERVAL_JOIN_ORACLE, tags=("J-interval",))
+def j_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval join: every view within 30 minutes before each
+    purchase by the same user — the attribution-window join (all
+    touches, vs the as-of join's single latest touch). Equi-key on
+    user_id carries the shuffle; the interval predicate evaluates
+    inside the join — no cartesian. This is the batch twin of the
+    stream-stream interval join (watermarked range join,
+    tests/test_streaming.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    return (
+        p.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("v_ts") <= F.col("p_ts")),
+        )
+        .select(
+            "purchase_id",
+            "view_id",
+            "user_id",
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+        )
+        .orderBy("purchase_id", "view_id")
+    )

@@ -218,3 +218,49 @@ def test_stream_cdc_apply_foreachbatch(spark, tmp_path):
         merge_upsert(base, updates, "o_orderkey").orderBy("o_orderkey").toPandas()
     )
     assert_frames_match(got, want)
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    """Real stream-stream interval join: purchases joined to views
+    within [p.ts - 30min, p.ts] per user, both sides watermarked
+    (the condition Spark requires to bound join state). Must emit
+    exactly the batch interval-join pairs (j_interval_events twin)."""
+    from sql_engine_triangle_spark.queries import registry
+
+    src = W.stream_from_parquet(spark, SF_DIR_SMALL)
+    p = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    v = (
+        W.stream_from_parquet(spark, SF_DIR_SMALL)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+    ).select(
+        "purchase_id",
+        "view_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+    )
+    got = W.run_stream_to_memory(spark, joined, "t_ssij", output_mode="append")
+    want = registry.get("j_interval_events").fn(spark, SF_DIR_SMALL)
+    assert_frames_match(
+        got.orderBy("purchase_id", "view_id").toPandas(),
+        want.toPandas(),
+    )
