@@ -53,6 +53,8 @@ EXTRA = [
     # benched scale path for pair generation is dedup_minhash_lsh.
     "emb_l2_normalize",
     "text_compression_ratio",
+    "j_interval_events",
+    "pipeline_cohort_retention",
 ]
 
 
