@@ -29,7 +29,11 @@ def merge_upsert(
     - rows whose key appears in ``deletes`` are dropped (matched →
       DELETE).
 
-    ``updates`` must share the base schema. Returns the new snapshot.
+    ``updates`` must share the base schema, and both ``updates`` and
+    ``base`` must be unique on ``key`` — the same precondition ANSI
+    MERGE enforces (a duplicate update key would emit one merged row
+    per duplicate instead of raising, as MERGE does). Returns the new
+    snapshot.
     """
     non_key = [c for c in base.columns if c != key]
     upd = updates.select(
