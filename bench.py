@@ -31,7 +31,7 @@ HEADLINE = [
     "q2_town_month_rollup",
     "q3_yoy_window",
     "q4_top_nations_percentiles",
-    "q4_approx_percentiles",
+    "q4_approx_sketch",
 ]
 # Optional extras benched when present (filled in as rounds add ops).
 EXTRA = [
@@ -102,7 +102,7 @@ def main() -> None:
         "q2_town_month_rollup": "q2",
         "q3_yoy_window": "q3",
         "q4_top_nations_percentiles": "q4",
-        "q4_approx_percentiles": "q4a",
+        "q4_approx_sketch": "q4a",
     }
     print(
         json.dumps(

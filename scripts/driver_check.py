@@ -13,6 +13,7 @@ Usage: python scripts/driver_check.py [sf_dir]
 
 from __future__ import annotations
 
+import datetime
 import math
 import sys
 import time
@@ -40,6 +41,60 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif s.dtype == object:
             df[c] = s.astype(str)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def strict_driver_match(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
+    """Replicate the external driver's canonicalize+value-hash semantics:
+    sort columns by name, sort rows by all columns (this step CRASHES on
+    unhashable cells like lists — surfaced here as a failure), then
+    compare cell values with NO dtype coercion. A BIGINT 12000 vs DOUBLE
+    12000.0 is a mismatch here even though the tolerant pass accepts it,
+    because the driver's value hash distinguishes them
+    (CORRECTNESS_r02: a_global_stats, f_map_ops)."""
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            s = df[c]
+            if pd.api.types.is_datetime64_any_dtype(s):
+                df[c] = pd.to_datetime(s).dt.tz_localize(None).astype("datetime64[us]")
+            elif s.dtype == object and s.map(
+                lambda v: v is None or isinstance(v, datetime.date)
+            ).all() and s.notna().any():
+                # Spark DateType -> object(datetime.date) while DuckDB DATE
+                # -> datetime64[us]; the real driver matched these in r2
+                # (q2_town_month_rollup et al. green), so normalize rather
+                # than flag.
+                df[c] = pd.to_datetime(s).astype("datetime64[us]")
+        return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+
+    try:
+        ca, cb = canon(a), canon(b)
+    except TypeError as e:
+        return f"driver canonicalizer would crash: {e}"
+    for c in ca.columns:
+        ka, kb = ca[c].dtype.kind, cb[c].dtype.kind
+        if ka != kb:
+            return (
+                f"col {c}: dtype skew {ca[c].dtype} vs {cb[c].dtype} — "
+                "driver value-hash distinguishes these"
+            )
+        if ka == "O":
+            for i, v in enumerate(ca[c]):
+                try:
+                    hash(v)
+                except TypeError:
+                    return f"col {c} row {i}: unhashable cell ({type(v).__name__})"
+    sa, sb = ca.astype(str), cb.astype(str)
+    if not sa.equals(sb):
+        for c in sa.columns:
+            neq = sa[c] != sb[c]
+            if neq.any():
+                i = neq.idxmax()
+                return f"col {c} row {i}: strict {sa[c][i]!r} vs {sb[c][i]!r}"
+    return None
 
 
 def values_match(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
@@ -98,7 +153,9 @@ def main() -> int:
                 print(f"[FAIL] {name}: oracle error: {e}")
                 n_fail += 1
                 continue
-            err = values_match(spark_pdf, oracle_pdf)
+            err = values_match(spark_pdf, oracle_pdf) or strict_driver_match(
+                spark_pdf, oracle_pdf
+            )
             if err:
                 print(f"[FAIL] {name}: {err}")
                 n_fail += 1
@@ -106,8 +163,15 @@ def main() -> int:
                 print(f"[ok]   {name}: {len(spark_pdf)} rows match oracle ({dt:.1f}s)")
                 n_pass += 1
         else:
-            print(f"[rows] {name}: {len(spark_pdf)} rows (no oracle, rows-only) ({dt:.1f}s)")
-            n_rows_only += 1
+            err = strict_driver_match(spark_pdf, spark_pdf)
+            if err:
+                print(f"[FAIL] {name}: rows-only result not driver-hashable: {err}")
+                n_fail += 1
+            else:
+                print(
+                    f"[rows] {name}: {len(spark_pdf)} rows (no oracle, rows-only) ({dt:.1f}s)"
+                )
+                n_rows_only += 1
 
     print(f"\n{n_pass} oracle-match, {n_rows_only} rows-only, {n_fail} FAIL")
     return 1 if n_fail else 0

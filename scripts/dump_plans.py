@@ -46,6 +46,13 @@ def main() -> None:
         "engine: check PushedFilters/ReadSchema (pushdown + pruning), partial",
         "+ final HashAggregate, BroadcastHashJoin, TakeOrderedAndProject.",
         "",
+        "Bench-history note (r3): `j_star_revenue`'s r1→r2 step (0.87→1.24 s)",
+        "is the noop-sink measurement fix, not a plan change — r1 timed a",
+        "`.count()` that let Catalyst prune the revenue aggregation columns.",
+        "Re-measured solo in a fresh session (r3): ~1.3 s, plan unchanged",
+        "(4 BroadcastHashJoins, one fact-side agg exchange, decimal-routed",
+        "sum). Stable; nothing to fix.",
+        "",
     ]
     for name in QUERIES:
         df = registry.get(name).fn(spark, sf_dir)

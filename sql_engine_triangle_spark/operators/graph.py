@@ -71,3 +71,90 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("vid"), F.col("label").alias("component"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(vid, component) via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — same output contract as ``connected_components`` but
+    O(log n) rounds regardless of graph diameter, so it is the right
+    variant for adversarial shapes (long chains of pairwise near-dups,
+    e.g. chained paraphrases) where min-label propagation needs
+    diameter-many rounds.
+
+    Each round is two neighbor-min aggregations + edge rewrites —
+    the same groupBy/join shuffle primitive as the fixpoint form, all
+    hash-partitioned by vertex id. Fixpoint detection compares a
+    (count, xxhash64-sum) signature of the canonical undirected edge
+    set — two cheap aggregates, no driver-side data. At convergence
+    the edge set is a union of stars centered on each component's
+    minimum vertex."""
+    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    if not e.head(1):
+        return e.select(F.col("u").alias("vid"), F.col("v").alias("component"))
+    # symmetric representation: both directions present
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    sym = sym.localCheckpoint()
+
+    def signature(sym_edges: DataFrame) -> tuple:
+        canon = sym_edges.filter(F.col("u") < F.col("v"))
+        row = canon.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def large_star(sym_edges: DataFrame) -> DataFrame:
+        # per-u hub: min(neighbors ∪ {u}); attach strictly-larger
+        # neighbors to the hub
+        m = sym_edges.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        out = (
+            sym_edges.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return out.union(
+            out.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+
+    def small_star(sym_edges: DataFrame) -> DataFrame:
+        # per-u over smaller neighbors only: hub = min(N<(u) ∪ {u});
+        # attach u and its smaller neighbors to the hub
+        smaller = sym_edges.filter(F.col("v") < F.col("u"))
+        m = smaller.groupBy("u").agg(F.min("v").alias("m"))
+        to_hub = (
+            smaller.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return to_hub.union(
+            to_hub.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+
+    sig = signature(sym)
+    for _ in range(max_iter):
+        sym = small_star(large_star(sym)).localCheckpoint()
+        new_sig = signature(sym)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # stars: every non-center vertex has its component min among its
+    # neighbors; centers label themselves
+    return (
+        sym.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("component"))
+        .select(F.col("u").alias("vid"), "component")
+    )

@@ -34,14 +34,26 @@ def merge_upsert(
     MERGE enforces (a duplicate update key would emit one merged row
     per duplicate instead of raising, as MERGE does). Returns the new
     snapshot.
+
+    Matched rows take the update's columns UNCONDITIONALLY (a presence
+    flag marks matched keys, not per-column coalesce), so an update
+    that explicitly sets a non-key column to NULL nulls it out —
+    matching ANSI MERGE ``UPDATE SET col = NULL`` semantics.
     """
     non_key = [c for c in base.columns if c != key]
     upd = updates.select(
-        F.col(key), *[F.col(c).alias(f"__u_{c}") for c in non_key]
+        F.col(key),
+        F.lit(True).alias("__u_present"),
+        *[F.col(c).alias(f"__u_{c}") for c in non_key],
     )
     merged = base.join(upd, key, "full_outer").select(
         F.col(key),
-        *[F.coalesce(F.col(f"__u_{c}"), F.col(c)).alias(c) for c in non_key],
+        *[
+            F.when(F.col("__u_present"), F.col(f"__u_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in non_key
+        ],
     )
     if deletes is not None:
         merged = merged.join(deletes.select(key).distinct(), key, "left_anti")

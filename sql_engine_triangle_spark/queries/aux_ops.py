@@ -223,7 +223,7 @@ SELECT
   CAST(round(CAST(avg(l_extendedprice) AS DECIMAL(18,6)), 2) AS DOUBLE) AS avg_price,
   round(min(l_extendedprice), 2) AS min_price,
   round(max(l_extendedprice), 2) AS max_price,
-  round(sum(length(l_returnflag) + length(l_linestatus)), 0) AS sum_flag_len
+  CAST(sum(length(l_returnflag) + length(l_linestatus)) AS BIGINT) AS sum_flag_len
 FROM lineitem
 """
 
@@ -244,7 +244,7 @@ def a_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_stable(F.avg("l_extendedprice")).alias("avg_price"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-        F.round(F.sum(F.length("l_returnflag") + F.length("l_linestatus")), 0).alias(
+        F.sum(F.length("l_returnflag") + F.length("l_linestatus")).alias(
             "sum_flag_len"
         ),
     )
@@ -1408,8 +1408,8 @@ WITH cnt AS (
   FROM events GROUP BY user_id, event_type
 )
 SELECT user_id,
-       list(event_type ORDER BY event_type) AS types,
-       list(c ORDER BY event_type) AS counts,
+       array_to_string(list(event_type ORDER BY event_type), ',') AS types,
+       array_to_string(list(c ORDER BY event_type), ',') AS counts,
        count(*) AS n_types,
        max(CASE WHEN event_type = 'purchase' THEN c END) AS n_purchases
 FROM cnt
@@ -1423,9 +1423,10 @@ def f_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed column surface: per-user event_type→count map built
     with map_from_entries over key-sorted entries, then decomposed
     via map_keys/map_values/size/element_at (missing key → NULL,
-    matching the oracle's CASE-max). Output is the sorted-array
-    decomposition so the cross-engine compare is representation-
-    independent. Two aggregations, both with map-side partials."""
+    matching the oracle's CASE-max). The sorted key/value arrays are
+    emitted as comma-joined strings — scalar cells only, since the
+    external driver's canonicalizer cannot hash list cells. Two
+    aggregations, both with map-side partials."""
     ev = load_table(spark, sf_dir, "events")
     cnt = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
     m = cnt.groupBy("user_id").agg(
@@ -1435,8 +1436,9 @@ def f_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.select(
         "user_id",
-        F.map_keys("m").alias("types"),
-        F.map_values("m").alias("counts"),
+        F.array_join(F.map_keys("m"), ",").alias("types"),
+        F.array_join(F.transform(F.map_values("m"), lambda c: c.cast("string")), ",")
+        .alias("counts"),
         F.size("m").cast("long").alias("n_types"),
         F.element_at(F.col("m"), F.lit("purchase")).alias("n_purchases"),
     ).orderBy("user_id")
@@ -1446,14 +1448,15 @@ SHARE_ORACLE = """
 WITH per_nation AS (
   SELECT n_name,
          CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                         AS DECIMAL(28,6)), 2) AS DOUBLE) AS revenue
+                         AS DECIMAL(28,6)), 2) AS DECIMAL(28,2)) AS rev_dec
   FROM orders
   JOIN customer ON o_custkey = c_custkey
   JOIN nation ON c_nationkey = n_nationkey
   GROUP BY n_name
 )
-SELECT n_name, revenue,
-       revenue / sum(revenue) OVER () AS revenue_share
+SELECT n_name, CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(rev_dec AS DOUBLE) / CAST(sum(rev_dec) OVER () AS DOUBLE)
+         AS revenue_share
 FROM per_nation
 ORDER BY n_name
 """
@@ -1465,9 +1468,12 @@ def w_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     via an unpartitioned window — applied on the AGGREGATED frame
     (|nations| rows), which is the scale-safe form: an over-()
     window on the fact table would serialize all rows into one
-    partition, but here the single partition holds 25 rows. Revenue
-    is decimal-routed before the share division; the share divides
-    two identical doubles on both engines (bit-stable unrounded)."""
+    partition, but here the single partition holds 25 rows. BOTH the
+    per-nation revenue AND the window total stay in exact decimal
+    until a single cast to double: a double-summed total accumulates
+    in engine-specific order (caught as a 1-ULP share skew at
+    sf0.001), while the decimal total is exact, so the share divides
+    two bit-identical doubles on both engines."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nat = load_table(spark, sf_dir, "nation")
@@ -1482,15 +1488,18 @@ def w_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 2,
             )
-            .cast("double")
-            .alias("revenue")
+            .cast("decimal(28,2)")
+            .alias("rev_dec")
         )
     )
     w = Window.partitionBy()
     return per_nation.select(
         "n_name",
-        "revenue",
-        (F.col("revenue") / F.sum("revenue").over(w)).alias("revenue_share"),
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(w).cast("double")
+        ).alias("revenue_share"),
     ).orderBy("n_name")
 
 

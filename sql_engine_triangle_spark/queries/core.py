@@ -396,29 +396,40 @@ def q4_two_key_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q4' — the ClickHouse-flavored approximate variant (A10/A11 sketches).
-# No oracle: sketch outputs are engine-specific (the lab itself pairs
-# exact PERCENTILE_CONT on row engines with quantileTDigest on CH —
-# q4 README.md:64-67 vs :222-225). Driver records rows-only.
+# Two registered forms:
+#   * q4_approx_sketch — the raw sketch outputs (bench entry "q4a");
+#     no oracle, because sketch values are engine-specific (the lab
+#     itself pairs exact PERCENTILE_CONT on row engines with
+#     quantileTDigest on CH — q4 README.md:64-67 vs :222-225).
+#   * q4_approx_percentiles — the driver-visible VALIDATION form: it
+#     computes the sketches AND their exact bounds in one aggregation
+#     and emits deterministic within-tolerance booleans, so the DuckDB
+#     oracle (which cannot see the sketch values) asserts the expected
+#     outcome (all TRUE) and the row hash-matches deterministically.
 # ---------------------------------------------------------------------------
 
 
-@register("q4_approx_percentiles", oracle=None, tags=("A10", "A11"))
-def q4_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q4_approx_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "l_extendedprice", "l_partkey")
+    )
+
+
+@register("q4_approx_sketch", oracle=None, tags=("A10", "A11"))
+def q4_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based Q4: approx_percentile (Greenwald-Khanna; the CH
     analog is quantileTDigest, q4 README.md:222-225) and HLL++
     approx_count_distinct (`uniq`, clickhouse/queries.sql:21-27).
     This is the default path at 100 TB: single pass, bounded memory,
     mergeable sketches — no per-group full sort."""
-    li = load_table(spark, sf_dir, "lineitem")
-    supp = load_table(spark, sf_dir, "supplier")
-    nat = load_table(spark, sf_dir, "nation")
-    fact = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
-        .select(F.col("n_name").alias("nation"), "l_extendedprice", "l_partkey")
-    )
     return (
-        fact.groupBy("nation")
+        _q4_approx_fact(spark, sf_dir)
+        .groupBy("nation")
         .agg(
             F.count("*").alias("cnt"),
             F.round(
@@ -428,3 +439,50 @@ def q4_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cnt"), "nation")
     )
+
+
+Q4_APPROX_VALIDATION_ORACLE = """
+SELECT n_name AS nation,
+       count(*) AS cnt,
+       TRUE AS p50_within_tol,
+       TRUE AS uniq_within_tol
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY cnt DESC, nation
+"""
+
+
+@register("q4_approx_percentiles", oracle=Q4_APPROX_VALIDATION_ORACLE, tags=("A10", "A11"))
+def q4_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance validation of the Q4 sketches. One aggregation computes
+    both the sketch and its exact bound: approx_percentile(0.5, acc=1e4)
+    must land inside the exact [p45, p55] interpolated band (GK rank
+    error is n/10000 ≪ the ±5%-rank band), and HLL++ (default rsd 0.05)
+    must be within 15% (3σ) of the exact distinct count. The emitted
+    booleans are deterministic given the data — sketch noise lives well
+    inside the band — so the oracle asserts the expected TRUEs and the
+    driver's value hash is stable."""
+    agg = (
+        _q4_approx_fact(spark, sf_dir)
+        .groupBy("nation")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("_p50a"),
+            F.expr("percentile(l_extendedprice, array(0.45, 0.55))").alias("_band"),
+            F.approx_count_distinct("l_partkey").alias("_ua"),
+            F.countDistinct("l_partkey").alias("_ue"),
+        )
+    )
+    return agg.select(
+        "nation",
+        "cnt",
+        (
+            (F.col("_p50a") >= F.element_at("_band", 1))
+            & (F.col("_p50a") <= F.element_at("_band", 2))
+        ).alias("p50_within_tol"),
+        (
+            F.abs(F.col("_ua") - F.col("_ue")) <= 0.15 * F.col("_ue")
+        ).alias("uniq_within_tol"),
+    ).orderBy(F.desc("cnt"), "nation")

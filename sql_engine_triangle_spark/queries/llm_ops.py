@@ -104,19 +104,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, threshold=0.5, round_digits=None)
 
 
-@register("dedup_minhash_lsh", oracle=DEDUP_NGRAM_ORACLE, tags=("LLM-dedup",))
+DEDUP_MINHASH_ORACLE = f"""
+WITH {_NGRAM_PAIR_CTES}
+SELECT doc_a, doc_b, jaccard FROM pairs
+WHERE jaccard >= 0.9
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_minhash_lsh", oracle=DEDUP_MINHASH_ORACLE, tags=("LLM-dedup",))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + 16×4 banded LSH candidate pairs, exact-Jaccard
-    verified at 0.5.
-
-    Oracle: the exact n-gram-Jaccard pair SQL (same as
-    dedup_ngram_jaccard). LSH output is a subset of the exact pairs
-    with per-pair miss probability (1 - J^4)^16 ≈ 2e-4 at J = 0.8 —
-    at fixture scale the outputs match exactly; the pytest recall
-    test remains the semantic guard if a future fixture ever lands on
-    a band-miss."""
+    verified — registered at threshold 0.9 so the equality oracle is
+    robust: a J >= 0.9 pair is band-missed with probability
+    (1 - 0.9^4)^16 ≈ 4e-8, i.e. the LSH output deterministically
+    equals the exact-Jaccard pair set at this threshold. The general
+    operator keeps its 0.5 default (16×4 banding's s-curve midpoint
+    is (1/16)^(1/4) = 0.5) — at 0.5 a J≈0.5 pair is missed with
+    p ≈ 0.355, so exact equality there is fixture-luck; that regime
+    is covered by the pytest recall/subset guard instead
+    (tests/test_dedup.py). Candidate generation is identical at
+    either threshold — only the final verify filter differs."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    return dedup.minhash_lsh_pairs(docs, threshold=0.9)
 
 
 CLUSTERS_ORACLE = f"""
@@ -158,20 +168,42 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_clusters_lsh", oracle=None, tags=("LLM-dedup",))
+CLUSTERS_LSH_ORACLE = f"""
+WITH RECURSIVE {_NGRAM_PAIR_CTES},
+hp AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.9),
+e AS (
+  SELECT doc_a AS u, doc_b AS v FROM hp
+  UNION
+  SELECT doc_b, doc_a FROM hp
+),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+)
+SELECT u AS doc_id, least(u, min(v)) AS component
+FROM reach
+GROUP BY u
+ORDER BY doc_id
+"""
+
+
+@register("dedup_clusters_lsh", oracle=CLUSTERS_LSH_ORACLE, tags=("LLM-dedup",))
 def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production clustering path: connected components over the
-    MinHash-LSH candidate pairs (bounded-fanout pair generation)
-    instead of the exact quadratic pair join. Rows-only (LSH seeds
-    are engine-specific); pytest asserts equality with the
-    oracle-backed dedup_clusters on the fixtures, where the LSH pair
-    set matches the exact set."""
-    from sql_engine_triangle_spark.operators.graph import connected_components
+    """The production clustering path end-to-end: MinHash-LSH pair
+    generation (bounded fanout, no quadratic join) feeding the
+    alternating large-star/small-star connected-components operator
+    (O(log n) rounds at any graph diameter). Registered at threshold
+    0.9, where the LSH pair set deterministically equals the exact
+    pair set (band-miss p ≈ 4e-8 — see dedup_minhash_lsh), so the
+    recursive-CTE closure over exact >= 0.9 pairs is a sound equality
+    oracle for the whole pipeline."""
+    from sql_engine_triangle_spark.operators.graph import connected_components_star
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.9)
     return (
-        connected_components(pairs)
+        connected_components_star(pairs)
         .select(F.col("vid").alias("doc_id"), "component")
         .orderBy("doc_id")
     )
@@ -827,8 +859,8 @@ WITH v AS (
 SELECT vec_id,
        len(e) AS dim,
        round(nrm, 4) AS l2_norm,
-       round(e[1] / nrm, 4) AS u0,
-       round(e[2] / nrm, 4) AS u1
+       round(e[1] / nrm, 4) + 0.0 AS u0,
+       round(e[2] / nrm, 4) + 0.0 AS u1
 FROM v
 ORDER BY vec_id
 """
@@ -848,12 +880,16 @@ def emb_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
     base = emb.select("vec_id", v.alias("e"), nrm.alias("nrm"))
+    # `+ 0.0` collapses IEEE negative zero: round() can yield -0.0 from
+    # a tiny negative component in one engine and +0.0 in the other —
+    # equal as floats but distinct to the driver's string-based value
+    # hash (caught at sf0.1).
     return base.select(
         "vec_id",
         F.size("e").alias("dim"),
         F.round("nrm", 4).alias("l2_norm"),
-        F.round(F.element_at("e", 1) / F.col("nrm"), 4).alias("u0"),
-        F.round(F.element_at("e", 2) / F.col("nrm"), 4).alias("u1"),
+        (F.round(F.element_at("e", 1) / F.col("nrm"), 4) + F.lit(0.0)).alias("u0"),
+        (F.round(F.element_at("e", 2) / F.col("nrm"), 4) + F.lit(0.0)).alias("u1"),
     ).orderBy("vec_id")
 
 
@@ -1070,7 +1106,7 @@ cnt AS (
 )
 SELECT doc_id,
        max(c) AS top_term_n,
-       sum(c) AS n_tokens,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
        max(c) / sum(c) AS rep_ratio
 FROM cnt
 GROUP BY doc_id

@@ -8,11 +8,21 @@ from sql_engine_triangle_spark.queries import registry
 from tests.conftest import SF_DIR, assert_frames_match
 
 
+def test_q4_approx_validation_all_true(spark):
+    """A10/A11 driver form: the tolerance-validation entry must emit
+    within-tolerance TRUE for every nation (matching its oracle's
+    asserted expectation)."""
+    pdf = registry.get("q4_approx_percentiles").fn(spark, SF_DIR).toPandas()
+    assert len(pdf) > 0
+    assert pdf["p50_within_tol"].all(), pdf[~pdf["p50_within_tol"]]
+    assert pdf["uniq_within_tol"].all(), pdf[~pdf["uniq_within_tol"]]
+
+
 def test_q4_approx_close_to_exact(spark):
     """A10 tolerance: approx_percentile within 5% of exact p50 (the
     lab's CH-vs-PG exact/approx pairing, q4 README.md:64 vs :222)."""
     approx = (
-        registry.get("q4_approx_percentiles").fn(spark, SF_DIR).toPandas().set_index("nation")
+        registry.get("q4_approx_sketch").fn(spark, SF_DIR).toPandas().set_index("nation")
     )
     exact = (
         registry.get("q4_top_nations_percentiles")

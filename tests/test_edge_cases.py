@@ -31,6 +31,19 @@ def test_merge_empty_base_inserts_all(spark):
     assert [(r.k, r.v, r.s) for r in out] == [(5, 1.0, "x")]
 
 
+def test_merge_explicit_null_update_nulls_out(spark):
+    """ANSI MERGE UPDATE SET col = NULL: a matched update row that
+    carries NULL in a non-key column must null the base value, not
+    silently keep it (the coalesce form's bug)."""
+    base = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b")], "k long, v double, s string"
+    )
+    upd = spark.createDataFrame([(1, None, "z")], "k long, v double, s string")
+    out = {r.k: (r.v, r.s) for r in merge_upsert(base, upd, "k").collect()}
+    assert out[1] == (None, "z")
+    assert out[2] == (20.0, "b")
+
+
 def test_merge_delete_everything(spark):
     base = spark.createDataFrame([(1, 1.0, "a")], "k long, v double, s string")
     out = merge_upsert(base, base.filter(F.lit(False)), "k", deletes=base)

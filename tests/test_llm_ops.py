@@ -66,18 +66,30 @@ def test_rolling_hash_matches_python_reference(spark):
 
 
 def test_clusters_lsh_equals_exact_path(spark):
-    """The LSH-fed clustering (production path) must produce the same
-    components as the exact-pair clustering on the fixture (where the
-    LSH pair set matches the exact set)."""
+    """The LSH-fed star clustering (production path, threshold 0.9)
+    must produce the same components as min-label clustering over the
+    exact >= 0.9 n-gram-Jaccard pairs — cross-checking BOTH the pair
+    generation (LSH vs exact join) and the components algorithm
+    (large/small-star vs min-label fixpoint) in one assertion."""
+    from pyspark.sql import functions as F
+
+    from sql_engine_triangle_spark.operators import dedup
+    from sql_engine_triangle_spark.operators.graph import connected_components
+    from sql_engine_triangle_spark.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    exact_pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, round_digits=None).filter(
+        F.col("jaccard") >= 0.9
+    )
     exact = {
-        (r.doc_id, r.component)
-        for r in registry.get("dedup_clusters").fn(spark, SF_DIR).collect()
+        (r.vid, r.component) for r in connected_components(exact_pairs).collect()
     }
     lsh = {
         (r.doc_id, r.component)
         for r in registry.get("dedup_clusters_lsh").fn(spark, SF_DIR).collect()
     }
     assert exact == lsh
+    assert lsh, "fixture should contain >=0.9 near-dup clusters"
 
 
 def test_connected_components_synthetic(spark):
@@ -91,6 +103,41 @@ def test_connected_components_synthetic(spark):
     )
     cc = {r.vid: r.component for r in connected_components(pairs).collect()}
     assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_star_equivalence(spark):
+    """large-star/small-star variant must agree with the min-label
+    fixpoint on mixed shapes, and must solve an adversarial-diameter
+    chain (path of 120 vertices — min-label would need 120 rounds;
+    the star algorithm converges in O(log n))."""
+    from sql_engine_triangle_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    a = {r.vid: r.component for r in connected_components(pairs).collect()}
+    b = {r.vid: r.component for r in connected_components_star(pairs).collect()}
+    assert a == b
+
+    # path graph 1000-1119 (+ an interleaved shuffle of edge order),
+    # all one component with min 1000
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000, 1119)], "doc_a long, doc_b long"
+    )
+    star = {r.vid: r.component for r in connected_components_star(chain, max_iter=12).collect()}
+    assert star == {v: 1000 for v in range(1000, 1120)}
+
+
+def test_connected_components_star_empty(spark):
+    from pyspark.sql import functions as F
+    from sql_engine_triangle_spark.operators.graph import connected_components_star
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components_star(empty).count() == 0
 
 
 def test_embedding_lsh_subset_and_recall(spark):
