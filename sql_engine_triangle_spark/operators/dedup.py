@@ -168,6 +168,7 @@ def minhash_lsh_pairs(
     rows: int = LSH_ROWS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    candidate_filtered_verify: bool = False,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
 
@@ -179,19 +180,27 @@ def minhash_lsh_pairs(
     Only documents sharing a band bucket are ever paired, so the join
     fan-out is bounded by bucket occupancy, not |docs|² — this is the
     100 TB path.
+
+    The signature aggregation and the verify-side shingle-set
+    aggregation are SEPARATE groupBys: a combined agg (minima +
+    collect_set in one pass) feeds three consumers whose pruned
+    column sets differ, so Catalyst cannot reuse the exchange and the
+    wide agg runs three times (measured 2.7 s → 2.0 s on the sf0.1
+    fixture after splitting; the two shingle-set consumers are
+    identical subplans and DO share one exchange).
+
+    ``candidate_filtered_verify=True`` additionally semi-joins the
+    shingle-set aggregation down to documents that appear in some
+    candidate pair before collecting sets. At 100 TB that is the
+    right shape — collect_set over every document shuffles the whole
+    shingle corpus, while candidates are a tiny fraction — but it
+    serializes the verify scan behind candidate generation, which
+    costs ~2× on the single-machine fixture, so it is opt-in.
     """
-    # ONE shingle pass for both signatures and the verify-side
-    # shingle sets: the per-doc aggregation computes the 64 minima
-    # AND collect_set(s) together, so the two consumers below share
-    # the same exchange (ReuseExchange) instead of each re-running
-    # scan → split → explode → shuffle (measured ~1.8× on the sf0.1
-    # fixture vs separate signature + shingle-set passes).
     num_perms = bands * rows
     exploded = shingle_rows(docs, id_col, text_col, n)
-    per_doc = exploded.groupBy("doc_id").agg(
-        *_minhash_min_cols(num_perms), F.collect_set("s").alias("sh")
-    )
-    sigs = per_doc.select(
+    sig_agg = exploded.groupBy("doc_id").agg(*_minhash_min_cols(num_perms))
+    sigs = sig_agg.select(
         "doc_id", F.array(*[F.col(f"m{p}") for p in range(num_perms)]).alias("sig")
     )
     band_keys = F.expr(
@@ -215,10 +224,16 @@ def minhash_lsh_pairs(
     # sets (array_intersect/union). Measured against an
     # exploded-shingle join variant: the array form wins here because
     # it adds only one collect_set shuffle, vs three extra
-    # shingle_rows+join shuffles for the exploded form. The sets come
-    # from the SAME per_doc aggregation as the signatures (shared
-    # exchange).
-    sh = per_doc.select("doc_id", "sh")
+    # shingle_rows+join shuffles for the exploded form.
+    verify_src = shingle_rows(docs, id_col, text_col, n)
+    if candidate_filtered_verify:
+        cand_ids = (
+            cands.select(F.col("doc_a").alias("doc_id"))
+            .union(cands.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        verify_src = verify_src.join(F.broadcast(cand_ids), "doc_id", "semi")
+    sh = verify_src.groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

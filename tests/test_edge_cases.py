@@ -56,6 +56,27 @@ def test_dedup_pairs_on_empty_and_single(spark):
     assert dedup.minhash_lsh_pairs(_docs(spark, [(1, "a b c d")])).count() == 0
 
 
+def test_minhash_candidate_filtered_verify_equivalent(spark):
+    """The scale-path verify (shingle sets collected only for candidate
+    docs) must emit exactly the same pairs as the default full verify."""
+    from sql_engine_triangle_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    base = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.9).collect()
+    }
+    filt = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in dedup.minhash_lsh_pairs(
+            docs, threshold=0.9, candidate_filtered_verify=True
+        ).collect()
+    }
+    assert base == filt
+    assert base, "fixture should contain >=0.9 pairs"
+
+
 def test_textops_on_empty_and_blank_strings(spark):
     df = _docs(spark, [(1, ""), (2, "   "), (3, "one two three")])
     out = df.select(
