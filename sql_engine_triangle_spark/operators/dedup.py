@@ -132,6 +132,74 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_lsh_pairs_against(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric near-dup: each ``incoming`` document against an
+    existing ``corpus`` — the production ingest shape, where every new
+    batch is deduplicated against the accumulated corpus rather than
+    within itself. Emits (doc_new, doc_corpus, jaccard >= threshold).
+
+    Same banded-LSH machinery as ``minhash_lsh_pairs`` but the bucket
+    join is ACROSS the two frames only (no within-side pairs). At
+    100 TB the corpus side's (band, bucket) keys and shingle sets are
+    a precomputable per-snapshot index (append-only as batches are
+    admitted), and the incoming batch's banded keys are small enough
+    to broadcast — an ingest-time dedup pass then never rescans the
+    corpus text, it probes the index. Here both sides are derived
+    inline from their frames; the structure (separate signature and
+    shingle-set aggregations per side — see minhash_lsh_pairs) is the
+    index-build computation itself.
+    """
+    num_perms = bands * rows
+
+    def side(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+        ex = shingle_rows(docs, id_col, text_col, n)
+        sig_agg = ex.groupBy("doc_id").agg(*_minhash_min_cols(num_perms))
+        sigs = sig_agg.select(
+            "doc_id",
+            F.array(*[F.col(f"m{p}") for p in range(num_perms)]).alias("sig"),
+        )
+        banded = sigs.select(
+            "doc_id", F.posexplode(_band_keys_expr(bands, rows)).alias("band", "bucket")
+        )
+        sh = ex.groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
+        return banded, sh
+
+    banded_new, sh_new = side(incoming)
+    banded_corp, sh_corp = side(corpus)
+    cands = (
+        banded_new.select("band", "bucket", F.col("doc_id").alias("doc_new"))
+        .join(
+            banded_corp.select("band", "bucket", F.col("doc_id").alias("doc_corpus")),
+            ["band", "bucket"],
+        )
+        .select("doc_new", "doc_corpus")
+        .dropDuplicates(["doc_new", "doc_corpus"])
+    )
+    sh_a = sh_new.select(F.col("doc_id").alias("doc_new"), F.col("sh").alias("sh_a"))
+    sh_b = sh_corp.select(
+        F.col("doc_id").alias("doc_corpus"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cands.join(sh_a, "doc_new")
+        .join(sh_b, "doc_corpus")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_new", "doc_corpus", "jaccard")
+        .orderBy("doc_new", "doc_corpus")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_perms: int = MINHASH_PERMS,
@@ -158,6 +226,17 @@ def minhash_signatures(
     per_doc = exploded.groupBy("doc_id").agg(*_minhash_min_cols(num_perms))
     sig = F.array(*[F.col(f"m{p}") for p in range(num_perms)])
     return per_doc.select("doc_id", sig.alias("sig"))
+
+
+def _band_keys_expr(bands: int, rows: int):
+    """array<(band, bucket-hash)> over a ``sig`` column: per band, the
+    xxhash64 of that band's signature rows (band index salts the hash
+    so identical row-slices in different bands never collide)."""
+    return F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> "
+        f"  xxhash64(concat_ws(',', transform(slice(sig, b * {rows} + 1, {rows}), "
+        f"    v -> cast(v as string))), b))"
+    )
 
 
 def minhash_lsh_pairs(
@@ -203,11 +282,7 @@ def minhash_lsh_pairs(
     sigs = sig_agg.select(
         "doc_id", F.array(*[F.col(f"m{p}") for p in range(num_perms)]).alias("sig")
     )
-    band_keys = F.expr(
-        f"transform(sequence(0, {bands - 1}), b -> "
-        f"  xxhash64(concat_ws(',', transform(slice(sig, b * {rows} + 1, {rows}), "
-        f"    v -> cast(v as string))), b))"
-    )
+    band_keys = _band_keys_expr(bands, rows)
     # Candidate generation on bare ids only — the shingle arrays are
     # joined back AFTER pair dedup so the band self-join and the
     # dropDuplicates shuffle move narrow rows, not document payloads.

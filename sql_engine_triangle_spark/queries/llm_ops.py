@@ -168,6 +168,66 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DEDUP_INCREMENTAL_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+shing AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM tok
+),
+flag AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              AS INTEGER) % 100 >= 80 AS is_new
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shing),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shing),
+inter AS (
+  SELECT a.doc_id AS doc_new, b.doc_id AS doc_corpus, count(*) AS inter
+  FROM ex a
+  JOIN flag fa ON fa.doc_id = a.doc_id AND fa.is_new
+  JOIN ex b ON a.s = b.s
+  JOIN flag fb ON fb.doc_id = b.doc_id AND NOT fb.is_new
+  GROUP BY 1, 2
+)
+SELECT doc_new, doc_corpus,
+       inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_new
+JOIN sizes sb ON sb.doc_id = doc_corpus
+WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.9
+ORDER BY doc_new, doc_corpus
+"""
+
+
+@register("dedup_incremental", oracle=DEDUP_INCREMENTAL_ORACLE, tags=("LLM-dedup",))
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup: a new batch checked against the existing
+    corpus (asymmetric LSH — operators/dedup.minhash_lsh_pairs_against),
+    the production shape where every admitted batch is deduplicated
+    against everything already kept, not within itself. The batch/
+    corpus split is the deterministic md5 bucket (>= 80 plays the
+    incoming 20%, same hash discipline as sample_stratified).
+    Registered at threshold 0.9 where the banded candidate set
+    deterministically contains every qualifying pair (band-miss
+    ≈ 4e-8 — see dedup_minhash_lsh), so the exact cross-Jaccard SQL
+    is an equality oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    incoming = docs.filter(bucket >= 80)
+    corpus = docs.filter(bucket < 80)
+    return dedup.minhash_lsh_pairs_against(incoming, corpus, threshold=0.9)
+
+
 CLUSTERS_LSH_ORACLE = f"""
 WITH RECURSIVE {_NGRAM_PAIR_CTES},
 hp AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.9),
