@@ -220,6 +220,98 @@ def test_stream_cdc_apply_foreachbatch(spark, tmp_path):
     assert_frames_match(got, want)
 
 
+def test_streaming_ingest_dedup_pipeline(spark, tmp_path):
+    """The production training-data ingest loop end-to-end: document
+    batches arrive as a file stream; each micro-batch is near-dup
+    checked against the accumulated corpus snapshot with the
+    asymmetric LSH operator (dedup.minhash_lsh_pairs_against), only
+    novel documents are admitted, and the snapshot grows. The final
+    corpus must equal a batch-by-batch replay of the SAME admission
+    rule over the micro-batch composition the stream actually
+    processed (logged per batch, so the check is independent of the
+    file-listing order Spark happens to pick)."""
+    import os
+
+    from sql_engine_triangle_spark.catalog import load_table
+    from sql_engine_triangle_spark.operators import dedup
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    seed = docs.filter(bucket < 50).cache()
+    incoming = docs.filter(bucket >= 50)
+
+    in_dir = str(tmp_path / "incoming")
+    incoming.repartition(2).write.parquet(in_dir)  # 2 files → 2 micro-batches
+    corpus_dir = str(tmp_path / "corpus")
+    log_dir = str(tmp_path / "batchlog")
+    seed.write.parquet(corpus_dir)
+
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+    def admit(batch_df, batch_id):
+        s = batch_df.sparkSession
+        batch_rows = batch_df.collect()
+        b = s.createDataFrame(batch_rows, batch_df.schema)
+        b.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            log_dir
+        )
+        snap = s.read.parquet(corpus_dir)
+        dup_ids = (
+            dedup.minhash_lsh_pairs_against(b, snap, threshold=0.9)
+            .select(F.col("doc_new").alias("doc_id"))
+            .distinct()
+        )
+        novel = b.join(dup_ids, "doc_id", "left_anti")
+        rows = novel.collect()
+        if rows:
+            s.createDataFrame(rows, novel.schema).write.mode("append").parquet(
+                corpus_dir
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    got_ids = {
+        r.doc_id for r in spark.read.parquet(corpus_dir).select("doc_id").collect()
+    }
+
+    # Replay the admission rule batch-at-a-time in the logged order.
+    log = spark.read.parquet(log_dir)
+    batch_ids = sorted(r.batch_id for r in log.select("batch_id").distinct().collect())
+    corpus = seed
+    for bid in batch_ids:
+        b = log.filter(F.col("batch_id") == bid).select("doc_id", "text")
+        dup_ids = (
+            dedup.minhash_lsh_pairs_against(b, corpus, threshold=0.9)
+            .select(F.col("doc_new").alias("doc_id"))
+            .distinct()
+        )
+        corpus = corpus.unionByName(b.join(dup_ids, "doc_id", "left_anti")).cache()
+    want_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+
+    assert got_ids == want_ids
+    seed_ids = {r.doc_id for r in seed.select("doc_id").collect()}
+    assert seed_ids <= got_ids
+    admitted = got_ids - seed_ids
+    all_incoming = {r.doc_id for r in incoming.select("doc_id").collect()}
+    rejected = all_incoming - admitted
+    assert rejected, "fixture should contain cross-split near-dups to reject"
+
+
 def test_stream_stream_interval_join_matches_batch(spark):
     """Real stream-stream interval join: purchases joined to views
     within [p.ts - 30min, p.ts] per user, both sides watermarked
