@@ -48,6 +48,7 @@ EXTRA = [
     "pipeline_funnel_conversion",
     "tpch_q5_local_supplier_volume",
     "text_boilerplate_strip",
+    "dedup_incremental",
     # dedup_containment intentionally NOT benched: it is the quadratic
     # correctness baseline (same class as dedup_ngram_jaccard); the
     # benched scale path for pair generation is dedup_minhash_lsh.
