@@ -205,3 +205,52 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     filtered = back.filter(F.col("o_custkey") == 1)
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "o_custkey" in plan.split("PushedFilters")[1][:120]
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Small-file compaction: a 40-file table is rewritten to the
+    byte-targeted file count with identical content, and the sorted
+    rewrite restores min/max pushdown locality (each output file holds
+    a contiguous o_orderkey range)."""
+    from sql_engine_triangle_spark.catalog import load_table
+    from sql_engine_triangle_spark.sources import maintenance
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    src = str(tmp_path / "frag")
+    orders.repartition(40).write.parquet(src)
+    assert maintenance.parquet_file_count(spark, src) == 40
+
+    dst = str(tmp_path / "compacted")
+    total = maintenance.dir_bytes(spark, src)
+    n = maintenance.compact_table(
+        spark, src, dst, target_file_bytes=total // 3, sort_cols=["o_orderkey"]
+    )
+    assert n <= 4
+    assert maintenance.parquet_file_count(spark, dst) == n
+
+    back = spark.read.parquet(dst)
+    assert back.count() == orders.count()
+    agg = lambda df: df.agg(  # noqa: E731
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+        F.sum("o_orderkey").alias("k"),
+    ).head()
+    assert agg(back) == agg(orders)
+
+    # sorted-within-file: per input file, keys form a run whose
+    # min/max ranges are tight enough that a point predicate prunes
+    # to few files (statistics locality — full-table min/max spans
+    # would make every file a candidate)
+    per_file = (
+        back.select("o_orderkey", F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi"),
+             F.count("*").alias("cnt"))
+        .collect()
+    )
+    assert len(per_file) == n
+    spans = sorted((r.lo, r.hi) for r in per_file)
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, "sorted compaction should produce disjoint key ranges"
