@@ -1,10 +1,17 @@
 """Multimodal column plumbing: opaque binary payloads + typed
 metadata, processed with Arrow-batched mapInPandas.
 
-The container has no image/audio codecs, so the DECODE step is
-explicitly stubbed (``decode_image`` raises NotImplementedError; the
-metadata extractor uses a clearly-marked deterministic fake for
-width/height). Everything Spark-side is real and tested: the binary
+Decode coverage is split by what the container allows:
+- CODEC-BOUND formats (JPEG/PNG/MP3/H.264) are explicitly stubbed —
+  ``decode_image`` raises NotImplementedError and the generic
+  metadata extractor uses a clearly-marked deterministic fake for
+  width/height (no codec libraries are present).
+- HEADER+RAW formats are REALLY decoded: binary PPM (P6) images and
+  RIFF/WAV PCM16 audio need only struct/numpy — ``decode_ppm`` /
+  ``decode_wav_pcm16`` parse them for real, and ``image_stats`` /
+  ``audio_stats`` run those decoders inside mapInPandas with
+  numpy-reference-verified outputs (tests/test_multimodal.py).
+Everything Spark-side is real and tested either way: the binary
 schema, the mapInPandas batch iteration, the output schema contract,
 and partition-parallel execution.
 
@@ -164,3 +171,156 @@ def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(frames, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders for container-friendly formats.
+#
+# The codec-bound formats (JPEG/PNG/MP3/H.264) stay stubbed — see
+# decode_image — but formats whose layout is a plain header + raw
+# samples need only struct/numpy, so for these the decode step is
+# fully implemented, not faked: PPM P6 (binary RGB) and WAV PCM16.
+# A real deployment keeps the same mapInPandas shape and swaps the
+# per-format decoder table.
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(arr) -> bytes:
+    """uint8 RGB array (h, w, 3) → binary PPM (P6)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    assert c == 3, "PPM P6 is RGB"
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_ppm(content: bytes):
+    """Binary PPM (P6) → uint8 RGB array (h, w, 3). Pure numpy —
+    a REAL decode, no codec library involved."""
+    import numpy as np
+
+    if not content.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header: magic, width height, maxval — whitespace separated,
+    # then a single whitespace byte before the pixel data
+    parts, idx = [], 2
+    while len(parts) < 3:
+        while content[idx : idx + 1].isspace():
+            idx += 1
+        start = idx
+        while not content[idx : idx + 1].isspace():
+            idx += 1
+        parts.append(int(content[start:idx]))
+    idx += 1  # the single whitespace after maxval
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    pix = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=idx)
+    return pix.reshape(h, w, 3)
+
+
+def encode_wav_pcm16(samples, sample_rate: int = 16000) -> bytes:
+    """int16 mono samples → minimal RIFF/WAV (PCM16) payload."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(s), b"WAVE", b"fmt ", 16,
+        1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(s),
+    )
+    return hdr + s
+
+
+def decode_wav_pcm16(content: bytes):
+    """RIFF/WAV PCM16 mono → (sample_rate, int16 numpy array). Pure
+    struct/numpy — a REAL decode."""
+    import struct
+
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = struct.unpack_from("<HHIIHH", content, 20)
+    audio_format, channels, sample_rate = fmt[0], fmt[1], fmt[2]
+    bits = fmt[5]
+    if (audio_format, channels, bits) != (1, 1, 16):
+        raise ValueError("only PCM16 mono supported")
+    # find the data chunk (fmt chunk may be followed by extensions)
+    idx = 12
+    while idx + 8 <= len(content):
+        cid, clen = content[idx : idx + 4], struct.unpack_from("<I", content, idx + 4)[0]
+        if cid == b"data":
+            samples = np.frombuffer(content, dtype="<i2", count=clen // 2, offset=idx + 8)
+            return sample_rate, samples
+        idx += 8 + clen + (clen % 2)
+    raise ValueError("no data chunk")
+
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_r", FloatType()),
+        StructField("mean_g", FloatType()),
+        StructField("mean_b", FloatType()),
+    ]
+)
+
+
+def image_stats(assets: DataFrame) -> DataFrame:
+    """REAL decode path: mapInPandas over PPM payloads — parse header,
+    reshape pixels, per-channel means. Same batch/schema contract as
+    the codec-bound path would use; only the decoder differs."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")}
+            for doc_id, b in zip(pdf["doc_id"], pdf["content"]):
+                img = decode_ppm(bytes(b))
+                out["doc_id"].append(int(doc_id))
+                out["height"].append(img.shape[0])
+                out["width"].append(img.shape[1])
+                m = img.reshape(-1, 3).mean(axis=0)
+                out["mean_r"].append(float(m[0]))
+                out["mean_g"].append(float(m[1]))
+                out["mean_b"].append(float(m[2]))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(stats, IMAGE_STATS_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("rms", FloatType()),
+    ]
+)
+
+
+def audio_stats(assets: DataFrame) -> DataFrame:
+    """REAL decode path for WAV PCM16 payloads: parse RIFF header,
+    frombuffer the samples, emit rate/length/RMS per asset."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "sample_rate", "n_samples", "rms")}
+            for doc_id, b in zip(pdf["doc_id"], pdf["content"]):
+                rate, samples = decode_wav_pcm16(bytes(b))
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(int(rate))
+                out["n_samples"].append(len(samples))
+                x = samples.astype(np.float64)
+                out["rms"].append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(stats, AUDIO_STATS_SCHEMA)

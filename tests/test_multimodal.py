@@ -54,3 +54,61 @@ def test_feature_similarity_composes_with_ann(spark):
     rows = top.collect()
     assert len(rows) == 5
     assert all(-1.0 <= r.cos_sim <= 1.0001 for r in rows)
+
+
+def test_ppm_decode_roundtrip_and_stats(spark):
+    """REAL image decode: synthetic PPM payloads built per doc_id,
+    decoded inside mapInPandas; per-channel means must equal the
+    numpy reference on the source arrays bit-for-bit (same float64
+    accumulation), and decode(encode(x)) == x."""
+    import numpy as np
+
+    rng_imgs = {}
+    rows = []
+    for doc_id in range(6):
+        h, w = 4 + doc_id, 5 + doc_id
+        # deterministic pixels from doc_id — no RNG in tests
+        img = (np.arange(h * w * 3, dtype=np.int64) * (doc_id + 7) % 256).astype(
+            np.uint8
+        ).reshape(h, w, 3)
+        rng_imgs[doc_id] = img
+        rows.append((doc_id, "image/x-portable-pixmap", bytearray(MM.encode_ppm(img))))
+    assert (MM.decode_ppm(MM.encode_ppm(rng_imgs[0])) == rng_imgs[0]).all()
+
+    assets = spark.createDataFrame(rows, MM.ASSET_SCHEMA)
+    got = {r.doc_id: r for r in MM.image_stats(assets).collect()}
+    for doc_id, img in rng_imgs.items():
+        r = got[doc_id]
+        assert (r.height, r.width) == img.shape[:2]
+        want = img.reshape(-1, 3).mean(axis=0)
+        assert abs(r.mean_r - want[0]) < 1e-5
+        assert abs(r.mean_g - want[1]) < 1e-5
+        assert abs(r.mean_b - want[2]) < 1e-5
+
+
+def test_wav_decode_roundtrip_and_stats(spark):
+    """REAL audio decode: PCM16 WAV payloads parsed inside
+    mapInPandas; RMS must match the numpy reference."""
+    import numpy as np
+
+    rows, ref = [], {}
+    for doc_id in range(4):
+        n = 64 + 32 * doc_id
+        samples = (
+            (np.arange(n, dtype=np.int64) * (doc_id + 3) * 257) % 20001 - 10000
+        ).astype(np.int16)
+        ref[doc_id] = samples
+        rows.append((doc_id, "audio/wav", bytearray(MM.encode_wav_pcm16(samples, 8000))))
+    rate, back = MM.decode_wav_pcm16(MM.encode_wav_pcm16(ref[0], 8000))
+    assert rate == 8000 and (back == ref[0]).all()
+
+    assets = spark.createDataFrame(rows, MM.ASSET_SCHEMA)
+    got = {r.doc_id: r for r in MM.audio_stats(assets).collect()}
+    for doc_id, samples in ref.items():
+        r = got[doc_id]
+        assert r.sample_rate == 8000
+        assert r.n_samples == len(samples)
+        x = samples.astype(np.float64)
+        want = float(np.sqrt(np.mean(x * x)))
+        # rms rides a FloatType column — compare at float32 precision
+        assert abs(r.rms - want) <= 1e-6 * max(1.0, abs(want)) * 128
