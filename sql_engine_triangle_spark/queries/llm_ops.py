@@ -228,6 +228,122 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs_against(incoming, corpus, threshold=0.9)
 
 
+ADMISSION_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+shing AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM tok
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shing),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shing),
+bkt AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              AS INTEGER) % 100 AS bk
+  FROM documents
+),
+pairs2 AS (
+  SELECT a.doc_id AS da, c.doc_id AS db, count(*) AS inter
+  FROM ex a JOIN ex c ON a.s = c.s AND a.doc_id != c.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT da, db
+  FROM pairs2
+  JOIN sizes sa ON sa.doc_id = da
+  JOIN sizes sb ON sb.doc_id = db
+  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.9
+),
+dup1 AS (
+  SELECT DISTINCT ba.doc_id
+  FROM bkt ba
+  JOIN jac ON jac.da = ba.doc_id
+  JOIN bkt bc ON bc.doc_id = jac.db AND bc.bk < 50
+  WHERE ba.bk >= 50 AND ba.bk < 75
+),
+c1 AS (
+  SELECT doc_id FROM bkt WHERE bk < 50
+  UNION ALL
+  SELECT doc_id FROM bkt
+  WHERE bk >= 50 AND bk < 75
+    AND doc_id NOT IN (SELECT doc_id FROM dup1)
+),
+dup2 AS (
+  SELECT DISTINCT ba.doc_id
+  FROM bkt ba
+  JOIN jac ON jac.da = ba.doc_id
+  JOIN c1 ON c1.doc_id = jac.db
+  WHERE ba.bk >= 75
+),
+final AS (
+  SELECT doc_id FROM c1
+  UNION ALL
+  SELECT doc_id FROM bkt
+  WHERE bk >= 75 AND doc_id NOT IN (SELECT doc_id FROM dup2)
+)
+SELECT f.doc_id,
+       CASE WHEN b.bk < 50 THEN 'seed'
+            WHEN b.bk < 75 THEN 'batch1'
+            ELSE 'batch2' END AS origin
+FROM final f JOIN bkt b ON b.doc_id = f.doc_id
+ORDER BY f.doc_id
+"""
+
+
+@register(
+    "pipeline_incremental_admission",
+    oracle=ADMISSION_ORACLE,
+    tags=("LLM-dedup", "LLM-pipeline"),
+)
+def pipeline_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-batch corpus admission — the ingest loop as ONE plan:
+    seed corpus (md5 bucket < 50) absorbs batch1 (50-74) then batch2
+    (75-99); each batch admits only documents with no >= 0.9 near-dup
+    in the corpus as of its turn (batch2 is checked against seed +
+    batch1 survivors). Pair generation is the asymmetric LSH operator
+    at threshold 0.9 (deterministic candidate completeness — see
+    dedup_minhash_lsh), so the two-round replay SQL is an equality
+    oracle. The streaming twin (file-stream micro-batches +
+    foreachBatch against a growing snapshot) is locked by
+    tests/test_streaming.py::test_streaming_ingest_dedup_pipeline."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    docs = docs.withColumn("_bk", bucket)
+    seed = docs.filter(F.col("_bk") < 50)
+    b1 = docs.filter((F.col("_bk") >= 50) & (F.col("_bk") < 75))
+    b2 = docs.filter(F.col("_bk") >= 75)
+
+    def admit(batch: DataFrame, corpus: DataFrame) -> DataFrame:
+        dup = (
+            dedup.minhash_lsh_pairs_against(
+                batch.select("doc_id", "text"),
+                corpus.select("doc_id", "text"),
+                threshold=0.9,
+            )
+            .select(F.col("doc_new").alias("doc_id"))
+            .distinct()
+        )
+        return batch.join(dup, "doc_id", "left_anti")
+
+    c1 = seed.unionByName(admit(b1, seed))
+    final = c1.unionByName(admit(b2, c1))
+    origin = (
+        F.when(F.col("_bk") < 50, "seed")
+        .when(F.col("_bk") < 75, "batch1")
+        .otherwise("batch2")
+    )
+    return final.select("doc_id", origin.alias("origin")).orderBy("doc_id")
+
+
 CLUSTERS_LSH_ORACLE = f"""
 WITH RECURSIVE {_NGRAM_PAIR_CTES},
 hp AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.9),
