@@ -1024,6 +1024,42 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(bucket < 20).select("doc_id", "lang").orderBy("doc_id")
 
 
+SAMPLE_MIX_ORACLE = """
+SELECT doc_id, lang
+FROM documents
+WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+           AS INTEGER) % 10000
+      < CASE lang WHEN 'en' THEN 4000
+                  WHEN 'zh' THEN 8000
+                  ELSE 10000 END
+ORDER BY doc_id
+"""
+
+
+@register("sample_weighted_mix", oracle=SAMPLE_MIX_ORACLE, tags=("LLM-pipeline",))
+def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing: per-language sampling rates (en 40%,
+    zh 80%, rest 100% — the down-weight-the-dominant-source shape of
+    training-data mixture specs), decided by the same deterministic
+    md5 bucket as sample_stratified but at 1/10000 granularity so
+    rates are precise to 0.01%. Membership is engine- and
+    layout-reproducible (no rand()); the filter is a narrow scan-time
+    predicate — no shuffle, fully pushdown-friendly, and composable
+    with any downstream pipeline stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 10000
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 4000)
+        .when(F.col("lang") == "zh", 8000)
+        .otherwise(10000)
+    )
+    return docs.filter(bucket < rate).select("doc_id", "lang").orderBy("doc_id")
+
+
 EMB_NORM_ORACLE = """
 WITH v AS (
   SELECT vec_id,
