@@ -87,7 +87,13 @@ def assert_frames_match(
 
 def run_parity(spark, ddb, name: str, sf_dir: str = SF_DIR) -> pd.DataFrame:
     """Run registered query `name` on Spark and its oracle on DuckDB;
-    assert the results match. Returns the Spark result for extra checks."""
+    assert the results match — tolerantly for diagnostics, then
+    STRICTLY the way the external driver hashes (no dtype coercion,
+    unhashable cells fail): a BIGINT-vs-DOUBLE or -0.0-vs-0.0 skew
+    passes a float-coerced compare but fails the driver
+    (CORRECTNESS_r02: a_global_stats, f_map_ops), so every parity
+    test enforces the strict contract too. Returns the Spark result
+    for extra checks."""
     from sql_engine_triangle_spark.queries import registry
 
     q = registry.get(name)
@@ -95,4 +101,28 @@ def run_parity(spark, ddb, name: str, sf_dir: str = SF_DIR) -> pd.DataFrame:
     assert q.oracle is not None, f"{name} has no oracle"
     oracle_pdf = ddb.execute(q.oracle).fetchdf()
     assert_frames_match(spark_pdf, oracle_pdf)
+    err = _driver_check_module().strict_driver_match(spark_pdf, oracle_pdf)
+    assert err is None, f"{name}: driver-strict mismatch: {err}"
     return spark_pdf
+
+
+_DC_MODULE = None
+
+
+def _driver_check_module():
+    """scripts/driver_check.py, loaded once (it holds the
+    strict_driver_match used to mirror the external driver's hasher)."""
+    global _DC_MODULE
+    if _DC_MODULE is None:
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "driver_check",
+            os.path.join(
+                os.path.dirname(__file__), "..", "scripts", "driver_check.py"
+            ),
+        )
+        _DC_MODULE = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(_DC_MODULE)
+    return _DC_MODULE
