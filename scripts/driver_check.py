@@ -25,7 +25,6 @@ sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as ENTRY  # noqa: E402
 from sql_engine_triangle_spark.catalog import TABLES, table_path  # noqa: E402
-from sql_engine_triangle_spark.session import get_spark  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
@@ -119,8 +118,26 @@ def values_match(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
     return None
 
 
+def bare_spark():
+    """Build the session the way the EXTERNAL driver does: a bare
+    ``SparkSession.builder`` with NO repo confs. The repo's tuned
+    session (session.get_spark) pins parquet/timezone/AQE settings
+    that can mask environment-default skew — round 3 lost three rows
+    to exactly that (Spark 4's ``inferTimestampNTZ`` default made the
+    driver read events.ts as TIMESTAMP_NTZ while every local check ran
+    under the pinned session). Any conf the engine NEEDS must be set
+    at use-site (catalog.load_table), not here."""
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[8]")
+        .appName("driver_check_bare")
+        .getOrCreate()
+    )
+
+
 def main() -> int:
-    spark = get_spark(app_name="driver_check")
+    spark = bare_spark()
 
     t0 = time.time()
     res = ENTRY.entry(spark)

@@ -39,16 +39,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     # events.parquet stores TIMESTAMP(NANOS), which Spark rejects by
-    # default. The conf is runtime-settable, and callers (the driver,
-    # notebooks) may hand us a bare SparkSession that never went
-    # through session.get_spark — set it here so every session can
-    # read the table.
+    # default. Both confs are runtime-settable, and callers (the
+    # driver, notebooks) may hand us a bare SparkSession that never
+    # went through session.get_spark — set them here so every session
+    # reads the table identically:
+    #   - nanosAsLong: accept TIMESTAMP(NANOS) at all;
+    #   - inferTimestampNTZ=false: Spark 4 defaults this TRUE, under
+    #     which a bare session reads ts as TIMESTAMP_NTZ and every
+    #     LTZ-only expression (unix_micros, window, to_utc_timestamp)
+    #     throws DATATYPE_MISMATCH (CORRECTNESS_r03: asof/funnel/
+    #     interval-join err rows). Pin false so ts is TimestampType
+    #     under ANY session, as the repo session already guaranteed.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) parquet read via nanosAsLong (see
-        # session.py); restore TimestampType at microsecond precision.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) parquet read via nanosAsLong (see
+            # session.py); restore TimestampType at micro precision.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Belt-and-suspenders: if a session ignores the conf pin
+            # above (e.g. a future Spark drops it), normalize to the
+            # session-TZ-naive-equivalent TimestampType the rest of
+            # the engine expects.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

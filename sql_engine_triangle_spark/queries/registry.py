@@ -73,12 +73,15 @@ def _ensure_loaded() -> None:
 # ``queries()`` in dict order (verified round 2: its row set was exactly
 # the first two modules' registrations). Ordering is therefore a
 # verification-coverage decision, not cosmetics. The priority window
-# below puts the flagship core queries, every LLM-data-pipeline
-# operator, streaming, and the round-3 repaired entries inside the
-# window; displaced aux entries keep their green round-2 rows and stay
-# covered by the pytest oracle sweep (tests/test_oracle_sweep.py runs
-# ALL entries regardless of ordering). Rotation documented in
-# COVERAGE.md.
+# below puts the flagship core queries, the LLM-data-pipeline
+# operators, and streaming inside the window. Round-4 rotation: the
+# three round-3 flagship additions (dedup_incremental,
+# pipeline_incremental_admission, sample_weighted_mix — oracle-backed
+# but never driver-seen) displace a_global_stats / f_map_ops /
+# tpch_q5_local_supplier_volume, which earned green driver rows in r3
+# and stay covered by the pytest oracle sweep
+# (tests/test_oracle_sweep.py runs ALL entries regardless of
+# ordering). Rotation history documented in COVERAGE.md.
 _PRIORITY_WINDOW: tuple[str, ...] = (
     # core flagship (7)
     "q1_agg_by_type",
@@ -95,7 +98,10 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_clusters_lsh",
-    "dedup_simhash_pairs",
+    # r4: dedup_minhash_lsh_mid (oracle-backed 0.5-regime validation)
+    # takes the slot of rows-only dedup_simhash_pairs, which keeps its
+    # r3 rows-only row and full pytest/sweep coverage.
+    "dedup_minhash_lsh_mid",
     "dedup_embedding_pairs",
     "text_quality_scores",
     "text_lang_id",
@@ -130,10 +136,10 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "stream_dedup_keys",
     "stream_session_windows",
     "stream_hourly_topk",
-    # round-3 repaired aux entries + TPC-H deep join (3)
-    "a_global_stats",
-    "f_map_ops",
-    "tpch_q5_local_supplier_volume",
+    # round-3 flagship additions, first driver exposure in r4 (3)
+    "dedup_incremental",
+    "pipeline_incremental_admission",
+    "sample_weighted_mix",
 )
 
 
