@@ -56,6 +56,9 @@ EXTRA = [
     "text_compression_ratio",
     "j_interval_events",
     "pipeline_cohort_retention",
+    "pipeline_incremental_admission",
+    "sample_weighted_mix",
+    "dedup_minhash_lsh_mid",
 ]
 
 

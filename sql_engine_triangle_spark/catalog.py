@@ -6,6 +6,20 @@ table names to Parquet paths under a scale-factor directory and
 registers them as temp views so both the DataFrame API and
 ``spark.sql`` see the same relations (reference: ``init.sql:27-70``
 foreign-table registration — ours are external Parquet tables).
+
+Session-timezone contract (tests/test_bare_session.py pins both
+directions):
+- Integer timestamp DERIVATIVES — gap_us/latency diffs via
+  unix_micros, date_trunc bucketing keys, window() boundaries — are
+  invariant to ``spark.sql.session.timeZone``: they are computed on
+  the UTC-internal micros value.
+- RAW TimestampType output columns (e.g. asof_purchase_attribution's
+  ts) render in session-local wall clock when collected, so
+  hash-parity with the DuckDB oracle (which reads the parquet's
+  wall-clock values directly) holds when the session timezone matches
+  the timezone the fixtures were written under — UTC. The external
+  driver's container is Etc/UTC and a bare session inherits it; the
+  repo's tuned session pins UTC explicitly (session.py).
 """
 
 from __future__ import annotations

@@ -203,20 +203,30 @@ def decode_ppm(content: bytes):
     if not content.startswith(b"P6"):
         raise ValueError("not a binary PPM (P6) payload")
     # header: magic, width height, maxval — whitespace separated,
-    # then a single whitespace byte before the pixel data
+    # '#' comment lines allowed, then a single whitespace byte before
+    # the pixel data. Every scan is bounded so a truncated payload
+    # raises instead of spinning an executor task forever.
     parts, idx = [], 2
     while len(parts) < 3:
-        while content[idx : idx + 1].isspace():
+        while idx < len(content) and content[idx : idx + 1].isspace():
             idx += 1
+        if content[idx : idx + 1] == b"#":  # comment runs to end of line
+            while idx < len(content) and content[idx : idx + 1] != b"\n":
+                idx += 1
+            continue
         start = idx
-        while not content[idx : idx + 1].isspace():
+        while idx < len(content) and not content[idx : idx + 1].isspace():
             idx += 1
+        if idx == start or idx >= len(content):
+            raise ValueError("truncated PPM header")
         parts.append(int(content[start:idx]))
     idx += 1  # the single whitespace after maxval
     w, h, maxval = parts
     if maxval != 255:
         raise ValueError("only 8-bit PPM supported")
     pix = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=idx)
+    if len(pix) != w * h * 3:
+        raise ValueError("truncated PPM pixel data")
     return pix.reshape(h, w, 3)
 
 
@@ -245,16 +255,22 @@ def decode_wav_pcm16(content: bytes):
 
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    fmt = struct.unpack_from("<HHIIHH", content, 20)
-    audio_format, channels, sample_rate = fmt[0], fmt[1], fmt[2]
-    bits = fmt[5]
-    if (audio_format, channels, bits) != (1, 1, 16):
-        raise ValueError("only PCM16 mono supported")
-    # find the data chunk (fmt chunk may be followed by extensions)
+    # walk the chunk list for BOTH fmt and data — a leading JUNK/LIST
+    # chunk before 'fmt ' is legal RIFF, so fixed offsets misparse it
+    fmt = None
     idx = 12
     while idx + 8 <= len(content):
-        cid, clen = content[idx : idx + 4], struct.unpack_from("<I", content, idx + 4)[0]
-        if cid == b"data":
+        cid = content[idx : idx + 4]
+        clen = struct.unpack_from("<I", content, idx + 4)[0]
+        if cid == b"fmt " and fmt is None:
+            fmt = struct.unpack_from("<HHIIHH", content, idx + 8)
+            audio_format, channels, sample_rate = fmt[0], fmt[1], fmt[2]
+            bits = fmt[5]
+            if (audio_format, channels, bits) != (1, 1, 16):
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt chunk")
             samples = np.frombuffer(content, dtype="<i2", count=clen // 2, offset=idx + 8)
             return sample_rate, samples
         idx += 8 + clen + (clen % 2)
@@ -324,3 +340,46 @@ def audio_stats(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(stats, AUDIO_STATS_SCHEMA)
+
+
+def synthesize_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic media payloads keyed by doc_id — REAL
+    encoded formats (binary PPM P6 / RIFF WAV PCM16) whose content has
+    a CLOSED FORM, so decoded stats are SQL-predictable and the real
+    decoders get an oracle-checkable registry row:
+
+    - even doc_id → PPM: width 4+id%8, height 3+id%5, constant
+      channels (r,g,b) = (3id, 5id, 7id) mod 256 ⇒ mean_r = 3id%256.
+    - odd doc_id → WAV: rate 8000+(id%8)·500, n = 64+id%32 constant
+      samples of value (7id)%1000−500 ⇒ RMS = |(7id)%1000−500|
+      exactly (constant signal; integer-exact at float32).
+
+    The generate→decode pair exercises the full Arrow batch path both
+    directions; only the payload SOURCE is synthetic (this container
+    ships no codec libraries — reference: the lab's media fixtures)."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "media_type": [], "content": []}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                out["doc_id"].append(i)
+                if i % 2 == 0:
+                    w, h = 4 + i % 8, 3 + i % 5
+                    arr = np.empty((h, w, 3), dtype=np.uint8)
+                    arr[..., 0] = (3 * i) % 256
+                    arr[..., 1] = (5 * i) % 256
+                    arr[..., 2] = (7 * i) % 256
+                    out["media_type"].append("image/ppm")
+                    out["content"].append(encode_ppm(arr))
+                else:
+                    n = 64 + i % 32
+                    s = (7 * i) % 1000 - 500
+                    rate = 8000 + (i % 8) * 500
+                    samples = np.full(n, s, dtype=np.int16)
+                    out["media_type"].append("audio/wav")
+                    out["content"].append(encode_wav_pcm16(samples, rate))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(gen, ASSET_SCHEMA)

@@ -122,11 +122,60 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator keeps its 0.5 default (16×4 banding's s-curve midpoint
     is (1/16)^(1/4) = 0.5) — at 0.5 a J≈0.5 pair is missed with
     p ≈ 0.355, so exact equality there is fixture-luck; that regime
-    is covered by the pytest recall/subset guard instead
-    (tests/test_dedup.py). Candidate generation is identical at
-    either threshold — only the final verify filter differs."""
+    gets its own driver-visible tolerance entry
+    (dedup_minhash_lsh_mid below) plus the pytest recall/subset
+    guard (tests/test_dedup.py). Candidate generation is identical
+    at either threshold — only the final verify filter differs."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, threshold=0.9)
+
+
+DEDUP_MINHASH_MID_ORACLE = f"""
+WITH {_NGRAM_PAIR_CTES}
+SELECT doc_a, doc_b, jaccard,
+       TRUE AS lsh_subset_ok,
+       TRUE AS lsh_recall_ok
+FROM pairs
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_minhash_lsh_mid", oracle=DEDUP_MINHASH_MID_ORACLE, tags=("LLM-dedup",))
+def dedup_minhash_lsh_mid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH at its PRODUCTION operating point, threshold 0.5 —
+    the 16×4 banding s-curve midpoint, where band-miss probability for
+    a pair at exactly J=0.5 is ≈0.355 and exact equality with the
+    exact-Jaccard pair set would be fixture luck.
+
+    Driver-visible validation form (q4_approx_percentiles pattern):
+    rows are the EXACT J ≥ 0.5 pair set (oracle-computable), plus
+    deterministic booleans — ``lsh_subset_ok`` (LSH ∖ exact = ∅,
+    guaranteed by the exact-Jaccard verify step) and ``lsh_recall_ok``
+    (|LSH ∩ exact| ≥ 0.9·|exact|; measured recall is 1.0 at
+    sf0.001/0.01/0.1 because the fixture's true pairs sit well above
+    the 0.5 s-curve midpoint — deterministic given data + fixed
+    xxhash64 seeds). This keeps the 0.5 regime externally verified
+    while dedup_minhash_lsh carries the deterministic equality oracle
+    at 0.9."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.5, round_digits=None)
+    lsh = dedup.minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    n_extra = lsh.join(exact, ["doc_a", "doc_b"], "left_anti").agg(
+        F.count("*").alias("n_extra")
+    )
+    n_hit = lsh.join(exact, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count("*").alias("n_hit")
+    )
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    flags = (
+        n_extra.crossJoin(n_hit)
+        .crossJoin(n_exact)
+        .select(
+            (F.col("n_extra") == 0).alias("lsh_subset_ok"),
+            (F.col("n_hit") >= 0.9 * F.col("n_exact")).alias("lsh_recall_ok"),
+        )
+    )
+    return exact.crossJoin(F.broadcast(flags)).orderBy("doc_a", "doc_b")
 
 
 CLUSTERS_ORACLE = f"""
@@ -628,15 +677,56 @@ LIMIT 10
 """
 
 
-@register("dedup_embedding_lsh", oracle=None, tags=("LLM-dedup",))
+EMB_LSH_VALIDATION_ORACLE = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim,
+       TRUE AS lsh_subset_ok,
+       TRUE AS lsh_recall_ok
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.45
+ORDER BY vec_a, vec_b
+"""
+
+
+@register("dedup_embedding_lsh", oracle=EMB_LSH_VALIDATION_ORACLE, tags=("LLM-dedup",))
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded sign-LSH embedding near-dup pairs (16 bands × 4 sign
     bits), exact-cosine verified at 0.45 — the bucketed scale path
-    whose correctness baseline is dedup_embedding_pairs. Rows-only
-    (hyperplane seeds are engine-specific); pytest asserts output ⊆
-    exact pairs and recall on the fixture."""
+    whose correctness baseline is dedup_embedding_pairs.
+
+    Driver-visible validation form (the q4_approx_percentiles
+    pattern): the rows are the EXACT pair set (oracle-computable by
+    DuckDB), and two deterministic booleans certify the LSH run
+    against it — ``lsh_subset_ok`` (LSH ∖ exact = ∅, guaranteed by
+    the exact-cosine verify step with identical rounding) and
+    ``lsh_recall_ok`` (|LSH| ≥ 0.8·|exact|; per-pair band survival
+    ≈0.96 at cos=0.45 → measured recall 0.857/1.0/0.986 at
+    sf0.001/0.01/0.1 with the fixed hyperplane seed, so the flag is
+    deterministic given the data). The hyperplane seeds themselves
+    are engine-specific, which is why the raw pair set cannot be the
+    oracle; booleans make the contract hash-matchable."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_lsh_pairs(emb, threshold=0.45)
+    exact = similarity.cosine_pairs(emb, threshold=0.45)
+    lsh = similarity.embedding_lsh_pairs(emb, threshold=0.45).select(
+        "vec_a", "vec_b"
+    )
+    n_extra = lsh.join(exact, ["vec_a", "vec_b"], "left_anti").agg(
+        F.count("*").alias("n_extra")
+    )
+    n_lsh = lsh.agg(F.count("*").alias("n_lsh"))
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    flags = (
+        n_extra.crossJoin(n_lsh)
+        .crossJoin(n_exact)
+        .select(
+            (F.col("n_extra") == 0).alias("lsh_subset_ok"),
+            (F.col("n_lsh") >= 0.8 * F.col("n_exact")).alias("lsh_recall_ok"),
+        )
+    )
+    return exact.crossJoin(F.broadcast(flags)).orderBy("vec_a", "vec_b")
 
 
 @register("sim_cosine_topk", oracle=SIM_TOPK_ORACLE, tags=("LLM-sim",))
@@ -649,28 +739,110 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, qvec, k=10, exclude_id=0)
 
 
-@register("sim_ann_lsh_topk", oracle=None, tags=("LLM-sim",))
+SIM_ANN_VALIDATION_ORACLE = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    CAST(q.qe AS DOUBLE[])), 4) AS cos_sim,
+       TRUE AS ann_returned_ok,
+       TRUE AS ann_bounded_ok,
+       TRUE AS ann_ids_valid_ok
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+@register("sim_ann_lsh_topk", oracle=SIM_ANN_VALIDATION_ORACLE, tags=("LLM-sim",))
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via sign-LSH (8 hyperplanes, multi-probe
-    Hamming≤1) + exact rerank inside candidate buckets. Rows-only
-    (bucketing is seed-specific). NOTE: sign-LSH recall is only high
-    when true neighbors are high-cosine; on mid-similarity data use
-    sim_ivf_topk — kept here as the near-dup-regime ANN variant."""
+    Hamming≤1) + exact rerank inside candidate buckets.
+
+    Driver-visible validation form: rows are the EXACT top-10
+    (oracle-computable), plus deterministic booleans certifying the
+    ANN run — ``ann_returned_ok`` (1 ≤ |ANN| ≤ 10),
+    ``ann_bounded_ok`` (max ANN score ≤ exact top-1 score: rerank
+    scores are genuine cosines, never inflated), ``ann_ids_valid_ok``
+    (every ANN id is a real corpus vector ≠ query). Recall is NOT
+    asserted: single-band sign-LSH recall is high only when true
+    neighbors are high-cosine; on this fixture's mid-similarity
+    regime measured recall@10 is 0/0/1 at sf0.001/0.01/0.1 — inherent
+    to the method (the banded variant dedup_embedding_lsh carries the
+    recall-bearing LSH verification; IVF is the right mid-similarity
+    ANN and its entry asserts recall ≥ 7/10)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = similarity.query_vector(emb, 0)
-    return similarity.ann_topk(emb, qvec, k=10, exclude_id=0)
+    exact = similarity.brute_force_topk(emb, qvec, k=10, exclude_id=0)
+    ann = similarity.ann_topk(emb, qvec, k=10, exclude_id=0).select(
+        "vec_id", "cos_sim"
+    )
+    ann_ids = ann.select("vec_id")
+    n_ann = ann.agg(
+        F.count("*").alias("n_ann"), F.max("cos_sim").alias("ann_max")
+    )
+    exact_top1 = exact.agg(F.max("cos_sim").alias("exact_max"))
+    n_invalid = ann_ids.join(
+        emb.filter(F.col("vec_id") != 0).select("vec_id"), "vec_id", "left_anti"
+    ).agg(F.count("*").alias("n_invalid"))
+    flags = (
+        n_ann.crossJoin(exact_top1)
+        .crossJoin(n_invalid)
+        .select(
+            ((F.col("n_ann") >= 1) & (F.col("n_ann") <= 10)).alias(
+                "ann_returned_ok"
+            ),
+            (F.col("ann_max") <= F.col("exact_max")).alias("ann_bounded_ok"),
+            (F.col("n_invalid") == 0).alias("ann_ids_valid_ok"),
+        )
+    )
+    return exact.crossJoin(F.broadcast(flags)).orderBy(
+        F.desc("cos_sim"), "vec_id"
+    )
 
 
-@register("sim_ivf_topk", oracle=None, tags=("LLM-sim",))
+SIM_IVF_VALIDATION_ORACLE = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    CAST(q.qe AS DOUBLE[])), 4) AS cos_sim,
+       TRUE AS ivf_recall_ok,
+       TRUE AS ivf_returned_k_ok
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+@register("sim_ivf_topk", oracle=SIM_IVF_VALIDATION_ORACLE, tags=("LLM-sim",))
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10: deterministic distributed k-means
     coarse quantizer, nprobe=3 probe, exact rerank of ~30% of
-    vectors. Rows-only; pytest checks recall ≥ 7/10 vs brute force.
-    The quantizer is cached per sf_dir (index-build-once lifecycle —
-    repeated queries pay only probe + rerank)."""
+    vectors. The quantizer is cached per sf_dir (index-build-once
+    lifecycle — repeated queries pay only probe + rerank).
+
+    Driver-visible validation form: rows are the EXACT top-10
+    (oracle-computable), plus ``ivf_recall_ok`` (recall@10 ≥ 7/10 vs
+    brute force; measured 10/9/10 at sf0.001/0.01/0.1 — deterministic
+    build ⇒ stable flag) and ``ivf_returned_k_ok`` (|IVF| = 10)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = similarity.query_vector(emb, 0)
-    return similarity.ivf_topk(emb, qvec, k=10, exclude_id=0, cache_key=sf_dir)
+    exact = similarity.brute_force_topk(emb, qvec, k=10, exclude_id=0)
+    ivf_ids = similarity.ivf_topk(
+        emb, qvec, k=10, exclude_id=0, cache_key=sf_dir
+    ).select("vec_id")
+    n_hit = exact.join(ivf_ids, "vec_id", "left_semi").agg(
+        F.count("*").alias("n_hit")
+    )
+    n_ivf = ivf_ids.agg(F.count("*").alias("n_ivf"))
+    flags = n_hit.crossJoin(n_ivf).select(
+        (F.col("n_hit") >= 7).alias("ivf_recall_ok"),
+        (F.col("n_ivf") == 10).alias("ivf_returned_k_ok"),
+    )
+    return exact.crossJoin(F.broadcast(flags)).orderBy(
+        F.desc("cos_sim"), "vec_id"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -996,6 +1168,53 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(f0.cast("double"), 4).alias("f0"),
         F.round(F.element_at("feature", 2).cast("double"), 4).alias("f1"),
     ).sortWithinPartitions("doc_id")
+
+
+MM_DECODE_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/ppm' ELSE 'audio/wav' END
+         AS media_type,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 8
+                 ELSE 8000 + (doc_id % 8) * 500 END AS INTEGER) AS d1,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 5
+                 ELSE 64 + doc_id % 32 END AS BIGINT) AS d2,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN (3 * doc_id) % 256
+                 ELSE abs((7 * doc_id) % 1000 - 500) END AS DOUBLE) AS stat
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_decode_stats", oracle=MM_DECODE_ORACLE, tags=("LLM-mm",))
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode, externally verified: synthesize closed-form
+    PPM/WAV payloads per doc_id (operators/multimodal.synthesize_assets),
+    run them through the real binary decoders (header parse, pixel
+    reshape / RIFF chunk walk, frombuffer) inside mapInPandas, and emit
+    per-asset stats the DuckDB oracle derives from the closed form:
+    images → (width, height, mean_r); audio → (sample_rate, n_samples,
+    RMS). A decoder regression (mis-parsed header, wrong sample count,
+    bad channel order) breaks the hash match. Unified schema:
+    d1/d2 = dimensions, stat = the decoded signal statistic."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.synthesize_assets(docs)
+    img = multimodal.image_stats(assets.filter(F.col("media_type") == "image/ppm"))
+    aud = multimodal.audio_stats(assets.filter(F.col("media_type") == "audio/wav"))
+    img_out = img.select(
+        "doc_id",
+        F.lit("image/ppm").alias("media_type"),
+        F.col("width").alias("d1"),
+        F.col("height").cast("bigint").alias("d2"),
+        F.col("mean_r").cast("double").alias("stat"),
+    )
+    aud_out = aud.select(
+        "doc_id",
+        F.lit("audio/wav").alias("media_type"),
+        F.col("sample_rate").alias("d1"),
+        F.col("n_samples").alias("d2"),
+        F.col("rms").cast("double").alias("stat"),
+    )
+    return img_out.unionByName(aud_out).sortWithinPartitions("doc_id")
 
 
 SAMPLE_STRAT_ORACLE = """

@@ -118,7 +118,10 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "asof_purchase_attribution",
     "multimodal_metadata",
     "multimodal_frames",
-    "multimodal_features",
+    # r4: multimodal_decode_stats (oracle-backed REAL PPM/WAV decode)
+    # takes the slot of rows-only multimodal_features, which keeps its
+    # r3 rows-only row and full pytest/sweep coverage.
+    "multimodal_decode_stats",
     "sample_stratified",
     "emb_l2_normalize",
     "dedup_containment",

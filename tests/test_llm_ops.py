@@ -141,40 +141,86 @@ def test_connected_components_star_empty(spark):
 
 
 def test_embedding_lsh_subset_and_recall(spark):
-    """Banded sign-LSH embedding pairs: output must be a subset of
-    the exact quadratic baseline (verification is exact + identically
-    rounded), and recall on the fixture's pairs must be high (per-pair
-    survival ≈0.96 at cos=0.45, →1 for truer near-dups). Deterministic
-    hyperplanes ⇒ stable across runs."""
-    exact = registry.get("dedup_embedding_pairs").fn(spark, SF_DIR)
-    lsh = registry.get("dedup_embedding_lsh").fn(spark, SF_DIR)
-    exact_pairs = _pairs(exact, cols=("vec_a", "vec_b"))
-    lsh_pairs = _pairs(lsh, cols=("vec_a", "vec_b"))
+    """Banded sign-LSH embedding pairs: raw operator output must be a
+    subset of the exact quadratic baseline (verification is exact +
+    identically rounded), recall on the fixture's pairs must be high
+    (per-pair survival ≈0.96 at cos=0.45, →1 for truer near-dups),
+    and the registered validation form must certify both flags TRUE
+    over the exact pair rows. Deterministic hyperplanes ⇒ stable."""
+    from sql_engine_triangle_spark.operators import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact_pairs = _pairs(
+        similarity.cosine_pairs(emb, threshold=0.45), cols=("vec_a", "vec_b")
+    )
+    lsh_pairs = _pairs(
+        similarity.embedding_lsh_pairs(emb, threshold=0.45),
+        cols=("vec_a", "vec_b"),
+    )
     assert exact_pairs, "fixture should contain near-dup embedding pairs"
     assert lsh_pairs <= exact_pairs
     assert len(lsh_pairs) >= 0.8 * len(exact_pairs), (
         f"LSH recall too low: {len(lsh_pairs)}/{len(exact_pairs)}"
     )
+    val = registry.get("dedup_embedding_lsh").fn(spark, SF_DIR).collect()
+    assert {(r.vec_a, r.vec_b) for r in val} == exact_pairs
+    assert all(r.lsh_subset_ok and r.lsh_recall_ok for r in val)
+
+
+def test_minhash_lsh_mid_regime_flags(spark):
+    """The 0.5-operating-point validation entry: rows equal the exact
+    J >= 0.5 pair set and both certification flags hold."""
+    exact = _pairs(registry.get("dedup_ngram_jaccard").fn(spark, SF_DIR))
+    val = registry.get("dedup_minhash_lsh_mid").fn(spark, SF_DIR).collect()
+    assert {(r.doc_a, r.doc_b) for r in val} == exact
+    assert all(r.lsh_subset_ok and r.lsh_recall_ok for r in val)
 
 
 def test_ivf_recall_vs_brute_force(spark):
     """IVF ANN top-10 must overlap the exact top-10 by >= 70% on the
-    fixture (deterministic k-means, nprobe=3)."""
-    exact = {r.vec_id for r in registry.get("sim_cosine_topk").fn(spark, SF_DIR).collect()}
-    ivf = {r.vec_id for r in registry.get("sim_ivf_topk").fn(spark, SF_DIR).collect()}
+    fixture (deterministic k-means, nprobe=3); the registered
+    validation form emits the exact top-10 with both flags TRUE."""
+    from sql_engine_triangle_spark.operators import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qvec = similarity.query_vector(emb, 0)
+    exact = {
+        r.vec_id
+        for r in similarity.brute_force_topk(emb, qvec, k=10, exclude_id=0).collect()
+    }
+    ivf = {
+        r.vec_id
+        for r in similarity.ivf_topk(
+            emb, qvec, k=10, exclude_id=0, cache_key=SF_DIR
+        ).collect()
+    }
     assert len(exact) == 10
     assert len(exact & ivf) >= 7, f"IVF recall too low: {sorted(exact & ivf)}"
+    val = registry.get("sim_ivf_topk").fn(spark, SF_DIR).collect()
+    assert {r.vec_id for r in val} == exact
+    assert all(r.ivf_recall_ok and r.ivf_returned_k_ok for r in val)
 
 
 def test_lsh_ann_structural(spark):
     """Sign-LSH ANN: deterministic, returns valid scored candidates
     from probed buckets (recall is data-regime dependent — see
-    sim_ann_lsh_topk docstring — so only structure is asserted)."""
-    rows = registry.get("sim_ann_lsh_topk").fn(spark, SF_DIR).collect()
+    sim_ann_lsh_topk docstring — so only structure is asserted on the
+    raw operator); the registered validation form emits the exact
+    top-10 with all three flags TRUE."""
+    from sql_engine_triangle_spark.operators import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qvec = similarity.query_vector(emb, 0)
+    rows = similarity.ann_topk(emb, qvec, k=10, exclude_id=0).collect()
     assert 0 < len(rows) <= 10
     assert all(r.vec_id != 0 and -1.0 <= r.cos_sim <= 1.0 for r in rows)
-    rows2 = registry.get("sim_ann_lsh_topk").fn(spark, SF_DIR).collect()
+    rows2 = similarity.ann_topk(emb, qvec, k=10, exclude_id=0).collect()
     assert [r.vec_id for r in rows] == [r.vec_id for r in rows2]
+    val = registry.get("sim_ann_lsh_topk").fn(spark, SF_DIR).collect()
+    assert len(val) == 10
+    assert all(
+        r.ann_returned_ok and r.ann_bounded_ok and r.ann_ids_valid_ok for r in val
+    )
 
 
 def test_multimodal_decode_is_stubbed():

@@ -112,3 +112,39 @@ def test_wav_decode_roundtrip_and_stats(spark):
         want = float(np.sqrt(np.mean(x * x)))
         # rms rides a FloatType column — compare at float32 precision
         assert abs(r.rms - want) <= 1e-6 * max(1.0, abs(want)) * 128
+
+
+def test_ppm_decode_malformed_payloads():
+    """Malformed PPM payloads must raise, not hang or mis-shape:
+    truncated header, whitespace-free header, truncated pixel data.
+    '#' comment lines (legal PPM) must be skipped."""
+    import pytest
+
+    ok = MM.encode_ppm(np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3))
+    with pytest.raises(ValueError):
+        MM.decode_ppm(b"P6\n3 2")  # header cut mid-field
+    with pytest.raises(ValueError):
+        MM.decode_ppm(b"P63")  # no whitespace after magic, then EOF
+    with pytest.raises(ValueError):
+        MM.decode_ppm(ok[:-4])  # pixel data short
+    commented = b"P6\n# a comment line\n3 2\n# another\n255\n" + ok.split(b"255\n", 1)[1]
+    assert (MM.decode_ppm(commented) == MM.decode_ppm(ok)).all()
+
+
+def test_wav_decode_leading_junk_chunk():
+    """A legal WAV whose first chunk is JUNK (padding before 'fmt ')
+    must decode identically to the plain layout."""
+    import struct
+
+    samples = (np.arange(48, dtype=np.int64) * 997 % 9001 - 4500).astype(np.int16)
+    plain = MM.encode_wav_pcm16(samples, 8000)
+    junk = b"JUNK" + struct.pack("<I", 5) + b"\x00" * 5 + b"\x00"  # odd len → pad byte
+    with_junk = plain[:12] + junk + plain[12:]
+    # fix RIFF size field for the inserted chunk
+    with_junk = (
+        with_junk[:4]
+        + struct.pack("<I", len(with_junk) - 8)
+        + with_junk[8:]
+    )
+    rate, back = MM.decode_wav_pcm16(with_junk)
+    assert rate == 8000 and (back == samples).all()

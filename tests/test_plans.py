@@ -63,6 +63,14 @@ ALLOWED_NESTED_LOOP = {
     # doc_a < doc_b self-pair predicate can plan as BNLJ at tiny sf
     "j_range_bands",  # non-equi band join (BroadcastNestedLoop by design)
     "sub_correlated_scalar",  # decorrelated rewrite may nest at tiny sf
+    # Validation forms: crossJoin of a ONE-ROW broadcast flags frame
+    # onto the oracle-computable result (q4_approx_percentiles
+    # pattern) — bounded by construction (1 × N), plus the exact
+    # quadratic baseline they certify against:
+    "dedup_embedding_lsh",
+    "dedup_minhash_lsh_mid",
+    "sim_ann_lsh_topk",
+    "sim_ivf_topk",
 }
 
 
