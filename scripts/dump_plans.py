@@ -32,6 +32,9 @@ QUERIES = [
     "pipeline_funnel_conversion",
     "merge_upsert_snapshot",
     "text_boilerplate_strip",
+    "pipeline_incremental_admission",
+    "multimodal_decode_stats",
+    "asof_purchase_attribution",
 ]
 
 

@@ -158,23 +158,49 @@ def minhash_lsh_pairs_against(
     shingle-set aggregations per side — see minhash_lsh_pairs) is the
     index-build computation itself.
     """
+    banded_new, sh_new = lsh_index_side(
+        incoming, n=n, bands=bands, rows=rows, id_col=id_col, text_col=text_col
+    )
+    banded_corp, sh_corp = lsh_index_side(
+        corpus, n=n, bands=bands, rows=rows, id_col=id_col, text_col=text_col
+    )
+    return cross_verify_pairs(banded_new, sh_new, banded_corp, sh_corp, threshold)
+
+
+def lsh_index_side(
+    docs: DataFrame,
+    n: int = 3,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """One side of the asymmetric LSH join — exactly the frames a
+    persisted index stores: ``(doc_id, band, bucket)`` banded keys and
+    ``(doc_id, sh)`` shingle sets (for exact-Jaccard verification)."""
     num_perms = bands * rows
+    ex = shingle_rows(docs, id_col, text_col, n)
+    sig_agg = ex.groupBy("doc_id").agg(*_minhash_min_cols(num_perms))
+    sigs = sig_agg.select(
+        "doc_id",
+        F.array(*[F.col(f"m{p}") for p in range(num_perms)]).alias("sig"),
+    )
+    banded = sigs.select(
+        "doc_id", F.posexplode(_band_keys_expr(bands, rows)).alias("band", "bucket")
+    )
+    sh = ex.groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
+    return banded, sh
 
-    def side(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-        ex = shingle_rows(docs, id_col, text_col, n)
-        sig_agg = ex.groupBy("doc_id").agg(*_minhash_min_cols(num_perms))
-        sigs = sig_agg.select(
-            "doc_id",
-            F.array(*[F.col(f"m{p}") for p in range(num_perms)]).alias("sig"),
-        )
-        banded = sigs.select(
-            "doc_id", F.posexplode(_band_keys_expr(bands, rows)).alias("band", "bucket")
-        )
-        sh = ex.groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
-        return banded, sh
 
-    banded_new, sh_new = side(incoming)
-    banded_corp, sh_corp = side(corpus)
+def cross_verify_pairs(
+    banded_new: DataFrame,
+    sh_new: DataFrame,
+    banded_corp: DataFrame,
+    sh_corp: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Cross-side candidate join + exact-Jaccard verify (shared by the
+    inline and index-backed asymmetric paths)."""
     cands = (
         banded_new.select("band", "bucket", F.col("doc_id").alias("doc_new"))
         .join(
@@ -198,6 +224,62 @@ def minhash_lsh_pairs_against(
         .select("doc_new", "doc_corpus", "jaccard")
         .orderBy("doc_new", "doc_corpus")
     )
+
+
+def write_minhash_index(
+    docs: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    n: int = 3,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the corpus side of the asymmetric LSH join as a
+    persisted parquet index: ``<path>/bands`` (doc_id, band, bucket)
+    and ``<path>/shingles`` (doc_id, sh). This is the production
+    ingest lifecycle the inline operator's docstring promises: the
+    corpus is signed ONCE per snapshot; subsequent batches probe the
+    index and never rescan or re-shingle corpus text. ``mode=
+    "append"`` admits a new batch's rows into the index (append-only,
+    like every LSH-based dedup service index).
+
+    At 100 TB the bands table is tiny (docs × bands narrow longs,
+    bucketable on ``bucket`` for co-located probes) and the shingles
+    table is the only wide artifact — still far smaller than re-
+    deriving it per batch, and only candidate doc_ids' rows are ever
+    read by the verify join."""
+    banded, sh = lsh_index_side(
+        docs, n=n, bands=bands, rows=rows, id_col=id_col, text_col=text_col
+    )
+    banded.write.mode(mode).parquet(f"{path}/bands")
+    sh.write.mode(mode).parquet(f"{path}/shingles")
+
+
+def probe_minhash_index(
+    spark,
+    incoming: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric near-dup check of ``incoming`` against a persisted
+    index (see write_minhash_index) — identical output contract to
+    ``minhash_lsh_pairs_against(incoming, corpus)`` with the corpus
+    side read from parquet instead of recomputed (equivalence locked
+    by tests/test_dedup_index.py). Only the incoming batch pays
+    shingle/signature cost per probe."""
+    banded_new, sh_new = lsh_index_side(
+        incoming, n=n, bands=bands, rows=rows, id_col=id_col, text_col=text_col
+    )
+    banded_corp = spark.read.parquet(f"{path}/bands")
+    sh_corp = spark.read.parquet(f"{path}/shingles")
+    return cross_verify_pairs(banded_new, sh_new, banded_corp, sh_corp, threshold)
 
 
 def minhash_signatures(
