@@ -465,6 +465,79 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE {_NGRAM_PAIR_CTES},
+hp AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.9),
+e AS (
+  SELECT doc_a AS u, doc_b AS v FROM hp
+  UNION
+  SELECT doc_b, doc_a FROM hp
+),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+),
+comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS component
+  FROM reach GROUP BY u
+),
+q AS (
+  SELECT doc_id,
+         (1.0 - length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+              / greatest(length(text), 1))
+           * least(1.0, len(string_split_regex(lower(trim(text)), '\\s+')) / 50.0)
+           AS quality_score
+  FROM documents
+)
+SELECT c.doc_id, c.component,
+       first_value(c.doc_id) OVER (
+         PARTITION BY c.component
+         ORDER BY q.quality_score DESC, c.doc_id
+       ) AS keep_id
+FROM comp c JOIN q ON q.doc_id = c.doc_id
+ORDER BY c.doc_id
+"""
+
+
+@register("dedup_keep_best_quality", oracle=KEEP_BEST_ORACLE, tags=("LLM-dedup",))
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection — the production KEEP rule.
+    Plain dedup keeps min doc_id per near-dup cluster; a training-data
+    pipeline keeps the HIGHEST-QUALITY member (CCNet/RefinedWeb
+    style). LSH pairs at 0.9 → connected components → per-component
+    argmax of the quality score (tie → min doc_id). One window over
+    the component-keyed exchange the clustering already produced; the
+    quality join broadcasts (clustered docs ≪ corpus). Oracle:
+    recursive-CTE closure + the same first_value window in DuckDB
+    (quality formula is int/int IEEE arithmetic — bit-identical, so
+    the ordering agrees)."""
+    from pyspark.sql import Window
+
+    from sql_engine_triangle_spark.operators.graph import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.9)
+    comp = connected_components_star(pairs).select(
+        F.col("vid").alias("doc_id"), "component"
+    )
+    quality = docs.select(
+        "doc_id", textops.quality_score(F.col("text")).alias("quality_score")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        comp.join(quality, "doc_id")
+        .select(
+            "doc_id",
+            "component",
+            F.first_value(F.col("doc_id")).over(w).alias("keep_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register("dedup_simhash_pairs", oracle=None, tags=("LLM-dedup",))
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64) banded near-dup pairs at Hamming ≤ 8 (rows-only:
@@ -1060,6 +1133,75 @@ def pipeline_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(bucket >= 8, 1)).alias("n_heldout"),
         )
         .orderBy("lang")
+    )
+
+
+DECONTAM_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+sh8 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 7, 1) + 1),
+                                      i -> array_to_string(toks[i:i+7], ' '))) AS sh
+  FROM tok
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh8),
+bkt AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              AS INTEGER) % 100 AS bk
+  FROM documents
+)
+SELECT tr.doc_id AS train_doc, te.doc_id AS test_doc, count(*) AS n_shared
+FROM ex tr
+JOIN bkt btr ON btr.doc_id = tr.doc_id AND btr.bk < 95
+JOIN ex te ON te.s = tr.s
+JOIN bkt bte ON bte.doc_id = te.doc_id AND bte.bk >= 95
+GROUP BY 1, 2
+ORDER BY train_doc, test_doc
+"""
+
+
+@register("pipeline_decontaminate", oracle=DECONTAM_ORACLE, tags=("LLM-pipeline",))
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination — the overlap check every serious
+    training pipeline runs before training (the GPT-3 13-gram /
+    PaLM 8-gram discipline): flag any training document sharing a
+    word 8-gram with the held-out evaluation set, with the shared-gram
+    count as evidence. Held-out = md5 bucket >= 95 (the same
+    deterministic 5% hash discipline as sample_stratified).
+
+    Plan shape: one shingle pass over the corpus (the same exploded
+    (doc_id, 8-gram) frame both sides filter), test side BROADCAST —
+    an eval set is bounded by construction (thousands of docs), so at
+    100 TB the probe is a broadcast hash join against every training
+    partition with NO shuffle of training grams; the only exchange is
+    the final (train_doc, test_doc) count. Exact match on raw grams —
+    no hashing — so the DuckDB cross-join oracle is an equality
+    oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = dedup.shingle_rows(docs, "doc_id", "text", 8)
+    # bucket is a pure function of doc_id, so it can be (re)derived on
+    # the exploded frame — no join back to the docs table needed.
+    ex_bk = ex.withColumn(
+        "_bk",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100,
+    )
+    train = ex_bk.filter(F.col("_bk") < 95).select(
+        F.col("doc_id").alias("train_doc"), "s"
+    )
+    test = ex_bk.filter(F.col("_bk") >= 95).select(
+        F.col("doc_id").alias("test_doc"), "s"
+    )
+    return (
+        train.join(F.broadcast(test), "s")
+        .groupBy("train_doc", "test_doc")
+        .agg(F.count("*").alias("n_shared"))
+        .orderBy("train_doc", "test_doc")
     )
 
 

@@ -265,3 +265,51 @@ def test_containment_bounds_jaccard(spark):
         (r.doc_a, r.doc_b) for r in D.containment_pairs(docs, threshold=0.5).collect()
     }
     assert jac <= cont
+
+
+def test_keep_best_quality_semantics(spark):
+    """keep_id must be a member of its own component and carry the
+    component's maximum quality score (ties broken by min doc_id)."""
+    from sql_engine_triangle_spark.operators import textops
+
+    rows = registry.get("dedup_keep_best_quality").fn(spark, SF_DIR).collect()
+    assert rows, "fixture should contain near-dup clusters"
+    docs = load_table(spark, SF_DIR, "documents")
+    q = {
+        r.doc_id: r.q
+        for r in docs.select(
+            "doc_id", textops.quality_score(F.col("text")).alias("q")
+        ).collect()
+    }
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        keep = {r.keep_id for r in members}
+        assert len(keep) == 1, f"component {comp} has multiple keep_ids"
+        keep_id = keep.pop()
+        assert keep_id in {r.doc_id for r in members}
+        best = max(members, key=lambda r: (q[r.doc_id], -r.doc_id))
+        assert keep_id == best.doc_id
+
+
+def test_decontaminate_shared_grams_are_real(spark):
+    """Every reported (train, test) contamination pair must share at
+    least one literal word-8-gram; n_shared must equal the exact
+    distinct-8-gram intersection size."""
+    from sql_engine_triangle_spark.operators import dedup as D
+
+    rows = registry.get("pipeline_decontaminate").fn(spark, SF_DIR).collect()
+    assert rows, "fixture's planted near-dups should contaminate the 5% heldout"
+    ex = {
+        (r.doc_id, r.s)
+        for r in D.shingle_rows(
+            load_table(spark, SF_DIR, "documents"), "doc_id", "text", 8
+        ).collect()
+    }
+    grams = {}
+    for doc_id, s in ex:
+        grams.setdefault(doc_id, set()).add(s)
+    for r in rows:
+        got = len(grams[r.train_doc] & grams[r.test_doc])
+        assert got == r.n_shared and got >= 1
