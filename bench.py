@@ -59,6 +59,11 @@ EXTRA = [
     "pipeline_incremental_admission",
     "sample_weighted_mix",
     "dedup_minhash_lsh_mid",
+    "pipeline_decontaminate",
+    "multimodal_decode_stats",
+    # dedup_keep_best_quality intentionally NOT benched: it is
+    # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
+    # bench tracks the pair-generation scale path instead.
 ]
 
 

@@ -34,13 +34,19 @@ def test_minhash_lsh_recall_vs_exact(spark):
 
 
 def test_simhash_pairs_subset_sanity(spark):
-    """SimHash pairs: deterministic, symmetric-free (a<b), hamming
-    within bound."""
-    df = registry.get("dedup_simhash_pairs").fn(spark, SF_DIR)
-    rows = df.collect()
+    """Raw SimHash operator: deterministic, symmetric-free (a<b),
+    hamming within bound; the registered validation form emits the
+    exact J >= 0.9 pairs with the recall flag TRUE."""
+    from sql_engine_triangle_spark.operators import dedup as D
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = D.simhash_pairs(docs, max_hamming=8).collect()
+    assert rows
     for r in rows:
         assert r.doc_a < r.doc_b
         assert 0 <= r.hamming <= 8
+    val = registry.get("dedup_simhash_pairs").fn(spark, SF_DIR).collect()
+    assert val and all(r.simhash_recall_ok for r in val)
 
 
 def test_rolling_hash_matches_python_reference(spark):

@@ -69,6 +69,7 @@ ALLOWED_NESTED_LOOP = {
     # quadratic baseline they certify against:
     "dedup_embedding_lsh",
     "dedup_minhash_lsh_mid",
+    "dedup_simhash_pairs",
     "sim_ann_lsh_topk",
     "sim_ivf_topk",
 }
