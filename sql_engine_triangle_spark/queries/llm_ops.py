@@ -1915,6 +1915,143 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIGRAM_LOGPROB_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM tok
+),
+bfreq AS (SELECT bg, count(*) AS cb FROM big GROUP BY bg),
+ffreq AS (
+  SELECT string_split(bg, ' ')[1] AS w1, count(*) AS cf
+  FROM big GROUP BY 1
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(avg(ln(CAST(cb AS DOUBLE) / cf)), 6) AS avg_logprob
+FROM big
+JOIN bfreq USING (bg)
+JOIN ffreq ON ffreq.w1 = string_split(bg, ' ')[1]
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("text_bigram_logprob", oracle=BIGRAM_LOGPROB_ORACLE, tags=("LLM-text",))
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram language-model score: mean log p(w2 | w1) under
+    the corpus's own bigram MLE — one step up from the unigram proxy
+    toward the CCNet-style LM-perplexity quality filter. Conditional
+    MLE p = c(w1 w2) / c(w1 ·) needs no smoothing within-corpus
+    (every scored bigram contributes to its own counts, so p > 0).
+    Docs with fewer than two tokens have no bigrams and drop out —
+    same convention in the oracle. Plan: ONE bigram explode feeds the
+    bigram-frequency, first-token-frequency, and per-doc aggregations;
+    unlike the unigram entry the frequency sides are NOT broadcast —
+    bigram vocabulary grows with the corpus, so the equi-joins stay
+    shuffle joins and AQE decides (at 100 TB a broadcast would OOM).
+    avg(ln(...)) is order-varying → round(6) (unigram precedent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(F.col("toks")) - 1, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+        ),
+    )
+    big = (
+        docs.select("doc_id", toks.alias("toks"))
+        .repartition("doc_id")  # materialize toks (see shingle_rows)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+    )
+    bfreq = big.groupBy("bg").agg(F.count("*").alias("cb"))
+    ffreq = (
+        big.select(F.substring_index(F.col("bg"), " ", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("cf"))
+    )
+    return (
+        big.join(bfreq, "bg")
+        .withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
+        .join(ffreq, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("cb") / F.col("cf"))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TFIDF_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+  FROM documents
+),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY t),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, t AS term,
+         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN df USING (t), n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, rnk, term, tfidf
+FROM ranked WHERE rnk <= 3
+ORDER BY doc_id, rnk
+"""
+
+
+@register("text_tfidf_topterms", oracle=TFIDF_ORACLE, tags=("LLM-text",))
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic keyword/topic
+    extraction primitive corpus curation uses for domain tagging and
+    near-topic grouping. tf from one token explode, df from the same
+    explode (distinct per doc), idf = ln(N/df). Ranking happens on the
+    ROUNDED score with the term string as total tie-break, so both
+    engines rank identically (cross-engine ln agrees at 6 decimals —
+    text_term_stats precedent; sub-1e-6 score ties collapse to the
+    term order). Window is per-doc over ≤ |vocab ∩ doc| rows riding
+    the (doc_id) exchange the tf aggregation already produced."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id", F.explode(textops.tokens(F.col("text"))).alias("t")
+    )
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "t").select(
+        "doc_id",
+        F.col("t").alias("term"),
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.select(
+            "doc_id", F.row_number().over(w).alias("rnk"), "term", "tfidf"
+        )
+        .filter(F.col("rnk") <= 3)
+        .orderBy("doc_id", "rnk")
+    )
+
+
 INTERVAL_JOIN_ORACLE = """
 SELECT p.event_id AS purchase_id,
        v.event_id AS view_id,
