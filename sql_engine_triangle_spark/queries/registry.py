@@ -74,14 +74,13 @@ def _ensure_loaded() -> None:
 # the first two modules' registrations). Ordering is therefore a
 # verification-coverage decision, not cosmetics. The priority window
 # below puts the flagship core queries, the LLM-data-pipeline
-# operators, and streaming inside the window. Round-4 rotation: the
-# three round-3 flagship additions (dedup_incremental,
-# pipeline_incremental_admission, sample_weighted_mix — oracle-backed
-# but never driver-seen) displace a_global_stats / f_map_ops /
-# tpch_q5_local_supplier_volume, which earned green driver rows in r3
-# and stay covered by the pytest oracle sweep
-# (tests/test_oracle_sweep.py runs ALL entries regardless of
-# ordering). Rotation history documented in COVERAGE.md.
+# operators, and streaming inside the window. Round-4 rotation
+# (full history in COVERAGE.md): every new oracle-backed round-4
+# entry enters the window, displacing entries that earned green
+# driver rows in r3 and stay covered by the full-registry pytest
+# oracle sweep, which runs ALL entries regardless of ordering. After
+# this rotation every window slot is oracle-backed — no rows-only
+# entry occupies a slot a hash-matchable entry could use.
 _PRIORITY_WINDOW: tuple[str, ...] = (
     # core flagship (7)
     "q1_agg_by_type",
@@ -93,20 +92,21 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "q4_approx_percentiles",
     # llm_ops — every LLM-pipeline operator (35)
     "dedup_exact",
-    "dedup_fingerprint",
+    # r4 rotation: dedup_fingerprint, text_fingerprint,
+    # text_rolling_hash, emb_l2_normalize (green r3, stable, simple)
+    # and rows-only text_compression_ratio ceded slots to the five new
+    # oracle-backed r4 entries below (dedup_simhash_pairs returns as
+    # its validation form).
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_mid",
+    "dedup_simhash_pairs",
     "dedup_clusters",
     "dedup_clusters_lsh",
-    # r4: dedup_minhash_lsh_mid (oracle-backed 0.5-regime validation)
-    # takes the slot of rows-only dedup_simhash_pairs, which keeps its
-    # r3 rows-only row and full pytest/sweep coverage.
-    "dedup_minhash_lsh_mid",
+    "dedup_keep_best_quality",
     "dedup_embedding_pairs",
     "text_quality_scores",
     "text_lang_id",
-    "text_fingerprint",
-    "text_rolling_hash",
     "text_term_stats",
     "dedup_embedding_lsh",
     "sim_cosine_topk",
@@ -115,23 +115,21 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "pipeline_corpus_prep",
     "pipeline_funnel_conversion",
     "pipeline_corpus_split",
+    "pipeline_decontaminate",
     "asof_purchase_attribution",
     "multimodal_metadata",
     "multimodal_frames",
-    # r4: multimodal_decode_stats (oracle-backed REAL PPM/WAV decode)
-    # takes the slot of rows-only multimodal_features, which keeps its
-    # r3 rows-only row and full pytest/sweep coverage.
     "multimodal_decode_stats",
     "sample_stratified",
-    "emb_l2_normalize",
     "dedup_containment",
     "text_boilerplate_strip",
     "text_redact_pii",
-    "text_compression_ratio",
     "text_repetition_ratio",
     "pipeline_cohort_retention",
     "udaf_grouped_median",
     "text_unigram_logprob",
+    "text_bigram_logprob",
+    "text_tfidf_topterms",
     "j_interval_events",
     # streaming batch-twins (5)
     "stream_tumbling_counts",
