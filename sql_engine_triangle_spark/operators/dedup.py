@@ -101,14 +101,20 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_digits: int | None = None,
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle self-join.
 
     inter(a,b) from an equi-join on exploded distinct shingles;
     J = inter / (|A| + |B| - inter). Quadratic worst case — the LSH
     variant below is the scale path; this is the correctness oracle.
-    """
-    exploded = shingle_rows(docs, id_col, text_col, n)
+
+    ``exploded`` accepts a precomputed (and typically checkpointed)
+    ``shingle_rows`` frame so callers running several generators over
+    the same corpus pay the tokenize+explode pass once (see
+    dedup_minhash_lsh_mid)."""
+    if exploded is None:
+        exploded = shingle_rows(docs, id_col, text_col, n)
     sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
     a, b = exploded.alias("a"), exploded.alias("b")
@@ -330,8 +336,10 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     candidate_filtered_verify: bool = False,
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
+    ``exploded`` as in ngram_jaccard_pairs (shared shingle pass).
 
     Pipeline: signatures → per-band bucket key (xxhash64 of the band's
     rows) → explode bands → candidate pairs from bucket equi-join →
@@ -359,7 +367,8 @@ def minhash_lsh_pairs(
     costs ~2× on the single-machine fixture, so it is opt-in.
     """
     num_perms = bands * rows
-    exploded = shingle_rows(docs, id_col, text_col, n)
+    if exploded is None:
+        exploded = shingle_rows(docs, id_col, text_col, n)
     sig_agg = exploded.groupBy("doc_id").agg(*_minhash_min_cols(num_perms))
     sigs = sig_agg.select(
         "doc_id", F.array(*[F.col(f"m{p}") for p in range(num_perms)]).alias("sig")
@@ -382,7 +391,7 @@ def minhash_lsh_pairs(
     # exploded-shingle join variant: the array form wins here because
     # it adds only one collect_set shuffle, vs three extra
     # shingle_rows+join shuffles for the exploded form.
-    verify_src = shingle_rows(docs, id_col, text_col, n)
+    verify_src = exploded
     if candidate_filtered_verify:
         cand_ids = (
             cands.select(F.col("doc_a").alias("doc_id"))

@@ -160,15 +160,18 @@ def dedup_minhash_lsh_mid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # Both pair generators are heavy (the exact one deliberately so —
     # it is the quadratic baseline being certified against); their
-    # OUTPUTS are tiny pair lists. localCheckpoint each once so the
-    # three flag aggregations and the output row set all read the
-    # materialized pairs instead of re-running the generators
-    # (measured 6.9 s → ~4 s at sf0.1).
+    # OUTPUTS are tiny pair lists. The shingle tokenize+explode pass
+    # is checkpointed ONCE and shared by both generators, and each
+    # generator's pair output is checkpointed so the three flag
+    # aggregations and the output row set read materialized pairs
+    # instead of re-running anything (measured 6.9 s naive → 6.0 s
+    # per-output checkpoints → ~5 s shared-shingles at sf0.1).
+    ex = dedup.shingle_rows(docs, "doc_id", "text", 3).localCheckpoint()
     exact = dedup.ngram_jaccard_pairs(
-        docs, threshold=0.5, round_digits=None
+        docs, threshold=0.5, round_digits=None, exploded=ex
     ).localCheckpoint()
     lsh = (
-        dedup.minhash_lsh_pairs(docs, threshold=0.5)
+        dedup.minhash_lsh_pairs(docs, threshold=0.5, exploded=ex)
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )
