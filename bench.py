@@ -61,6 +61,8 @@ EXTRA = [
     "dedup_minhash_lsh_mid",
     "pipeline_decontaminate",
     "multimodal_decode_stats",
+    "text_bigram_logprob",
+    "text_tfidf_topterms",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

@@ -153,6 +153,17 @@ def main() -> int:
         )
 
     qs, oracles = ENTRY.queries(), ENTRY.oracle_sql()
+
+    # Window audit: the external driver only ingests the FIRST 50
+    # entries, so every one of those slots should carry a hash-checkable
+    # oracle — a rows-only entry in the window wastes external
+    # verification capacity (round-3 lesson; see COVERAGE.md rotation).
+    window = list(qs)[:50]
+    no_oracle_in_window = [n for n in window if n not in oracles]
+    if no_oracle_in_window:
+        print(f"[warn] rows-only entries inside the 50-entry driver window: "
+              f"{no_oracle_in_window}")
+
     n_pass = n_fail = n_rows_only = 0
     for name, fn in sorted(qs.items()):
         t0 = time.time()

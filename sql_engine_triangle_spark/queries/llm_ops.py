@@ -2027,8 +2027,10 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUNDED score with the term string as total tie-break, so both
     engines rank identically (cross-engine ln agrees at 6 decimals —
     text_term_stats precedent; sub-1e-6 score ties collapse to the
-    term order). Window is per-doc over ≤ |vocab ∩ doc| rows riding
-    the (doc_id) exchange the tf aggregation already produced."""
+    term order). Spark plans the rank filter as partial+final
+    WindowGroupLimit, so each task keeps only its local top-3 per doc
+    BEFORE the (doc_id) window exchange — the top-k-per-group shape
+    that survives any corpus size."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
