@@ -63,6 +63,8 @@ EXTRA = [
     "multimodal_decode_stats",
     "text_bigram_logprob",
     "text_tfidf_topterms",
+    "pipeline_chunk_documents",
+    "pipeline_pack_sequences",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

@@ -1826,6 +1826,150 @@ def pipeline_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= 64 THEN 1
+              ELSE 48 * ((len(toks) - 64 + 47) // 48) + 1 END AS last_start
+  FROM tok
+)
+SELECT doc_id,
+       CAST((start - 1) / 48 + 1 AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS start_pos,
+       CAST(least(64, n - start + 1) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(toks[start:start+63], ' ')) AS chunk_fp
+FROM sized, unnest(range(1, last_start + 1, 48)) AS t(start)
+ORDER BY doc_id, chunk_idx
+"""
+
+
+@register("pipeline_chunk_documents", oracle=CHUNK_ORACLE, tags=("LLM-pipeline",))
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep step
+    every pretraining/RAG pipeline runs: 64-token windows, stride 48
+    (16-token overlap), short tail kept, docs ≤ 64 tokens emit one
+    chunk. Chunk content is certified by md5 of the joined window (an
+    off-by-one in either engine's slice breaks the hash). Pure
+    higher-order array expressions over one narrow scan — a flat map
+    with no shuffle, the fan-out shape that scales linearly; start
+    positions use integer arithmetic mirrored exactly in the oracle
+    (ceil via (a + b - 1) // b, no float rounding)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    last_start = F.when(F.col("n") <= 64, F.lit(1)).otherwise(
+        48 * F.floor((F.col("n") - 64 + 47) / 48) + 1
+    )
+    starts = F.sequence(F.lit(1).cast("long"), last_start.cast("long"), F.lit(48).cast("long"))
+    return (
+        base.select("doc_id", "n", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / 48 + 1).cast("long").alias("chunk_idx"),
+            F.col("start").alias("start_pos"),
+            F.least(F.lit(64), F.col("n") - F.col("start") + 1)
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("toks"), F.col("start"), F.lit(64)))
+            ).alias("chunk_fp"),
+        )
+        .sortWithinPartitions("doc_id", "chunk_idx")
+    )
+
+
+PACK_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         -- sum(BIGINT) is HUGEINT in DuckDB -> float64 in pandas;
+         -- cast back so the driver's no-coercion hash sees int64
+         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS global_offset
+  FROM tok
+)
+SELECT doc_id, n_tokens, global_offset,
+       CAST(global_offset // 2048 AS BIGINT) AS pack_id,
+       CAST(global_offset % 2048 AS BIGINT) AS offset_in_pack
+FROM cum
+ORDER BY doc_id
+"""
+
+
+@register("pipeline_pack_sequences", oracle=PACK_ORACLE, tags=("LLM-pipeline",))
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing layout — the concat-and-slice (GPT-style)
+    batch construction: documents are concatenated in deterministic
+    doc_id order and the token stream is cut into 2048-token packs;
+    each document's (pack_id, offset_in_pack) locates it in the
+    packed corpus.
+
+    The global prefix sum is TWO-PHASE, not a bare
+    ``Window.orderBy`` — Spark plans an unpartitioned ordered window
+    as Exchange SinglePartition (all data through one task, the
+    classic scale-killer; verified in the naive form's plan). Phase 1
+    computes within-bucket prefix sums in parallel (window
+    partitioned by a doc_id-monotone bucket), phase 2 prefix-sums the
+    per-bucket TOTALS (|buckets| rows — bounded metadata, the only
+    single-partition step) and broadcasts them back as offsets. This
+    is the textbook distributed scan; the oracle is the plain
+    sequential cumsum, so the decomposition is verified exactly."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(textops.tokens(F.col("text")))
+    sized = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        # monotone in doc_id, so (bucket, doc_id) order == doc_id order
+        F.floor(F.col("doc_id") / 1000).alias("_bucket"),
+    )
+    w_in = (
+        Window.partitionBy("_bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = sized.select(
+        "doc_id",
+        "n_tokens",
+        "_bucket",
+        F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)).alias("_local_off"),
+    )
+    totals = sized.groupBy("_bucket").agg(F.sum("n_tokens").alias("_total"))
+    w_b = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_bucket",
+        F.coalesce(F.sum("_total").over(w_b), F.lit(0)).alias("_bucket_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("_bucket_off") + F.col("_local_off")).alias("global_offset"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "global_offset",
+            F.floor(F.col("global_offset") / 2048).alias("pack_id"),
+            (F.col("global_offset") % 2048).alias("offset_in_pack"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 GROUPED_MEDIAN_ORACLE = """
 SELECT event_type,
        count(*) AS n,

@@ -106,7 +106,11 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_keep_best_quality",
     "dedup_embedding_pairs",
     "text_quality_scores",
-    "text_lang_id",
+    # r4 late rotation: text_lang_id and text_redact_pii (green r3,
+    # stable) ceded slots to pipeline_chunk_documents /
+    # pipeline_pack_sequences (first-ever driver rows).
+    "pipeline_chunk_documents",
+    "pipeline_pack_sequences",
     "text_term_stats",
     "dedup_embedding_lsh",
     "sim_cosine_topk",
@@ -123,7 +127,6 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "sample_stratified",
     "dedup_containment",
     "text_boilerplate_strip",
-    "text_redact_pii",
     "text_repetition_ratio",
     "pipeline_cohort_retention",
     "udaf_grouped_median",
