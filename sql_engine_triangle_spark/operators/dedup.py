@@ -1,12 +1,15 @@
 """Deduplication operators over a document DataFrame.
 
-Five dedup families (training-data pipeline surface):
+Dedup families (training-data pipeline surface):
 - exact: md5-of-text hash groups (engine-independent, oracle-checked)
 - fingerprint: md5 of normalized text (near-exact: whitespace/case)
 - n-gram Jaccard: exact pairwise similarity via shingle self-join
 - MinHash + LSH: banded signature buckets → candidate pairs → exact
   Jaccard verify (the 100 TB scale path for near-dup detection)
 - SimHash: 64-bit bit-vote sketch + banded Hamming candidate pairs
+- asymmetric batch-vs-corpus LSH + a persisted parquet index
+  (write/probe/append — the production ingest lifecycle, where the
+  corpus is signed once per snapshot and batches probe the index)
 
 Everything is built-in JVM expressions (higher-order array functions
 and xxhash64) — deterministic, partition-parallel, no Python in the
