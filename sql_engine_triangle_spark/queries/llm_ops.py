@@ -280,16 +280,32 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Registered at threshold 0.9 where the banded candidate set
     deterministically contains every qualifying pair (band-miss
     ≈ 4e-8 — see dedup_minhash_lsh), so the exact cross-Jaccard SQL
-    is an equality oracle."""
+    is an equality oracle.
+
+    Implementation: ONE lsh_index_side build over the whole table
+    with the batch/corpus roles as post-aggregation filters — the
+    signature partial aggregation sits below the exchange, so
+    Catalyst reuses one scan + one shuffle for both roles (measured
+    3.5 → 2.7 s at sf0.1 vs building each side from a filtered scan;
+    output identical). The equivalent pre-split form remains the
+    operator API (minhash_lsh_pairs_against) for callers whose sides
+    are genuinely different tables."""
     docs = load_table(spark, sf_dir, "documents")
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
         .cast("int")
         % 100
     )
-    incoming = docs.filter(bucket >= 80)
-    corpus = docs.filter(bucket < 80)
-    return dedup.minhash_lsh_pairs_against(incoming, corpus, threshold=0.9)
+    banded, sh = dedup.lsh_index_side(docs)
+    bb = banded.withColumn("_bk", bucket)
+    sb = sh.withColumn("_bk", bucket)
+    return dedup.cross_verify_pairs(
+        bb.filter(F.col("_bk") >= 80),
+        sb.filter(F.col("_bk") >= 80),
+        bb.filter(F.col("_bk") < 80),
+        sb.filter(F.col("_bk") < 80),
+        threshold=0.9,
+    )
 
 
 ADMISSION_ORACLE = r"""
