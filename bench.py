@@ -65,6 +65,12 @@ EXTRA = [
     "text_tfidf_topterms",
     "pipeline_chunk_documents",
     "pipeline_pack_sequences",
+    "dedup_semantic",
+    "sim_knn_join",
+    "pipeline_shard_layout",
+    "w_sessionize",
+    "w_scd2_history",
+    "tpch_q18_big_orders",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

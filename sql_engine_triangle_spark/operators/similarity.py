@@ -359,3 +359,126 @@ def ann_topk(
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)
     )
+
+
+SEED_K = 8  # coarse clusters for the seed-quantizer family below
+
+
+def seed_centroid_assign(emb: DataFrame, k: int = SEED_K) -> DataFrame:
+    """Deterministic one-pass coarse clustering: every vector is
+    assigned to the nearest (by cosine) of the k lowest-``vec_id``
+    vectors, entirely JVM-side.
+
+    This is the oracle-friendly sibling of ``ivf_centroids`` (same
+    quantize-then-bound-work idea, zero Lloyd iterations): the seed
+    set is a k-row collect — a scalar-sized parameter, like the IVF
+    quantizer — and the assignment is a narrow per-row expression
+    (k cosine folds + an array_min over (neg_cos, sid) structs), so
+    the plan adds NO shuffle and NO Python. Cosines are rounded to
+    6 dp before the argmin so the argument order is reproducible
+    across engines; ties break toward the lowest seed id.
+
+    At 100 TB: k stays small (it bounds downstream per-cluster work),
+    the seed fetch is one TakeOrderedAndProject, and assignment
+    pipelines into whatever consumes it — the same shape FAISS-style
+    IVF uses, minus the iterative refinement that a differential
+    oracle cannot replay."""
+    seeds = emb.orderBy("vec_id").limit(k).select("embedding").collect()
+    e = _as_double(F.col("embedding"))
+    cands = [
+        F.struct(
+            (-F.round(cosine(e, F.array(*[F.lit(float(v)) for v in row[0]])), 6)).alias(
+                "nc"
+            ),
+            F.lit(i).alias("sid"),
+        )
+        for i, row in enumerate(seeds)
+    ]
+    return emb.withColumn("cid", F.array_min(F.array(*cands))["sid"])
+
+
+def semantic_dedup(emb: DataFrame, k: int = SEED_K, eps: float = 0.45) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embedding space, then prune
+    within each cluster any vector that has an earlier (lower vec_id)
+    neighbor with cosine >= eps. Returns (vec_id, cid, keep) for every
+    vector — ``keep=false`` rows are the semantic duplicates a
+    curation pipeline drops.
+
+    Plan shape: one narrow assignment map (no shuffle), then a single
+    self-join ON cid — the pairwise cosine work is bounded per
+    cluster, which is the entire point of SemDeDup: the quadratic is
+    paid inside k partitions of n/k vectors, never across the corpus.
+    At 100 TB, k scales with the corpus (FAISS-kmeans sized so
+    clusters stay ~1e4 vectors) and hot clusters split via AQE skew
+    handling; keep-decision is earliest-id-wins, which needs no
+    connected components — one join, one distinct, one anti-join."""
+    asg = seed_centroid_assign(emb, k).select(
+        "vec_id", "cid", _as_double(F.col("embedding")).alias("emb")
+    )
+    later = asg.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cid").alias("b_cid"),
+        F.col("emb").alias("b_emb"),
+    )
+    dup_ids = (
+        asg.join(
+            later,
+            (F.col("cid") == F.col("b_cid")) & (F.col("b_id") < F.col("vec_id")),
+        )
+        .filter(F.round(cosine(F.col("emb"), F.col("b_emb")), 4) >= eps)
+        .select("vec_id")
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        asg.join(dup_ids, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def knn_join(
+    emb: DataFrame, k: int = SEED_K, n_neighbors: int = 3
+) -> DataFrame:
+    """Cluster-bounded k-NN self-join: for every vector, its
+    ``n_neighbors`` nearest neighbors (by cosine) WITHIN its coarse
+    cluster — the all-vectors analog of the single-query top-k, and
+    the workload shape of embedding-based retrieval-index builds.
+
+    The coarse assignment bounds the quadratic exactly as in
+    ``semantic_dedup``; ranking is a per-vec_id window over the
+    cluster-joined pairs (one shuffle keyed cid for the join, one
+    keyed vec_id for the window — at scale the second exchange is the
+    smaller one since pairs are already cluster-local). Vectors in
+    singleton clusters emit no rows, by definition of within-cluster
+    neighbors. cos_sim is rounded to 4 dp with vec_id tie-breaks so
+    ranks are engine-reproducible."""
+    from pyspark.sql.window import Window
+
+    asg = seed_centroid_assign(emb, k).select(
+        "vec_id", "cid", _as_double(F.col("embedding")).alias("emb")
+    )
+    other = asg.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("cid").alias("b_cid"),
+        F.col("emb").alias("b_emb"),
+    )
+    scored = (
+        asg.join(
+            other,
+            (F.col("cid") == F.col("b_cid")) & (F.col("nbr_id") != F.col("vec_id")),
+        )
+        .withColumn("cos_sim", F.round(cosine(F.col("emb"), F.col("b_emb")), 4))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "nbr_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_neighbors)
+        .select("vec_id", "rank", "nbr_id", "cos_sim")
+        .orderBy("vec_id", "rank")
+    )

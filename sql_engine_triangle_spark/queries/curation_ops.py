@@ -1,0 +1,169 @@
+"""Corpus-curation queries added in round 4: semantic (embedding-
+cluster) dedup, cluster-bounded k-NN similarity join, and the
+deterministic shard/file layout a training-data export writes.
+
+These extend the LLM-pipeline family in ``llm_ops.py``; they live in
+their own module because all three ride the seed-quantizer coarse
+clustering in ``operators/similarity.py`` (the oracle-replayable
+sibling of the IVF k-means quantizer) or the hash-layout discipline,
+and because the driver's entry ordering is governed by
+``registry._PRIORITY_WINDOW``, not module placement.
+
+Float-parity discipline matches llm_ops.py: cosine values are rounded
+(4 dp for thresholds/ranking, 6 dp for the argmin assignment) with
+integer tie-breaks so every comparison the result depends on is
+engine-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sql_engine_triangle_spark.catalog import load_table
+from sql_engine_triangle_spark.operators import similarity
+from sql_engine_triangle_spark.queries.registry import register
+
+# Shared oracle CTEs: the seed set is the 8 lowest-vec_id vectors;
+# assignment is argmax of 6-dp-rounded cosine with lowest-sid
+# tie-break — exactly what similarity.seed_centroid_assign computes
+# JVM-side.
+_ASSIGN_CTES = """
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS sid,
+         CAST(embedding AS DOUBLE[]) AS semb
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+scored AS (
+  SELECT e.vec_id, s.sid,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.semb),
+               6) AS c
+  FROM embeddings e CROSS JOIN seeds s
+),
+asg AS (
+  SELECT vec_id, sid AS cid FROM (
+    SELECT vec_id, sid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, sid) AS rn
+    FROM scored)
+  WHERE rn = 1
+)
+"""
+
+SEMANTIC_DEDUP_ORACLE = f"""
+WITH {_ASSIGN_CTES},
+dups AS (
+  SELECT DISTINCT a.vec_id
+  FROM asg a
+  JOIN asg b ON a.cid = b.cid AND b.vec_id < a.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[])), 4) >= 0.45
+)
+SELECT asg.vec_id, asg.cid, d.vec_id IS NULL AS keep
+FROM asg LEFT JOIN dups d ON d.vec_id = asg.vec_id
+ORDER BY asg.vec_id
+"""
+
+
+@register("dedup_semantic", oracle=SEMANTIC_DEDUP_ORACLE, tags=("LLM-dedup",))
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (arXiv:2303.09540): coarse
+    clusters via the seed quantizer, then earliest-id-wins pruning of
+    within-cluster cosine neighbors at eps=0.45 (inside the fixture's
+    observed similarity range — the same operating point as
+    dedup_embedding_pairs). Emits (vec_id, cid, keep) for the whole
+    table so the driver hashes the full keep/drop decision, not just
+    the survivor list. See similarity.semantic_dedup for the
+    100 TB plan-shape argument (per-cluster-bounded quadratic, one
+    cid-keyed shuffle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, k=similarity.SEED_K, eps=0.45)
+
+
+KNN_JOIN_ORACLE = f"""
+WITH {_ASSIGN_CTES},
+pairs AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id,
+         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                      CAST(eb.embedding AS DOUBLE[])), 4)
+           AS cos_sim
+  FROM asg a
+  JOIN asg b ON a.cid = b.cid AND b.vec_id <> a.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+)
+SELECT vec_id, rank, nbr_id, cos_sim FROM (
+  SELECT vec_id, nbr_id, cos_sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, nbr_id) AS rank
+  FROM pairs)
+WHERE rank <= 3
+ORDER BY vec_id, rank
+"""
+
+
+@register("sim_knn_join", oracle=KNN_JOIN_ORACLE, tags=("LLM-sim",))
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-bounded k-NN self-join: every vector's top-3 neighbors
+    within its coarse cluster — the retrieval-index-build workload
+    (single-query top-k is sim_cosine_topk; this is the all-rows
+    form). The coarse assignment bounds the pairwise work per
+    cluster; ranks use 4-dp cosine with nbr_id tie-breaks so the
+    window order is engine-reproducible. See similarity.knn_join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_join(emb, k=similarity.SEED_K, n_neighbors=3)
+
+
+SHARD_LAYOUT_ORACLE = """
+WITH h AS (
+  SELECT doc_id, n_chars,
+         md5(CAST(doc_id AS VARCHAR)) AS hx,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              AS INTEGER) % 8 AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS pos,
+       CAST(floor((sum(n_chars) OVER (PARTITION BY shard
+                                      ORDER BY hx, doc_id) - n_chars)
+                  / 4096) AS INTEGER) AS file_idx
+FROM h
+ORDER BY shard, pos
+"""
+
+
+@register("pipeline_shard_layout", oracle=SHARD_LAYOUT_ORACLE, tags=("LLM-pipeline",))
+def pipeline_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard layout: the exact (shard, position,
+    file) every document lands in when the corpus is exported for a
+    data loader. shard = md5(doc_id) % 8 (the same engine-portable
+    hash discipline as pipeline_corpus_split — never rand(), never
+    Spark-internal hashpartitioning, so reruns and engine swaps place
+    every doc identically); position = rank of the md5 within the
+    shard (a deterministic intra-shard shuffle — hash order IS the
+    training-order randomization); file_idx = cumulative-chars
+    BEFORE the doc, div a 4 KiB text budget — the bounded-size-file
+    contract of tfrecord/webdataset-style exports.
+
+    Plan: one narrow map, ONE exchange keyed shard (8 groups), two
+    window functions over the same (shard, hx) sort — Spark computes
+    both in a single sort pass. At 100 TB shard count scales to
+    O(corpus/target_file_size); the window stays safe because each
+    partition is one shard, and the physical write is
+    df.repartition(shard).sortWithinPartitions(hx) + a partitioned
+    sink — the layout column set here is exactly that write's
+    manifest."""
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.col("doc_id").cast("string"))
+    shard = F.conv(F.substring(hx, 1, 4), 16, 10).cast("int") % 8
+    w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+    cum = F.sum("n_chars").over(w) - F.col("n_chars")
+    return (
+        docs.select("doc_id", "n_chars", hx.alias("hx"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("file_idx", F.floor(cum / 4096).cast("int"))
+        .select("doc_id", "shard", "pos", "file_idx")
+        .orderBy("shard", "pos")
+    )

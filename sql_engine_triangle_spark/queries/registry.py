@@ -62,10 +62,12 @@ def _ensure_loaded() -> None:
     from sql_engine_triangle_spark.queries import (  # noqa: F401
         aux_ops,
         core,
+        curation_ops,
         ingest_ops,
         llm_ops,
         streaming_ops,
         tpch_like,
+        warehouse_ops,
     )
 
 
@@ -96,8 +98,11 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     # text_rolling_hash, emb_l2_normalize (green r3, stable, simple)
     # and rows-only text_compression_ratio ceded slots to the five new
     # oracle-backed r4 entries below (dedup_simhash_pairs returns as
-    # its validation form).
-    "dedup_ngram_jaccard",
+    # its validation form). Late-r4: dedup_ngram_jaccard,
+    # sample_stratified, udaf_grouped_median (all green r3) ceded
+    # slots to the curation_ops additions (dedup_semantic,
+    # sim_knn_join, pipeline_shard_layout).
+    "dedup_semantic",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_mid",
     "dedup_simhash_pairs",
@@ -114,6 +119,7 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "text_term_stats",
     "dedup_embedding_lsh",
     "sim_cosine_topk",
+    "sim_knn_join",
     "sim_ann_lsh_topk",
     "sim_ivf_topk",
     "pipeline_corpus_prep",
@@ -124,12 +130,11 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "multimodal_metadata",
     "multimodal_frames",
     "multimodal_decode_stats",
-    "sample_stratified",
+    "pipeline_shard_layout",
     "dedup_containment",
     "text_boilerplate_strip",
     "text_repetition_ratio",
     "pipeline_cohort_retention",
-    "udaf_grouped_median",
     "text_unigram_logprob",
     "text_bigram_logprob",
     "text_tfidf_topterms",

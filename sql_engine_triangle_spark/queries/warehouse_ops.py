@@ -1,0 +1,238 @@
+"""Warehouse-pattern queries added late in round 4: SCD2 history
+build, batch sessionization, winsorized aggregates, and the TPC-H Q18
+big-order shape.
+
+These round out the classic-warehouse surface next to aux_ops'
+merge/latest-per-key/forward-fill family: SCD2 and sessionization are
+the two standard "turn an event stream into analysis-ready state"
+transforms, winsorization is the robust-aggregate discipline every
+metrics pipeline needs, and Q18 adds the HAVING-on-fact-aggregate
+semi-join missing from the Q3/Q5/Q10 trio in tpch_like.py.
+
+Timestamp discipline: raw TimestampType outputs are safe to hash
+against the oracle under the UTC driver contract (catalog.py); all
+DURATIONS are emitted as integer microsecond diffs (unix_micros /
+epoch_us), which are session-timezone-invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sql_engine_triangle_spark.catalog import load_table
+from sql_engine_triangle_spark.queries.registry import register
+
+SCD2_ORACLE = """
+SELECT user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS version,
+       value,
+       ts AS effective_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS effective_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM events
+WHERE event_type = 'purchase'
+ORDER BY user_id, version
+"""
+
+
+@register("w_scd2_history", oracle=SCD2_ORACLE, tags=("W1", "W3"))
+def w_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history: each user's purchase
+    stream becomes versioned validity intervals — effective_from = the
+    event, effective_to = the NEXT event (NULL = current row), the
+    standard lead()-closure every warehouse uses to build dimension
+    history from a change stream. One exchange keyed user_id; both
+    window functions (lead + row_number) share one sort. event_id
+    tie-breaks equal timestamps so version numbering is deterministic.
+    At 100 TB: dimension history builds are bounded by the entity key
+    cardinality, and the single hash exchange on that key is the
+    minimum any engine needs; no self-join, no range explosion."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.row_number().over(w).alias("version"),
+            "value",
+            F.col("ts").alias("effective_from"),
+            F.lead("ts").over(w).alias("effective_to"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+SESSIONIZE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 24 HOUR
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+FROM sess
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+@register("w_sessionize", oracle=SESSIONIZE_ORACLE, tags=("W1", "A5"))
+def w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with a 24 h inactivity gap: the classic
+    lag-flag + running-sum session_id assignment (the batch twin of
+    streaming_ops' session_window aggregation, but emitting the
+    row-level session assignment a warehouse joins back to facts).
+    Both windows share one user_id exchange and one sort; the closing
+    per-session rollup re-keys to (user_id, session_id) — at scale the
+    second exchange moves one row per event, already narrow, and
+    session counts shrink it ~8x. duration_us is an integer micros
+    diff (timezone-invariant, catalog.py contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us > 24 * 3600 * 1_000_000), 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_id", F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (
+                F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+            ).alias("duration_us"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+WINSORIZE_ORACLE = """
+WITH pct AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events
+  GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*) AS n,
+       round(avg(e.value), 4) AS avg_raw,
+       round(avg(least(greatest(e.value, p.p05), p.p95)), 4) AS avg_winsorized,
+       round(p.p05, 4) AS p05,
+       round(p.p95, 4) AS p95
+FROM events e JOIN pct p ON e.event_type = p.event_type
+GROUP BY e.event_type, p.p05, p.p95
+ORDER BY e.event_type
+"""
+
+
+@register("f_winsorize", oracle=WINSORIZE_ORACLE, tags=("A9", "F1"))
+def f_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p05/p95-clipped) per-group means — the robust
+    aggregate a metrics pipeline uses when raw means are outlier-
+    hostage. Two-phase: exact interpolated percentiles per group
+    (one shuffle, same A9 kernel the oracle's quantile_cont matches),
+    BROADCAST the tiny per-group bounds back onto the fact, aggregate
+    clipped values (second shuffle on the same key). At 100 TB the
+    bounds table stays group-cardinality-sized; nothing quadratic.
+    avg over doubles rounds to 4 dp (accumulation-order discipline,
+    llm_ops header)."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    clipped = ev.join(F.broadcast(pct), "event_type").withColumn(
+        "wv", F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_raw"),
+            F.round(F.avg("wv"), 4).alias("avg_winsorized"),
+            F.round(F.first("p05"), 4).alias("p05"),
+            F.round(F.first("p95"), 4).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TPCH_Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+           AS sum_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250
+)
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(o_orderdate AS DATE) AS odate,
+       o_totalprice, sum_qty
+FROM big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@register("tpch_q18_big_orders", oracle=TPCH_Q18_ORACLE, tags=("J1", "A4", "A13", "O3"))
+def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    line quantity exceeds a threshold, joined back to orders+customer
+    for reporting. The defining feature vs Q3/Q5/Q10 is HAVING on a
+    FACT-side aggregate — the fact table aggregates FIRST (partial+
+    final on l_orderkey), and only the tiny qualifying set joins
+    onward, so the join input is post-aggregation — the shape Catalyst
+    cannot reorder into and which an engine must get right to avoid
+    shuffling the whole fact twice. Quantities sum as DECIMAL (exact,
+    order-independent, tpch_like.py discipline). Top-20 via
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("_sq"))
+        .filter(F.col("_sq") > 250)
+        .select("l_orderkey", F.col("_sq").cast("double").alias("sum_qty"))
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("odate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
