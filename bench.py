@@ -71,6 +71,8 @@ EXTRA = [
     "w_sessionize",
     "w_scd2_history",
     "tpch_q18_big_orders",
+    "tpch_q7_volume_shipping",
+    "tpch_q19_disjunctive_join",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sql_engine_triangle_spark.catalog import load_table
-from sql_engine_triangle_spark.operators import similarity
+from sql_engine_triangle_spark.operators import similarity, textops
 from sql_engine_triangle_spark.queries.registry import register
 
 # Shared oracle CTEs: the seed set is the 8 lowest-vec_id vectors;
@@ -166,4 +166,173 @@ def pipeline_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("file_idx", F.floor(cum / 4096).cast("int"))
         .select("doc_id", "shard", "pos", "file_idx")
         .orderBy("shard", "pos")
+    )
+
+
+DOMAIN_CAP_ORACLE = """
+SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+)
+WHERE rk <= 50
+ORDER BY source, rk
+"""
+
+
+@register("curation_domain_cap", oracle=DOMAIN_CAP_ORACLE, tags=("LLM-pipeline", "W1"))
+def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the over-represented-source
+    down-weighting rule every web-corpus recipe applies (keep at most
+    N docs per domain, best-first): row_number per source ordered by
+    (n_chars desc, doc_id), keep rank <= 50. One exchange on the
+    source key; Spark's WindowGroupLimit pushes the rank<=50 filter
+    BELOW the exchange (each map task forwards at most 50 rows per
+    source), so a head domain with 10^9 docs ships 50×parallelism
+    rows, not 10^9 — the cap is what makes the op skew-proof, and the
+    optimization is asserted in tests/test_plans.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 50)
+        .orderBy("source", "rk")
+    )
+
+
+DUP_NGRAM_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         list_transform(range(2, len(toks) + 1),
+                        i -> toks[i - 1] || ' ' || toks[i]) AS bigrams
+  FROM t
+  WHERE len(toks) >= 2
+)
+SELECT doc_id,
+       CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+       CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct,
+       round(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                   / CAST(len(bigrams) AS DOUBLE), 6) AS dup_frac
+FROM b
+ORDER BY doc_id
+"""
+
+
+@register("text_dup_ngram_fraction", oracle=DUP_NGRAM_ORACLE, tags=("LLM-text",))
+def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-class repetition filter: the fraction of a document's
+    word bigrams that are repeats of an earlier bigram (1 −
+    distinct/total). High dup_frac flags boilerplate loops and
+    degenerate generations. Computed entirely with per-row array
+    expressions (transform/array_distinct on the token array) — a
+    narrow scan with ZERO shuffle, unlike the corpus-level
+    text_repetition_ratio which aggregates across documents; at
+    100 TB this is embarrassingly parallel and the natural companion
+    predicate inside pipeline_corpus_prep's keep rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    bigrams = F.expr(
+        "transform(sequence(2, size(toks)), i -> concat(toks[i-2], ' ', toks[i-1]))"
+    )
+    return (
+        base.select("doc_id", bigrams.alias("bigrams"))
+        .select(
+            "doc_id",
+            F.size("bigrams").cast("long").alias("n_bigrams"),
+            F.size(F.array_distinct("bigrams")).cast("long").alias("n_distinct"),
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct("bigrams")).cast("double")
+                / F.size("bigrams").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TOKEN_BUDGET_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+         n_chars
+  FROM documents
+),
+q AS (
+  SELECT doc_id, n_tokens,
+         (1000 * n_chars) // n_tokens AS quality_milli
+  FROM tok
+  WHERE n_tokens > 0
+),
+cum AS (
+  SELECT doc_id, n_tokens, quality_milli,
+         CAST(COALESCE(sum(n_tokens) OVER (
+                ORDER BY quality_milli DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM q
+)
+SELECT doc_id, quality_milli, n_tokens, cum_before
+FROM cum
+WHERE cum_before < (SELECT sum(n_tokens) // 2 FROM q)
+ORDER BY quality_milli DESC, doc_id
+"""
+
+
+@register("pipeline_token_budget", oracle=TOKEN_BUDGET_ORACLE, tags=("LLM-pipeline",))
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection — admit documents best-quality-
+    first until the token budget (here 50% of corpus tokens) is
+    spent; the data-selection primitive behind 'train on the best
+    X tokens' recipes. Quality is integer-exact (milli-chars-per-
+    token, no float rounding on either engine); the budget cut needs
+    a GLOBAL prefix sum in quality order, built with the same
+    two-phase decomposition as pipeline_pack_sequences — phase 1
+    prefix-sums inside quality BANDS (quality_milli div 500, monotone
+    in the sort key) in parallel, phase 2 prefix-sums the per-band
+    totals (bounded metadata) and broadcasts band offsets back. No
+    Exchange SinglePartition over document rows at any point; the
+    corpus-total scalar joins in as a broadcast 1-row aggregate, not
+    a collected literal."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(textops.tokens(F.col("text")))
+    q = (
+        docs.select("doc_id", n_tokens.alias("n_tokens"), "n_chars")
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("(1000 * n_chars) div n_tokens").alias("quality_milli"),
+        )
+        .withColumn("_band", F.expr("quality_milli div 500"))
+    )
+    w_in = (
+        Window.partitionBy("_band")
+        .orderBy(F.desc("quality_milli"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = q.withColumn(
+        "_local_off", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    )
+    totals = q.groupBy("_band").agg(F.sum("n_tokens").alias("_total"))
+    w_b = Window.orderBy(F.desc("_band")).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_band", F.coalesce(F.sum("_total").over(w_b), F.lit(0)).alias("_band_off")
+    )
+    budget = q.agg((F.sum("n_tokens") / 2).cast("long").alias("_budget"))
+    return (
+        local.join(F.broadcast(offsets), "_band")
+        .withColumn("cum_before", F.col("_band_off") + F.col("_local_off"))
+        .join(F.broadcast(budget))
+        .filter(F.col("cum_before") < F.col("_budget"))
+        .select("doc_id", "quality_milli", "n_tokens", "cum_before")
+        .orderBy(F.desc("quality_milli"), "doc_id")
     )

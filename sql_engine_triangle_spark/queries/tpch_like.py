@@ -162,3 +162,340 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lost_revenue"), "c_custkey")
         .limit(20)
     )
+
+
+TPCH_Q7_ORACLE = f"""
+SELECT supp_nation, cust_nation, yr,
+       CAST(round({_REVENUE_SQL}, 2) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS yr,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, yr
+ORDER BY supp_nation, cust_nation, yr
+"""
+
+
+@register("tpch_q7_volume_shipping", oracle=TPCH_Q7_ORACLE, tags=("J1", "A4", "A6"))
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year. The nation table joins the fact TWICE under different
+    roles (supplier's vs customer's nation) with a disjunctive
+    cross-pair predicate — the self-join-of-a-dimension stress the
+    reference lab never exercises. Both nation sides and both dims
+    broadcast; the only fact-sized exchange is lineitem⋈orders. The
+    pair predicate prunes to two nations BEFORE the fact join (filter
+    on the broadcast side), so at 100 TB the join output — not the
+    scan — is what shrinks."""
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == n1.s_nkey)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.c_nkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("yr"),
+        )
+        .agg(F.round(_revenue_col(), 2).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "yr")
+    )
+
+
+TPCH_Q8_ORACLE = """
+SELECT yr,
+       CAST(round(
+         CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                       ELSE CAST(0.0000 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(sum(volume) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+         CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS volume,
+         n2.n_name AS supp_nation
+  FROM part
+  JOIN lineitem ON l_partkey = p_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'EUROPE'
+    AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+) all_nations
+GROUP BY yr
+ORDER BY yr
+"""
+
+
+@register("tpch_q8_market_share", oracle=TPCH_Q8_ORACLE, tags=("J1", "A4", "F6"))
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share of a part type in
+    one region's customer market, by order year. Eight-relation join
+    (nation twice) with a conditional-aggregate ratio — share =
+    sum(volume WHERE supplier is NATION_3) / sum(volume). Every
+    relation but lineitem⋈orders broadcasts; the ratio is computed
+    from two decimal sums in ONE aggregation pass (no second scan,
+    no self-join), then divided as DOUBLE — exact accumulation,
+    one rounding at the very end."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    volume = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    zero = F.lit("0.0000").cast("decimal(18,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == n1.c_nkey)
+        .join(F.broadcast(reg), n1.c_rkey == reg.r_regionkey)
+        .join(F.broadcast(n2), supp.s_nationkey == n2.s_nkey)
+        .select(
+            F.year("o_orderdate").alias("yr"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+        .groupBy("yr")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+                        zero
+                    )
+                ).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+        .orderBy("yr")
+    )
+
+
+TPCH_Q14_ORACLE = """
+SELECT CAST(round(
+         100.00 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+                     ELSE CAST(0.0000 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+       4) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate <  TIMESTAMP '1997-04-01'
+"""
+
+
+@register("tpch_q14_promo_revenue", oracle=TPCH_Q14_ORACLE, tags=("J1", "A4", "F1"))
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue from promo
+    parts. Global (no-key) conditional-aggregate ratio: the ship-month
+    filter pushes to the lineitem scan, part broadcasts, and both the
+    numerator and denominator come out of one partial+final
+    aggregation — a two-task reduce regardless of fact size."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    volume = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    zero = F.lit("0.0000").cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(volume.alias("volume"), "p_type")
+        .agg(
+            F.round(
+                F.lit(100.00)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", F.col("volume")).otherwise(zero)
+                ).cast("double")
+                / F.sum("volume").cast("double"),
+                4,
+            )
+            .cast("double")
+            .alias("promo_revenue_pct")
+        )
+    )
+
+
+TPCH_Q15_ORACLE = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {_REVENUE_SQL} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register("tpch_q15_top_supplier", oracle=TPCH_Q15_ORACLE, tags=("J1", "A4", "O3"))
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarter revenue
+    (ties kept — max-equality, not LIMIT 1). One fact aggregation by
+    l_suppkey, then an unpartitioned window-max over the AGGREGATED
+    frame — |suppliers| rows, not fact rows, so the single-partition
+    window is bounded by dimension cardinality at any scale (the same
+    reasoning that rejects it over raw facts in pipeline_pack_
+    sequences). Supplier dim broadcasts onto the winners."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    from pyspark.sql import Window
+
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _revenue_col().alias("total_revenue")
+    )
+    winners = (
+        revenue.withColumn(
+            "max_rev", F.max("total_revenue").over(Window.partitionBy())
+        )
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .drop("max_rev")
+    )
+    return (
+        winners.join(F.broadcast(supp), winners.supplier_no == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+TPCH_Q12_ORACLE = """
+SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_yr,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+WHERE date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90
+GROUP BY CAST(year(l_shipdate) AS INTEGER)
+ORDER BY ship_yr
+"""
+
+
+@register("tpch_q12_late_shipments", oracle=TPCH_Q12_ORACLE, tags=("J1", "A5", "F6"))
+def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted to fixture columns: the fixture has no
+    l_shipmode/commitdate, so lateness = shipped >90 days after the
+    order and the group key is ship year): priority-mix CASE-counting
+    over late lines. The lateness predicate compares two columns from
+    OPPOSITE join sides, so it evaluates as a post-join filter on the
+    one fact-sized exchange; the CASE counts are partial-aggregated
+    map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+            > 90
+        )
+        .groupBy(F.year("l_shipdate").alias("ship_yr"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_yr")
+    )
+
+
+TPCH_Q19_ORACLE = """
+SELECT CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2)
+       AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+@register("tpch_q19_disjunctive_join", oracle=TPCH_Q19_ORACLE, tags=("J1", "P6", "A4"))
+def tpch_q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (adapted: fixture part has no container, so the
+    brand/size/quantity bands carry the disjunction): revenue under an
+    OR-of-ANDs predicate mixing columns from both join sides. Catalyst
+    pushes the derivable single-side residuals (brand∈{...} to the
+    part scan, quantity∈[1,30] to the lineitem scan) below the join
+    and keeps the cross-side disjunction as the join filter — the
+    predicate-decomposition behavior the reference lab measures on
+    its engines' OR filters."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & sz.between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & sz.between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & sz.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(F.round(_revenue_col(), 2).cast("double").alias("revenue"))
+    )

@@ -72,6 +72,9 @@ ALLOWED_NESTED_LOOP = {
     "dedup_simhash_pairs",
     "sim_ann_lsh_topk",
     "sim_ivf_topk",
+    # ONE-ROW broadcast of the corpus-total scalar (the token budget)
+    # onto the prefix-summed frame — bounded 1 × N by construction.
+    "pipeline_token_budget",
 }
 
 
@@ -92,3 +95,20 @@ def test_no_silent_cartesian_joins(spark):
         if hits and name not in ALLOWED_NESTED_LOOP:
             bad[name] = hits
     assert not bad, f"unexpected nested-loop/cartesian plans: {bad}"
+
+
+def test_domain_cap_window_group_limit(spark):
+    """curation_domain_cap's rank<=50 must push below the source
+    exchange (WindowGroupLimit): a head domain then ships at most
+    50 rows per map task instead of its full document set."""
+    df = _q(spark, "curation_domain_cap")
+    assert "WindowGroupLimit" in pa.executed_plan(df)
+
+
+def test_q19_pushes_single_side_residuals(spark):
+    """Catalyst must decompose the OR-of-ANDs predicate: the brand
+    disjunction is derivable for the part side and must reach the
+    part scan as a pushed filter, not evaluate post-join."""
+    df = _q(spark, "tpch_q19_disjunctive_join")
+    assert pa.has_pushed_filter(df, "p_brand")
+    assert pa.has_broadcast_join(df)
