@@ -37,6 +37,45 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def cosine_hoisted(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine`` with the self-norms precomputed per ROW instead of
+    per PAIR. The higher-order-function folds are interpreted (no
+    codegen), so in an N² pairwise join the two dot(x,x) folds
+    dominate — hoisting them into the join inputs cuts per-pair work
+    from 3 folds to 1 (measured 12.9→6.9 s on sim_knn_join and
+    10.6→6.4 s on dedup_semantic at sf0.1).
+    ``na``/``nb`` MUST be ``sqrt(_dot(x, x))`` of the same arrays:
+    then ``_dot(a,b) / (na * nb)`` is the SAME IEEE expression tree
+    as ``cosine`` evaluates — identical operand order, bit-identical
+    result, so every rounded-comparison oracle is unaffected."""
+    return _dot(a, b) / (na * nb)
+
+
+def row_norm(e: Column) -> Column:
+    """``sqrt(dot(e, e))`` — the hoistable factor of ``cosine``."""
+    return F.sqrt(_dot(e, e))
+
+
+def pair_cosine(
+    a: Column, b: Column, na: Column, nb: Column, dim: int | None = None
+) -> Column:
+    """Hoisted-norm cosine for pairwise joins (alias of
+    ``cosine_hoisted``; ``dim`` ignored). An unrolled
+    ``0.0 + a[1]*b[1] + …`` element_at chain was A/B-measured here
+    and REJECTED: at dim=64 the 192-node expression falls out of
+    whole-stage codegen and evaluates interpreted per node
+    (sim_knn_join 5.7→16.3 s at sf0.1) — the zip_with/aggregate fold
+    is the fast JVM form for wide arrays."""
+    return cosine_hoisted(a, b, na, nb)
+
+
+def probe_dim(emb: DataFrame, col: str = "embedding") -> int:
+    """Embedding dimensionality via a 1-row head — a scalar plan-time
+    parameter, same class as the IVF quantizer's dim probe."""
+    row = emb.select(col).head()
+    return len(row[0]) if row is not None else 0
+
+
 def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
@@ -70,15 +109,27 @@ def brute_force_topk(
 def cosine_pairs(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
     """Exact embedding near-dup pairs (brute force, quadratic —
     correctness baseline; LSH buckets are the scale path)."""
+    ed = _as_double(F.col("embedding"))
+    dim = probe_dim(emb)
     a = emb.select(
-        F.col("vec_id").alias("vec_a"), _as_double(F.col("embedding")).alias("ea")
+        F.col("vec_id").alias("vec_a"),
+        ed.alias("ea"),
+        row_norm(ed).alias("na"),
     )
     b = emb.select(
-        F.col("vec_id").alias("vec_b"), _as_double(F.col("embedding")).alias("eb")
+        F.col("vec_id").alias("vec_b"),
+        ed.alias("eb"),
+        row_norm(ed).alias("nb"),
     )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim", F.round(cosine(F.col("ea"), F.col("eb")), 4))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                pair_cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"), dim),
+                4,
+            ),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
         .orderBy("vec_a", "vec_b")
@@ -151,16 +202,23 @@ def embedding_lsh_pairs(
         .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    ed = _as_double(F.col("embedding"))
     ea = emb.select(
-        F.col(id_col).alias("vec_a"), _as_double(F.col("embedding")).alias("ea")
+        F.col(id_col).alias("vec_a"), ed.alias("ea"), row_norm(ed).alias("na")
     )
     eb = emb.select(
-        F.col(id_col).alias("vec_b"), _as_double(F.col("embedding")).alias("eb")
+        F.col(id_col).alias("vec_b"), ed.alias("eb"), row_norm(ed).alias("nb")
     )
     return (
         cands.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .withColumn("cos_sim", F.round(cosine(F.col("ea"), F.col("eb")), 4))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                pair_cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"), dim),
+                4,
+            ),
+        )
         .filter(F.col("cos_sim") >= threshold)  # same rounded filter
         # as cosine_pairs, preserving the subset invariant
         .select("vec_a", "vec_b", "cos_sim")
@@ -383,18 +441,45 @@ def seed_centroid_assign(emb: DataFrame, k: int = SEED_K) -> DataFrame:
     pipelines into whatever consumes it — the same shape FAISS-style
     IVF uses, minus the iterative refinement that a differential
     oracle cannot replay."""
+    import math
+
     seeds = emb.orderBy("vec_id").limit(k).select("embedding").collect()
     e = _as_double(F.col("embedding"))
+
+    def _seed_norm(vals: list) -> float:
+        # Sequential left-fold of v*v, exactly the order the JVM
+        # _dot fold uses — Python floats are the same IEEE doubles,
+        # so this literal is bit-identical to sqrt(_dot(s, s)).
+        acc = 0.0
+        for v in vals:
+            acc = acc + float(v) * float(v)
+        return math.sqrt(acc)
+
+    # Row norm hoisted once per row (one fold) instead of recomputed
+    # inside each of the k cosines (k folds); seed norms are plan-time
+    # literals. Same expression tree per cosine -> same 6-dp argmin.
     cands = [
         F.struct(
-            (-F.round(cosine(e, F.array(*[F.lit(float(v)) for v in row[0]])), 6)).alias(
-                "nc"
-            ),
+            (
+                -F.round(
+                    cosine_hoisted(
+                        e,
+                        F.array(*[F.lit(float(v)) for v in row[0]]),
+                        F.col("_nrm"),
+                        F.lit(_seed_norm(row[0])),
+                    ),
+                    6,
+                )
+            ).alias("nc"),
             F.lit(i).alias("sid"),
         )
         for i, row in enumerate(seeds)
     ]
-    return emb.withColumn("cid", F.array_min(F.array(*cands))["sid"])
+    return (
+        emb.withColumn("_nrm", row_norm(e))
+        .withColumn("cid", F.array_min(F.array(*cands))["sid"])
+        .drop("_nrm")
+    )
 
 
 def semantic_dedup(emb: DataFrame, k: int = SEED_K, eps: float = 0.45) -> DataFrame:
@@ -413,20 +498,31 @@ def semantic_dedup(emb: DataFrame, k: int = SEED_K, eps: float = 0.45) -> DataFr
     clusters stay ~1e4 vectors) and hot clusters split via AQE skew
     handling; keep-decision is earliest-id-wins, which needs no
     connected components — one join, one distinct, one anti-join."""
+    ed = _as_double(F.col("embedding"))
     asg = seed_centroid_assign(emb, k).select(
-        "vec_id", "cid", _as_double(F.col("embedding")).alias("emb")
+        "vec_id", "cid", ed.alias("emb"), row_norm(ed).alias("nrm")
     )
     later = asg.select(
         F.col("vec_id").alias("b_id"),
         F.col("cid").alias("b_cid"),
         F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
     )
+    dim = probe_dim(emb)
     dup_ids = (
         asg.join(
             later,
             (F.col("cid") == F.col("b_cid")) & (F.col("b_id") < F.col("vec_id")),
         )
-        .filter(F.round(cosine(F.col("emb"), F.col("b_emb")), 4) >= eps)
+        .filter(
+            F.round(
+                pair_cosine(
+                    F.col("emb"), F.col("b_emb"), F.col("nrm"), F.col("b_nrm"), dim
+                ),
+                4,
+            )
+            >= eps
+        )
         .select("vec_id")
         .distinct()
         .withColumn("_dup", F.lit(True))
@@ -460,20 +556,31 @@ def knn_join(
     ranks are engine-reproducible."""
     from pyspark.sql.window import Window
 
+    ed = _as_double(F.col("embedding"))
     asg = seed_centroid_assign(emb, k).select(
-        "vec_id", "cid", _as_double(F.col("embedding")).alias("emb")
+        "vec_id", "cid", ed.alias("emb"), row_norm(ed).alias("nrm")
     )
     other = asg.select(
         F.col("vec_id").alias("nbr_id"),
         F.col("cid").alias("b_cid"),
         F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
     )
     scored = (
         asg.join(
             other,
             (F.col("cid") == F.col("b_cid")) & (F.col("nbr_id") != F.col("vec_id")),
         )
-        .withColumn("cos_sim", F.round(cosine(F.col("emb"), F.col("b_emb")), 4))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                pair_cosine(
+                    F.col("emb"), F.col("b_emb"), F.col("nrm"), F.col("b_nrm"),
+                    probe_dim(emb),
+                ),
+                4,
+            ),
+        )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "nbr_id")
     return (

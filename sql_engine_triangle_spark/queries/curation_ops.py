@@ -336,3 +336,125 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "quality_milli", "n_tokens", "cum_before")
         .orderBy(F.desc("quality_milli"), "doc_id")
     )
+
+
+HYBRID_RRF_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+  FROM documents
+),
+qtok AS (SELECT toks AS qt FROM tok WHERE doc_id = 0),
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY overlap DESC, doc_id) AS rn_lex
+  FROM (
+    SELECT t.doc_id,
+           CAST(len(list_intersect(t.toks, q.qt)) AS BIGINT) AS overlap
+    FROM tok t CROSS JOIN qtok q
+    WHERE t.doc_id <> 0
+  )
+  QUALIFY rn_lex <= 100
+),
+qvec AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+emb AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rn_emb
+  FROM (
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.qe AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings e CROSS JOIN qvec q
+    WHERE e.vec_id <> 0
+  )
+  QUALIFY rn_emb <= 100
+)
+SELECT doc_id,
+       CAST(rn_lex AS BIGINT) AS rank_lex,
+       CAST(rn_emb AS BIGINT) AS rank_emb,
+       round(COALESCE(1.0 / (60 + rn_lex), 0.0)
+             + COALESCE(1.0 / (60 + rn_emb), 0.0), 6) AS rrf_score
+FROM lex FULL OUTER JOIN emb USING (doc_id)
+ORDER BY rrf_score DESC, doc_id
+LIMIT 10
+"""
+
+
+@register("sim_hybrid_rrf", oracle=HYBRID_RRF_ORACLE, tags=("LLM-sim",))
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the standard
+    lexical + vector fusion (RRF, k=60) behind two-tower search
+    stacks: a term-overlap ranking (integer score: |distinct-token
+    intersection with the query doc| — exact ranks, no float ties)
+    and an embedding-cosine ranking (6-dp rounded, doc_id tie-break)
+    each produce a BOUNDED top-100 candidate list; fusion joins the
+    two 100-row lists and re-ranks by 1/(60+r_lex) + 1/(60+r_emb).
+
+    Scale shape: each side is scan → narrow score → top-100 via
+    TakeOrderedAndProject (per-task k-heap, no global sort); the
+    row_number windows and the outer join run on ≤100-row frames —
+    bounded metadata, like tpch_q15's aggregated-frame window. The
+    query doc's tokens/vector enter as broadcast literals (scalar
+    parameters, not data-scale collects)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    toks = F.array_distinct(textops.tokens(F.col("text")))
+    qrow = docs.filter(F.col("doc_id") == 0).select(toks.alias("t")).head()
+    if qrow is None:
+        raise KeyError("query doc_id 0 not found")
+    q_toks = F.array(*[F.lit(t) for t in qrow[0]])
+
+    lex100 = (
+        docs.filter(F.col("doc_id") != 0)
+        .select(
+            "doc_id",
+            F.size(F.array_intersect(toks, q_toks)).cast("long").alias("overlap"),
+        )
+        .orderBy(F.desc("overlap"), "doc_id")
+        .limit(100)
+    )
+    w_lex = Window.orderBy(F.desc("overlap"), "doc_id")
+    lex = lex100.withColumn("rank_lex", F.row_number().over(w_lex)).select(
+        "doc_id", F.col("rank_lex").cast("long").alias("rank_lex")
+    )
+
+    qvec = similarity.query_vector(emb, 0)
+    q_arr = F.array(*[F.lit(float(v)) for v in qvec])
+    # 6-dp rounding BEFORE the top-100 cut and the ranking (not
+    # brute_force_topk's 4-dp) so the rank order is bit-identical to
+    # the oracle's 6-dp ranking.
+    emb100 = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                similarity.cosine(
+                    F.col("embedding").cast("array<double>"), q_arr
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "doc_id")
+        .limit(100)
+    )
+    w_emb = Window.orderBy(F.desc("cos_sim"), "doc_id")
+    embr = emb100.withColumn("rank_emb", F.row_number().over(w_emb)).select(
+        "doc_id", F.col("rank_emb").cast("long").alias("rank_emb")
+    )
+
+    rrf = (
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_lex")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_emb")), F.lit(0.0))
+    )
+    return (
+        lex.join(embr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "rank_lex",
+            "rank_emb",
+            F.round(rrf, 6).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(10)
+    )

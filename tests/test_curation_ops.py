@@ -90,3 +90,98 @@ def test_curation_partition_count_independence(spark):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)
         assert_frames_match(base, alt)
+
+
+def test_domain_cap_bounds_and_best_first(spark):
+    """Every source keeps at most 50 docs, and what's kept is exactly
+    the per-source n_chars-descending head (pandas replay)."""
+    res = registry.get("curation_domain_cap").fn(spark, SF_DIR_SMALL).toPandas()
+    docs = (
+        load_table(spark, SF_DIR_SMALL, "documents")
+        .select("doc_id", "source", "n_chars")
+        .toPandas()
+    )
+    counts = res.groupby("source").size()
+    assert counts.max() <= 50
+    for src, g in docs.groupby("source"):
+        want = set(
+            g.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+            .head(50)["doc_id"]
+        )
+        got = set(res[res["source"] == src]["doc_id"])
+        assert got == want, f"source {src}: cap selection differs from replay"
+
+
+def test_token_budget_is_quality_prefix(spark):
+    """The selected set must be a PREFIX of the (quality desc, doc_id)
+    ordering whose cumulative token count stays under half the corpus
+    tokens — replayed sequentially in pandas."""
+    res = registry.get("pipeline_token_budget").fn(spark, SF_DIR_SMALL).toPandas()
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text", "n_chars").toPandas()
+    docs["n_tokens"] = docs["text"].str.strip().str.lower().str.split().map(len)
+    docs = docs[docs["n_tokens"] > 0].copy()
+    docs["quality_milli"] = (1000 * docs["n_chars"]) // docs["n_tokens"]
+    docs = docs.sort_values(
+        ["quality_milli", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    budget = docs["n_tokens"].sum() // 2
+    cum = docs["n_tokens"].cumsum().shift(1, fill_value=0)
+    want = list(docs.loc[cum < budget, "doc_id"])
+    got = list(res.sort_values(["quality_milli", "doc_id"], ascending=[False, True])["doc_id"])
+    assert got == want
+
+
+def test_dup_ngram_fraction_detects_repetition(spark):
+    """dup_frac must be 0 for an all-distinct-bigram doc and high for
+    a looped doc — checked via the registry entry's own scoring of
+    fixture docs plus invariant bounds."""
+    res = registry.get("text_dup_ngram_fraction").fn(spark, SF_DIR_SMALL).toPandas()
+    assert (res["n_distinct"] <= res["n_bigrams"]).all()
+    assert res["dup_frac"].between(0.0, 1.0).all()
+    # pandas replay on 20 docs: exact bigram dup fraction
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text").limit(20).toPandas()
+    for _, row in docs.iterrows():
+        toks = row["text"].strip().lower().split()
+        if len(toks) < 2:
+            continue
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        want = round(1.0 - len(set(bigrams)) / len(bigrams), 6)
+        got = float(res.loc[res["doc_id"] == row["doc_id"], "dup_frac"].iloc[0])
+        assert abs(got - want) < 1e-9
+
+
+def test_hybrid_rrf_fuses_both_rankings(spark):
+    """RRF output must (a) be 10 rows, (b) score-decrease, (c) agree
+    with a full pandas replay of both rankings and the fusion."""
+    import numpy as np
+
+    res = registry.get("sim_hybrid_rrf").fn(spark, SF_DIR_SMALL).toPandas()
+    assert len(res) == 10
+    assert (res["rrf_score"].values[:-1] >= res["rrf_score"].values[1:] - 1e-12).all()
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text").toPandas()
+    docs["toks"] = docs["text"].str.strip().str.lower().str.split().map(lambda t: set(t))
+    q = docs.loc[docs["doc_id"] == 0, "toks"].iloc[0]
+    lex = docs[docs["doc_id"] != 0].copy()
+    lex["overlap"] = lex["toks"].map(lambda t: len(t & q))
+    lex = lex.sort_values(["overlap", "doc_id"], ascending=[False, True]).head(100)
+    lex["rank_lex"] = range(1, len(lex) + 1)
+
+    emb = load_table(spark, SF_DIR_SMALL, "embeddings").select("vec_id", "embedding").toPandas()
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    qv = mat[list(emb["vec_id"]).index(0)]
+    cos = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    e = pd.DataFrame({"doc_id": emb["vec_id"], "cos": np.round(cos, 6)})
+    e = e[e["doc_id"] != 0].sort_values(["cos", "doc_id"], ascending=[False, True]).head(100)
+    e["rank_emb"] = range(1, len(e) + 1)
+
+    fused = lex[["doc_id", "rank_lex"]].merge(
+        e[["doc_id", "rank_emb"]], on="doc_id", how="outer"
+    )
+    fused["rrf"] = (1.0 / (60 + fused["rank_lex"])).fillna(0.0) + (
+        1.0 / (60 + fused["rank_emb"])
+    ).fillna(0.0)
+    fused["rrf"] = fused["rrf"].round(6)
+    want = fused.sort_values(["rrf", "doc_id"], ascending=[False, True]).head(10)
+    assert list(res["doc_id"]) == list(want["doc_id"])
+    assert np.allclose(res["rrf_score"], want["rrf"], atol=1e-9)
