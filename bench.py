@@ -73,6 +73,10 @@ EXTRA = [
     "tpch_q18_big_orders",
     "tpch_q7_volume_shipping",
     "tpch_q19_disjunctive_join",
+    "dedup_common_spans",
+    "sim_hybrid_rrf",
+    "pipeline_token_budget",
+    "curation_domain_cap",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

@@ -1257,6 +1257,64 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COMMON_SPANS_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+sh8 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 7, 1) + 1),
+                                      i -> array_to_string(toks[i:i+7], ' '))) AS sh
+  FROM tok
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh8)
+SELECT md5(s) AS gram_fp,
+       count(*) AS n_docs,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM ex
+GROUP BY s
+HAVING count(*) >= 2
+ORDER BY gram_fp
+"""
+
+
+@register("dedup_common_spans", oracle=COMMON_SPANS_ORACLE, tags=("LLM-dedup",))
+def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal repeated-passage mining — the distributed
+    approximation of exact-substring dedup (Lee et al. 2022,
+    'Deduplicating Training Data Makes Language Models Better',
+    arXiv:2107.06499, which uses suffix arrays on a single machine):
+    every word 8-gram appearing in ≥2 distinct documents, with its
+    document count and the id range it spans. Downstream, the flagged
+    spans drive passage-level cuts the way doc-level LSH drives
+    whole-doc drops; unlike pipeline_decontaminate (train vs bounded
+    eval set, broadcast probe) this is corpus × corpus, so the right
+    plan is a gram-key aggregation, not a join.
+
+    Plan shape: one shared shingle pass → groupBy(gram) with map-side
+    partial aggregation — the only exchange carries (gram, partial
+    count/min/max), and the HAVING >= 2 filter runs in the final
+    aggregate, so singleton grams (the overwhelming majority) never
+    leave their executor as output rows. Output is bounded by the
+    number of REPEATED grams; gram text is certified by md5
+    fingerprint rather than shipped raw."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = dedup.shingle_rows(docs, "doc_id", "text", 8)
+    return (
+        ex.groupBy("s")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(F.md5("s").alias("gram_fp"), "n_docs", "min_doc", "max_doc")
+        .orderBy("gram_fp")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Temporal: as-of join (custom Spark operator, DuckDB-native oracle)
 # ---------------------------------------------------------------------------

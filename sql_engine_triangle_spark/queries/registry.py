@@ -83,6 +83,12 @@ def _ensure_loaded() -> None:
 # oracle sweep, which runs ALL entries regardless of ordering. After
 # this rotation every window slot is oracle-backed — no rows-only
 # entry occupies a slot a hash-matchable entry could use.
+# Late-r4 swap (7-for-7, displaced entries all green r3): in —
+# dedup_common_spans, text_dup_ngram_fraction, sim_hybrid_rrf,
+# pipeline_token_budget, curation_domain_cap, tpch_q7_volume_shipping,
+# tpch_q19_disjunctive_join; out — dedup_exact, text_quality_scores,
+# sim_cosine_topk, pipeline_corpus_split, text_repetition_ratio,
+# pipeline_cohort_retention, text_unigram_logprob.
 _PRIORITY_WINDOW: tuple[str, ...] = (
     # core flagship (7)
     "q1_agg_by_type",
@@ -93,7 +99,7 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "q4_two_key_percentiles",
     "q4_approx_percentiles",
     # llm_ops — every LLM-pipeline operator (35)
-    "dedup_exact",
+    "dedup_common_spans",
     # r4 rotation: dedup_fingerprint, text_fingerprint,
     # text_rolling_hash, emb_l2_normalize (green r3, stable, simple)
     # and rows-only text_compression_ratio ceded slots to the five new
@@ -110,7 +116,7 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_clusters_lsh",
     "dedup_keep_best_quality",
     "dedup_embedding_pairs",
-    "text_quality_scores",
+    "text_dup_ngram_fraction",
     # r4 late rotation: text_lang_id and text_redact_pii (green r3,
     # stable) ceded slots to pipeline_chunk_documents /
     # pipeline_pack_sequences (first-ever driver rows).
@@ -118,13 +124,13 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "pipeline_pack_sequences",
     "text_term_stats",
     "dedup_embedding_lsh",
-    "sim_cosine_topk",
+    "sim_hybrid_rrf",
     "sim_knn_join",
     "sim_ann_lsh_topk",
     "sim_ivf_topk",
     "pipeline_corpus_prep",
     "pipeline_funnel_conversion",
-    "pipeline_corpus_split",
+    "pipeline_token_budget",
     "pipeline_decontaminate",
     "asof_purchase_attribution",
     "multimodal_metadata",
@@ -133,9 +139,9 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "pipeline_shard_layout",
     "dedup_containment",
     "text_boilerplate_strip",
-    "text_repetition_ratio",
-    "pipeline_cohort_retention",
-    "text_unigram_logprob",
+    "curation_domain_cap",
+    "tpch_q7_volume_shipping",
+    "tpch_q19_disjunctive_join",
     "text_bigram_logprob",
     "text_tfidf_topterms",
     "j_interval_events",
