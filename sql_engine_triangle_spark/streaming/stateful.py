@@ -64,3 +64,119 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Timeout-based sessionization — the second shape the custom-stateful
+# surface must cover (the first, running totals above, never expires
+# state; sessions both MERGE state across micro-batches and EXPIRE it
+# via event-time timeouts).
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("closed_by_timeout", LongType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, matching j_interval/w_sessionize
+
+
+def _session_update(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+
+    def row(start: int, end: int, n: int, s: float, by_timeout: int) -> dict:
+        return {
+            "user_id": user_id,
+            "session_start_us": start,
+            "session_end_us": end,
+            "n_events": n,
+            "sum_value": s,
+            "closed_by_timeout": by_timeout,
+        }
+
+    if state.hasTimedOut:
+        # Watermark passed last_event + gap with no new events: the
+        # open session is final. Emit and drop the state.
+        start, last, n, s = state.get
+        state.remove()
+        yield pd.DataFrame([row(start, last, n, s, 1)])
+        return
+
+    events = pd.concat(list(pdfs), ignore_index=True)
+    ts_us = (events["ts"].astype("int64") // 1000).sort_values().reset_index(drop=True)
+    vals = events.assign(_us=events["ts"].astype("int64") // 1000).sort_values("_us")
+
+    if state.exists:
+        start, last, n, s = state.get
+    else:
+        start = last = -1
+        n, s = 0, 0.0
+
+    closed: list[dict] = []
+    for us, v in zip(vals["_us"], vals["value"]):
+        us = int(us)
+        if start < 0:
+            start, last, n, s = us, us, 1, float(v)
+        elif us - last > SESSION_GAP_US:
+            closed.append(row(start, last, n, s, 0))
+            start, last, n, s = us, us, 1, float(v)
+        else:
+            last, n, s = us, n + 1, s + float(v)
+    state.update((start, last, n, s))
+    # Expire the open session once the event-time watermark passes
+    # last + gap (ms granularity for the state API).
+    state.setTimeoutTimestamp(last // 1000 + SESSION_GAP_US // 1000)
+    if closed:
+        yield pd.DataFrame(closed)
+
+
+def sessionize_with_timeout(events: DataFrame) -> DataFrame:
+    """Custom stateful sessionizer: 30-min-gap sessions per user with
+    event-time-timeout state expiry — the applyInPandasWithState shape
+    that BOTH merges state across micro-batches (a session spanning
+    two batches is one session) and expires it (watermark > last+gap
+    closes the session with no further input; ``closed_by_timeout``
+    records which path emitted it).
+
+    Differs from the built-in ``session_window`` aggregation (windows.
+    py, driver entry stream_session_windows) in that the handler owns
+    the state machine — the point of the extension surface: arbitrary
+    per-key logic (e.g. emitting mid-session milestones, value-
+    dependent gaps) that the built-in merge cannot express. State is
+    one (start, last, n, sum) tuple per ACTIVE user — bounded by live
+    keys, and the timeout is what bounds 'live': at 100 TB the state
+    store holds only users seen within one gap of the watermark.
+
+    Semantics twin (tested): closed sessions == the batch
+    gaps-and-islands sessionization (w_sessionize's lag+cumsum form at
+    the same gap) minus each user's final session, which only closes
+    via timeout once the watermark passes it."""
+    return (
+        events.select("user_id", "ts", "value")
+        .withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_update,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

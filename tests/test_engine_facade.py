@@ -52,3 +52,141 @@ def test_stateful_running_totals_matches_batch(spark):
     pd.testing.assert_series_equal(
         got_pdf["sum_value"], batch["sum_value"], rtol=1e-9, check_names=False
     )
+
+
+def _batch_closed_sessions(spark, sf_dir):
+    """Gaps-and-islands batch twin: 30-min-gap sessions per user,
+    EXCLUDING each user's final session (that one only closes via
+    timeout, which an availableNow run does not fire)."""
+    from sql_engine_triangle_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    us = (F.unix_micros("ts")).alias("us")
+    w = Window.partitionBy("user_id").orderBy("us")
+    gap = 30 * 60 * 1_000_000
+    marked = (
+        ev.select("user_id", us, "value")
+        .withColumn("_new", (F.col("us") - F.lag("us").over(w) > gap).cast("long"))
+        .withColumn("_sid", F.coalesce(F.sum("_new").over(
+            Window.partitionBy("user_id").orderBy("us")
+            .rowsBetween(Window.unboundedPreceding, 0)), F.lit(0)))
+    )
+    sess = marked.groupBy("user_id", "_sid").agg(
+        F.min("us").alias("session_start_us"),
+        F.max("us").alias("session_end_us"),
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+    last = sess.groupBy("user_id").agg(F.max("_sid").alias("_last_sid"))
+    return (
+        sess.join(last, "user_id")
+        .filter(F.col("_sid") < F.col("_last_sid"))
+        .select("user_id", "session_start_us", "session_end_us", "n_events", "sum_value")
+    )
+
+
+def test_stateful_session_timeout_matches_batch(spark):
+    """Custom applyInPandasWithState sessionizer: closed sessions over
+    the whole stream equal the batch gaps-and-islands sessions (minus
+    each user's open final session)."""
+    stream = W.stream_from_parquet(spark, SF_DIR_SMALL)
+    out = stateful.sessionize_with_timeout(stream)
+    got_all = W.run_stream_to_memory(
+        spark, out, "t_sessions", output_mode="append"
+    ).toPandas()
+    # a final no-data micro-batch may fire event-time timeouts for
+    # trailing sessions; gap-closed rows are the batch-comparable set
+    got = (
+        got_all[got_all["closed_by_timeout"] == 0]
+        .sort_values(["user_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _batch_closed_sessions(spark, SF_DIR_SMALL)
+        .toPandas()
+        .sort_values(["user_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for c in ("user_id", "session_start_us", "session_end_us", "n_events"):
+        assert (got[c].values == want[c].values).all(), c
+    pd.testing.assert_series_equal(
+        got["sum_value"], want["sum_value"], rtol=1e-9, check_names=False
+    )
+
+
+def test_stateful_session_merges_across_batches(spark, tmp_path):
+    """A session whose events arrive in TWO micro-batches must emerge
+    as ONE session: split one user's in-gap events across two files,
+    stream with maxFilesPerTrigger=1, and check the merged result."""
+    import os
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    mins = lambda m: t0 + datetime.timedelta(minutes=m)  # noqa: E731
+    # user 1: events at 0,10 | batch-2: 20,25 (all in-gap -> ONE open
+    # session, never emitted) and a second user whose gap closes a
+    # session INSIDE batch 2: 0,5 | 90 (gap > 30 min -> first closes).
+    b1 = [(1, mins(0), 1.0, "a"), (1, mins(10), 2.0, "a"), (2, mins(0), 5.0, "a"), (2, mins(5), 6.0, "a")]
+    b2 = [(1, mins(20), 3.0, "a"), (1, mins(25), 4.0, "a"), (2, mins(90), 7.0, "a")]
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        # one parquet part-file per batch, named in arrival order
+        part = [f for f in os.listdir(str(tmp_path / f"stage{i}")) if f.endswith(".parquet")][0]
+        os.link(str(tmp_path / f"stage{i}" / part), os.path.join(land, f"b{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    out = stateful.sessionize_with_timeout(stream)
+    got = (
+        W.run_stream_to_memory(spark, out, "t_sessions_2b", output_mode="append")
+        .toPandas()
+        .sort_values(["user_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+    import calendar
+
+    us = lambda m: calendar.timegm(mins(m).timetuple()) * 1_000_000  # noqa: E731
+    # Exactly one GAP-closed session: user 2's first. User 1's events
+    # span both batches but stay in-gap — one merged open session.
+    closed = got[got["closed_by_timeout"] == 0]
+    assert len(closed) == 1
+    r = closed.iloc[0]
+    assert r["user_id"] == 2 and r["n_events"] == 2 and r["sum_value"] == 11.0
+    assert r["session_start_us"] == us(0) and r["session_end_us"] == us(5)
+    # If a trailing no-data batch fired timeouts, user 1's row must be
+    # the MERGED cross-batch session (0..25, 4 events) — the property
+    # under test — never two per-batch fragments.
+    t1 = got[(got["closed_by_timeout"] == 1) & (got["user_id"] == 1)]
+    assert len(t1) <= 1
+    if len(t1) == 1:
+        r1 = t1.iloc[0]
+        assert r1["n_events"] == 4 and r1["sum_value"] == 10.0
+        assert r1["session_start_us"] == us(0) and r1["session_end_us"] == us(25)
