@@ -77,6 +77,7 @@ EXTRA = [
     "sim_hybrid_rrf",
     "pipeline_token_budget",
     "curation_domain_cap",
+    "pipeline_corpus_build",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

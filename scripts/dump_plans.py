@@ -44,6 +44,7 @@ QUERIES = [
     "sim_hybrid_rrf",
     "pipeline_token_budget",
     "curation_domain_cap",
+    "pipeline_corpus_build",
 ]
 
 

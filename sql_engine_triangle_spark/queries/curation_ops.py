@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sql_engine_triangle_spark.catalog import load_table
-from sql_engine_triangle_spark.operators import similarity, textops
+from sql_engine_triangle_spark.operators import dedup, similarity, textops
 from sql_engine_triangle_spark.queries.registry import register
 
 # Shared oracle CTEs: the seed set is the 8 lowest-vec_id vectors;
@@ -457,4 +457,175 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rrf_score"), "doc_id")
         .limit(10)
+    )
+
+
+CORPUS_BUILD_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, source, n_chars,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, source, toks,
+         len(toks) AS n_tokens,
+         (1000 * n_chars) // len(toks) AS quality_milli,
+         list_transform(range(2, len(toks) + 1),
+                        i -> toks[i - 1] || ' ' || toks[i]) AS bigrams
+  FROM tok
+  WHERE len(toks) >= 10
+),
+stage1 AS (
+  SELECT doc_id, source, toks, n_tokens, quality_milli
+  FROM feat
+  WHERE 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+              / CAST(len(bigrams) AS DOUBLE) <= 0.5
+),
+shing AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM stage1
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shing),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shing),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+drops AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.9
+),
+stage2 AS (
+  SELECT doc_id, source, n_tokens, quality_milli FROM stage1
+  WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+),
+stage3 AS (
+  SELECT doc_id, source, n_tokens, quality_milli FROM (
+    SELECT doc_id, source, n_tokens, quality_milli,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY quality_milli DESC, doc_id) AS rn
+    FROM stage2
+  ) WHERE rn <= 50
+),
+cum AS (
+  SELECT doc_id, source, n_tokens, quality_milli,
+         CAST(COALESCE(sum(n_tokens) OVER (
+                ORDER BY quality_milli DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM stage3
+)
+SELECT doc_id, source, quality_milli, n_tokens, cum_before,
+       CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+            AS INTEGER) % 8 AS shard
+FROM cum
+WHERE cum_before < (SELECT sum(n_tokens) // 2 FROM stage3)
+ORDER BY quality_milli DESC, doc_id
+"""
+
+
+@register("pipeline_corpus_build", oracle=CORPUS_BUILD_ORACLE, tags=("LLM-pipeline",))
+def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-corpus construction in ONE logical plan —
+    the capstone composition of the curation family: (1) quality
+    gate (≥10 tokens, within-doc dup-bigram fraction ≤ 0.5), (2)
+    near-dup drop (3-gram Jaccard ≥ 0.9, earliest-doc_id-wins — the
+    pairwise-greedy rule of dedup_semantic applied to text), (3)
+    per-source cap at 50 best-quality docs, (4) token-budget cut at
+    50% of surviving corpus tokens, (5) deterministic md5 shard
+    assignment. One DataFrame expression; Catalyst pipelines the
+    stages, and each stage reuses the exact operator shape its
+    standalone entry certifies.
+
+    Scale notes: the quality gate and dup-fraction are zero-shuffle
+    row expressions; the pair stage runs the banded MinHash-LSH
+    generator (the 100 TB path — the oracle replays the exact
+    quadratic baseline, equal at 0.9 by the band-miss argument; the
+    drop rule only consumes (doc_a, doc_b) pairs, so the generator
+    is pluggable); the cap gets
+    WindowGroupLimit pushdown; the budget cut is the two-phase banded
+    prefix sum (no fact-sized single-partition exchange); the budget
+    scalar is a broadcast 1-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    feat = (
+        docs.select("doc_id", "source", "text", "n_chars", toks.alias("toks"))
+        .withColumn("n_tokens", F.size("toks"))
+        .filter(F.col("n_tokens") >= 10)
+        .withColumn(
+            "quality_milli", F.expr("(1000 * n_chars) div n_tokens")
+        )
+        .withColumn(
+            "bigrams",
+            F.expr(
+                "transform(sequence(2, size(toks)), i -> concat(toks[i-2], ' ', toks[i-1]))"
+            ),
+        )
+    )
+    stage1 = feat.filter(
+        F.lit(1.0)
+        - F.size(F.array_distinct("bigrams")).cast("double")
+        / F.size("bigrams").cast("double")
+        <= 0.5
+    ).select("doc_id", "source", "text", "n_tokens", "quality_milli")
+
+    # The SCALE-PATH pair generator: banded MinHash-LSH candidates,
+    # exact-Jaccard verified. At threshold 0.9 the per-pair band-miss
+    # probability is ~4e-8 (the dedup_minhash_lsh argument), so the
+    # pair set deterministically equals the oracle's exact quadratic
+    # pairs — the composition runs the production generator while the
+    # oracle replays the baseline.
+    pairs = dedup.minhash_lsh_pairs(stage1, threshold=0.9, n=3)
+    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    stage2 = stage1.join(drops, "doc_id", "left_anti").select(
+        "doc_id", "source", "n_tokens", "quality_milli"
+    )
+
+    w_cap = Window.partitionBy("source").orderBy(F.desc("quality_milli"), "doc_id")
+    stage3 = (
+        stage2.withColumn("rn", F.row_number().over(w_cap))
+        .filter(F.col("rn") <= 50)
+        .drop("rn")
+        .withColumn("_band", F.expr("quality_milli div 500"))
+    )
+
+    w_in = (
+        Window.partitionBy("_band")
+        .orderBy(F.desc("quality_milli"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = stage3.withColumn(
+        "_local_off", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    )
+    totals = stage3.groupBy("_band").agg(F.sum("n_tokens").alias("_total"))
+    w_b = Window.orderBy(F.desc("_band")).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_band", F.coalesce(F.sum("_total").over(w_b), F.lit(0)).alias("_band_off")
+    )
+    budget = stage3.agg((F.sum("n_tokens") / 2).cast("long").alias("_budget"))
+    return (
+        local.join(F.broadcast(offsets), "_band")
+        .withColumn("cum_before", F.col("_band_off") + F.col("_local_off"))
+        .join(F.broadcast(budget))
+        .filter(F.col("cum_before") < F.col("_budget"))
+        .select(
+            "doc_id",
+            "source",
+            "quality_milli",
+            "n_tokens",
+            "cum_before",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+                ).cast("int")
+                % 8
+            ).alias("shard"),
+        )
+        .orderBy(F.desc("quality_milli"), "doc_id")
     )
