@@ -88,7 +88,8 @@ def _ensure_loaded() -> None:
 # pipeline_token_budget, curation_domain_cap, tpch_q7_volume_shipping,
 # tpch_q19_disjunctive_join; out — dedup_exact, text_quality_scores,
 # sim_cosine_topk, pipeline_corpus_split, text_repetition_ratio,
-# pipeline_cohort_retention, text_unigram_logprob.
+# pipeline_cohort_retention, text_unigram_logprob. Final swap:
+# pipeline_corpus_build (capstone) in for dedup_containment (green r3).
 _PRIORITY_WINDOW: tuple[str, ...] = (
     # core flagship (7)
     "q1_agg_by_type",
@@ -137,7 +138,7 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "multimodal_frames",
     "multimodal_decode_stats",
     "pipeline_shard_layout",
-    "dedup_containment",
+    "pipeline_corpus_build",
     "text_boilerplate_strip",
     "curation_domain_cap",
     "tpch_q7_volume_shipping",
