@@ -1,13 +1,17 @@
-"""Corpus-curation queries added in round 4: semantic (embedding-
-cluster) dedup, cluster-bounded k-NN similarity join, and the
-deterministic shard/file layout a training-data export writes.
+"""Corpus-curation queries: semantic (embedding-cluster) dedup,
+cluster-bounded k-NN join, hybrid lexical+vector retrieval (RRF),
+per-domain caps, within-doc repetition scoring, token-budget
+selection, the deterministic shard/file export layout, and the
+end-to-end corpus-build capstone that composes the family into one
+plan.
 
 These extend the LLM-pipeline family in ``llm_ops.py``; they live in
-their own module because all three ride the seed-quantizer coarse
+their own module because they ride the seed-quantizer coarse
 clustering in ``operators/similarity.py`` (the oracle-replayable
-sibling of the IVF k-means quantizer) or the hash-layout discipline,
-and because the driver's entry ordering is governed by
-``registry._PRIORITY_WINDOW``, not module placement.
+sibling of the IVF k-means quantizer), the hash-layout discipline,
+or the banded two-phase prefix sum — and because the driver's entry
+ordering is governed by ``registry._PRIORITY_WINDOW``, not module
+placement.
 
 Float-parity discipline matches llm_ops.py: cosine values are rounded
 (4 dp for thresholds/ranking, 6 dp for the argmin assignment) with
