@@ -78,6 +78,8 @@ EXTRA = [
     "pipeline_token_budget",
     "curation_domain_cap",
     "pipeline_corpus_build",
+    "tpch_q1_pricing_summary",
+    "tpch_q6_forecast_revenue",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

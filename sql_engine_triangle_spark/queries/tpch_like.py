@@ -499,3 +499,156 @@ def tpch_q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(F.round(_revenue_col(), 2).cast("double").alias("revenue"))
     )
+
+
+TPCH_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2)
+            AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                      AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+       CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                  / count(*), 6) AS DOUBLE) AS avg_qty,
+       CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                  / count(*), 6) AS DOUBLE) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("tpch_q1_pricing_summary", oracle=TPCH_Q1_ORACLE, tags=("A4", "A5", "F1"))
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal TPC-H Q1 (pricing summary report) — the canonical
+    full-scan aggregation: four decimal-routed sums (incl. the
+    tax-compounded charge), two averages, and a count per
+    (returnflag, linestatus). One scan, partial+final HashAggregate,
+    ~6 output rows; averages are computed as exact-decimal-sum /
+    count divided as DOUBLE so both engines agree bit-for-bit after
+    one terminal rounding."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    dec = lambda c: c.cast("decimal(18,4)")  # noqa: E731
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec(F.col("l_quantity"))), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec(F.col("l_extendedprice"))), 2)
+            .cast("double")
+            .alias("sum_base_price"),
+            F.round(F.sum(dec(disc)), 2).cast("double").alias("sum_disc_price"),
+            # 6-dp decimal: price/discount/tax are 2-dp each, so the
+            # EXACT 3-factor product is a multiple of 1e-6 — the cast
+            # is then exact on both engines (a DECIMAL(18,4) cast hits
+            # representable .xxxx5 ties where Spark rounds HALF_UP and
+            # DuckDB half-even: one-cent skew, caught at sf0.001).
+            F.round(F.sum(charge.cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_charge"),
+            F.round(
+                F.sum(dec(F.col("l_quantity"))).cast("double") / F.count("*"), 6
+            )
+            .cast("double")
+            .alias("avg_qty"),
+            F.round(
+                F.sum(dec(F.col("l_extendedprice"))).cast("double") / F.count("*"), 6
+            )
+            .cast("double")
+            .alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+TPCH_Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > CAST(o_orderdate AS TIMESTAMP) + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("tpch_q4_order_priority", oracle=TPCH_Q4_ORACLE, tags=("J3", "A5"))
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted: no commitdate in the fixture, so the
+    'late' EXISTS predicate is shipped >60 days after order): order
+    counts per priority where at least one line shipped late. The
+    EXISTS compiles to a LEFT SEMI join keyed l_orderkey — each order
+    contributes once regardless of how many late lines it has, which
+    a plain inner join would get wrong. The cross-side date predicate
+    rides the semi-join condition."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (
+        orders.join(
+            li,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+TPCH_Q6_ORACLE = """
+SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2)
+       AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("tpch_q6_forecast_revenue", oracle=TPCH_Q6_ORACLE, tags=("P3", "P6", "A4"))
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): a pure scan-filter-sum
+    with three conjunctive range predicates — the predicate-pushdown
+    showcase. All three predicates reach the parquet scan as
+    PushedFilters (row-group min/max pruning at scale); the plan is
+    scan → filter → two-task partial+final sum with NO join and NO
+    wide exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )

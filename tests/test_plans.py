@@ -115,3 +115,12 @@ def test_q19_pushes_single_side_residuals(spark):
     df = _q(spark, "tpch_q19_disjunctive_join")
     assert pa.has_pushed_filter(df, "p_brand")
     assert pa.has_broadcast_join(df)
+
+
+def test_q6_pushes_all_three_predicates(spark):
+    """TPC-H Q6's date/discount/quantity conjunction must reach the
+    parquet scan as pushed filters — row-group pruning at scale."""
+    df = _q(spark, "tpch_q6_forecast_revenue")
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert pa.has_pushed_filter(df, col), col
+    assert pa.has_partial_final_agg(df)
