@@ -1539,3 +1539,46 @@ def sql_entry_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "lineitem")
     ev.createOrReplaceTempView("cte_lineitem")
     return spark.sql(CTE_CHAIN_SQL.replace("{lineitem}", "cte_lineitem"))
+
+
+W_DIST_ORACLE = """
+SELECT o_orderstatus, o_orderkey,
+       round(cume_dist() OVER w, 6) AS cdist,
+       nth_value(o_totalprice, 3) OVER (PARTITION BY o_orderstatus
+                                        ORDER BY o_totalprice DESC, o_orderkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND UNBOUNDED FOLLOWING)
+         AS third_price,
+       lead(o_totalprice, 1, -1.0) OVER w AS next_price
+FROM orders
+WHERE o_orderkey <= 2000
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey
+"""
+
+
+@register("w_dist_functions", oracle=W_DIST_ORACLE, tags=("W-free",))
+def w_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining window value/distribution surface: cume_dist
+    (rank/n — integer-derived ratio, identical IEEE division on both
+    engines, rounded only to normalize repr), nth_value over the full
+    partition frame (needs UNBOUNDED FOLLOWING — a one-sort
+    whole-partition scan, unlike the running default frame), and lead
+    with an explicit default for partition-final rows. Same
+    single-exchange discipline as w_value_functions: every function
+    shares one (status) partitioning and one sort."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        orders.select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+            F.nth_value("o_totalprice", 3).over(w_full).alias("third_price"),
+            F.lead("o_totalprice", 1, -1.0).over(w).alias("next_price"),
+        )
+        .orderBy("o_orderstatus", "cdist", "o_orderkey")
+    )
