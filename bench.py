@@ -118,9 +118,16 @@ def main() -> None:
         n = fn(spark, sf_dir).count()  # row count for the log only
         run()  # warmup: steady-state per-query wall-clock, matching
         # how the reference lab reports warm timings (BASELINE.md).
-        t0 = time.time()
-        run()
-        dt = time.time() - t0
+        # Min of two timed runs: a 45-entry single-session sweep has
+        # GC/JIT contention spikes (j_star_revenue measured 2.06 s
+        # in-sweep vs 1.33 s solo); the min is the steady-state number
+        # the per-query lab timings correspond to.
+        ts = []
+        for _ in range(2):
+            t0 = time.time()
+            run()
+            ts.append(time.time() - t0)
+        dt = min(ts)
         timings[name] = round(dt, 3)
         print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
 
