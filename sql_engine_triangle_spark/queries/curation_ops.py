@@ -585,6 +585,11 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair set deterministically equals the oracle's exact quadratic
     # pairs — the composition runs the production generator while the
     # oracle replays the baseline.
+    # NOTE: sharing a localCheckpoint'd shingle pass with the
+    # generator (the dedup_minhash_lsh_mid pattern) was A/B-measured
+    # here and REJECTED: 8.7 -> 12.9 s at sf0.1 — with a single
+    # consumer chain the eager materialization costs more than the
+    # subtree reuse saves.
     pairs = dedup.minhash_lsh_pairs(stage1, threshold=0.9, n=3)
     drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     stage2 = stage1.join(drops, "doc_id", "left_anti").select(
