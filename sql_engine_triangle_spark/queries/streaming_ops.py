@@ -159,3 +159,88 @@ def stream_hourly_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("window_start", "event_type", "n")
         .orderBy("window_start")
     )
+
+
+CLOSED_SESSIONS_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, value
+  FROM events
+),
+marked AS (
+  SELECT user_id, us, value,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+sess AS (
+  SELECT user_id, us, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+),
+agg AS (
+  SELECT user_id, sid,
+         min(us) AS session_start_us,
+         max(us) AS session_end_us,
+         count(*) AS n_events,
+         round(sum(value), 6) AS sum_value
+  FROM sess GROUP BY user_id, sid
+),
+last AS (SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY user_id)
+SELECT a.user_id, session_start_us, session_end_us, n_events, sum_value
+FROM agg a JOIN last l ON a.user_id = l.user_id AND a.sid < l.last_sid
+ORDER BY a.user_id, session_start_us
+"""
+
+
+@register(
+    "stream_closed_sessions", oracle=CLOSED_SESSIONS_ORACLE, tags=("STR-stateful", "W1")
+)
+def stream_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the CUSTOM stateful sessionizer
+    (streaming/stateful.py:sessionize_with_timeout): 30-min-gap
+    sessions per user EXCLUDING each user's final session — exactly
+    the set the streaming operator emits through its gap-closure path
+    before any timeout fires (the final session only closes when the
+    event-time watermark passes it). The streaming/batch equivalence
+    is pinned in tests/test_engine_facade.py over a real readStream;
+    this entry gives the stateful operator's semantics an externally
+    hash-checkable oracle row.
+
+    Plan: the lag-flag + running-sum islands share ONE user_id
+    exchange and one sort (the w_sessionize discipline); the
+    last-session exclusion joins the per-user max back — a
+    dimension-sized broadcast at any scale. sum_value is rounded at
+    6 dp: per-session float sums accumulate in ts order on both
+    engines, and the round normalizes the final-digit repr."""
+    from pyspark.sql import Window as Wnd
+
+    ev = load_table(spark, sf_dir, "events")
+    gap = 30 * 60 * 1_000_000
+    w = Wnd.partitionBy("user_id").orderBy("us")
+    run = Wnd.partitionBy("user_id").orderBy("us").rowsBetween(
+        Wnd.unboundedPreceding, 0
+    )
+    sess = (
+        ev.select("user_id", F.unix_micros("ts").alias("us"), "value")
+        .withColumn(
+            "new_s",
+            F.when(F.col("us") - F.lag("us").over(w) > gap, 1).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(run))
+    )
+    agg = sess.groupBy("user_id", "sid").agg(
+        F.min("us").alias("session_start_us"),
+        F.max("us").alias("session_end_us"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    last = agg.groupBy("user_id").agg(F.max("sid").alias("last_sid"))
+    return (
+        agg.join(F.broadcast(last), "user_id")
+        .filter(F.col("sid") < F.col("last_sid"))
+        .select(
+            "user_id", "session_start_us", "session_end_us", "n_events", "sum_value"
+        )
+        .orderBy("user_id", "session_start_us")
+    )
