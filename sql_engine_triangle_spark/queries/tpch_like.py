@@ -652,3 +652,105 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+
+
+TPCH_Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("tpch_q13_customer_distribution", oracle=TPCH_Q13_ORACLE, tags=("J1", "A5"))
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of per-customer order counts
+    (adapted: the excluded-comment predicate becomes an
+    order-priority exclusion). The LEFT join is load-bearing — it
+    preserves zero-order customers as c_count=0, which an inner join
+    silently drops; count(o_orderkey) (not count(*)) is what makes
+    the null-extended rows count as zero. Two aggregations: the
+    per-customer count shuffles on the join key it already has; the
+    distribution aggregation reduces |customers| rows to a handful of
+    counts."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+TPCH_Q22_ORACLE = """
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+),
+eligible AS (
+  SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+  FROM customer c, avg_bal
+  WHERE c.c_acctbal > avg_bal.ab
+    AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+    )
+)
+SELECT c_nationkey AS cntry, count(*) AS numcust,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
+FROM eligible
+GROUP BY c_nationkey
+ORDER BY cntry
+"""
+
+
+@register("tpch_q22_idle_customers", oracle=TPCH_Q22_ORACLE, tags=("J3", "A4", "A5"))
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity; adapted: country
+    code = c_nationkey, no phone column in the fixture; 'no orders
+    ever' is empty here because every fixture customer orders, so the
+    anti-condition is DORMANCY — no orders since 2001-01-01, ~19% of
+    above-average customers at sf0.01): customers with above-average
+    positive balance and no recent orders, counted and summed per
+    country. Two correlated-subquery idioms in one query:
+    the global average enters as a broadcast 1-row aggregate (scalar
+    subquery), and NOT EXISTS compiles to a LEFT ANTI join on the
+    customer key. c_acctbal is 2-dp money, so the DECIMAL(18,2) cast
+    is exact and the sum order-independent."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    eligible = (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+    )
+    return (
+        eligible.groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )
