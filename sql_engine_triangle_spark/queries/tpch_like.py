@@ -754,3 +754,126 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntry")
     )
+
+
+TPCH_Q17_ORACLE = """
+WITH pavg AS (
+  SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_bar
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#3' AND p_size <= 15
+  GROUP BY l_partkey
+)
+SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                  / 7.0, 2) AS DOUBLE) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pavg ON pk = l_partkey
+WHERE p_brand = 'Brand#3' AND p_size <= 15
+  AND l_quantity < qty_bar
+"""
+
+
+@register("tpch_q17_small_quantity", oracle=TPCH_Q17_ORACLE, tags=("J1", "A4", "A7"))
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (adapted: brand + size band instead of the
+    missing container column): revenue locked in small-quantity
+    orders, where 'small' is CORRELATED — below 20% of that part's
+    own average quantity. The correlated aggregate decorrelates into
+    a per-part average joined back (part-keyed, dimension-sized at
+    any scale, broadcast). Determinism note: l_quantity is
+    integer-valued and per-part line counts are small, so the
+    average's double sum is EXACT regardless of accumulation order —
+    the 0.2·avg threshold compares identically on both engines with
+    no rounding needed."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 15)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    pavg = sel.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_bar")
+    )
+    return (
+        sel.join(F.broadcast(pavg), sel.l_partkey == pavg.pk)
+        .filter(F.col("l_quantity") < F.col("qty_bar"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / 7.0,
+                2,
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+TPCH_Q21_ORACLE = """
+SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
+FROM lineitem l1
+JOIN orders   ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.l_shipdate > CAST(o_orderdate AS TIMESTAMP) + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > CAST(o_orderdate AS TIMESTAMP) + INTERVAL 60 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+@register("tpch_q21_waiting_supplier", oracle=TPCH_Q21_ORACLE, tags=("J3", "A5", "O3"))
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted lateness: shipped >60 days after the
+    order, as in Q4/Q12): suppliers who SOLELY held up multi-supplier
+    orders — a late line, at least one other supplier on the order
+    (EXISTS → LeftSemi), and no OTHER supplier late on it (NOT
+    EXISTS → LeftAnti). The classic double-correlated-subquery
+    stress: both subqueries correlate on l_orderkey AND the outer
+    row's l_suppkey, so each becomes a self-join keyed on the order
+    with a supplier-inequality residual. Orders are counted DISTINCT
+    per supplier (a supplier with two late lines on one order waits
+    once). Three passes over lineitem, all shuffled on the SAME
+    l_orderkey key — Catalyst reuses the partitioning across the
+    semi/anti joins rather than re-exchanging."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    late1 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    has_other = late1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    )
+    late3 = late1.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    sole_late = has_other.join(
+        late3,
+        (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
