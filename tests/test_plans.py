@@ -78,6 +78,8 @@ ALLOWED_NESTED_LOOP = {
     # same 1-row budget broadcast PLUS the oracle-grade exact pair
     # stage (swap in LSH pairs for the scale path — see docstring).
     "pipeline_corpus_build",
+    # 1-row broadcast of the global-average scalar subquery.
+    "tpch_q22_idle_customers",
 }
 
 
