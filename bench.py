@@ -80,6 +80,7 @@ EXTRA = [
     "pipeline_corpus_build",
     "tpch_q1_pricing_summary",
     "tpch_q6_forecast_revenue",
+    "tpch_q21_waiting_supplier",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

@@ -324,3 +324,53 @@ def test_random_range_filter_parity(spark, ddb, lo, hi, flag):
     oracle_pdf = ddb.execute(sql).fetchdf()
     # NULL sums (empty input) normalize to NaN on both sides.
     assert_frames_match(spark_pdf, oracle_pdf)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fn=st.sampled_from(["row_number", "rank", "dense_rank"]),
+    desc=st.booleans(),
+    key=st.sampled_from(["o_orderstatus", "o_orderpriority"]),
+)
+def test_random_ranking_fn_parity(spark, ddb, fn, desc, key):
+    """Ranking functions × sort direction × partition key over orders
+    — rank-gap (rank) vs gapless (dense_rank) vs positional
+    (row_number) tie semantics must agree. The order key includes
+    o_orderkey as a unique tie-break ONLY for row_number (positional
+    output is otherwise nondeterministic under value ties); rank and
+    dense_rank are functions of the VALUE ordering alone, so ties are
+    exercised for real there."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, SF_DIR, "orders").filter(F.col("o_orderkey") <= 3000)
+    direction = "DESC" if desc else "ASC"
+    if fn == "row_number":
+        order_sql = f"o_totalprice {direction}, o_orderkey"
+        order_cols = (
+            [F.desc("o_totalprice"), F.asc("o_orderkey")]
+            if desc
+            else [F.asc("o_totalprice"), F.asc("o_orderkey")]
+        )
+    else:
+        order_sql = f"o_totalprice {direction}"
+        order_cols = [F.desc("o_totalprice")] if desc else [F.asc("o_totalprice")]
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    spark_fn = {
+        "row_number": F.row_number,
+        "rank": F.rank,
+        "dense_rank": F.dense_rank,
+    }[fn]
+    df = orders.select(
+        key, "o_orderkey", spark_fn().over(w).alias("r")
+    ).orderBy(key, "o_orderkey")
+    sql = f"""
+    SELECT {key}, o_orderkey,
+           {fn}() OVER (PARTITION BY {key} ORDER BY {order_sql}) AS r
+    FROM orders WHERE o_orderkey <= 3000
+    ORDER BY {key}, o_orderkey
+    """
+    assert_frames_match(df.toPandas(), ddb.execute(sql).fetchdf())
