@@ -877,3 +877,52 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)
     )
+
+
+TPCH_Q9_ORACLE = f"""
+SELECT nation, yr,
+       CAST(round({_REVENUE_SQL}, 2) AS DOUBLE) AS profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(year(o_orderdate) AS INTEGER) AS yr,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%bolt%'
+)
+GROUP BY nation, yr
+ORDER BY nation, yr DESC
+"""
+
+
+@register("tpch_q9_product_profit", oracle=TPCH_Q9_ORACLE, tags=("J1", "A4", "P7"))
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp table in the fixture, so
+    profit omits the supply-cost term and reduces to discounted
+    revenue — the JOIN TREE and the LIKE-driven part pruning are what
+    this entry exercises): product-line profit by supplier nation and
+    order year, for parts whose name matches a substring. The LIKE
+    filter prunes the part dimension BEFORE it broadcasts (a contains
+    filter cannot push to parquet min/max, but it shrinks the
+    broadcast build side); the only fact-sized exchange is the final
+    (nation, yr) aggregation after lineitem⋈orders."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("bolt"))
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(F.round(_revenue_col(), 2).cast("double").alias("profit"))
+        .orderBy("nation", F.desc("yr"))
+    )
