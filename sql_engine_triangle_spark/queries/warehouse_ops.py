@@ -236,3 +236,62 @@ def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(20)
     )
+
+
+def _zorder_oracle() -> str:
+    from sql_engine_triangle_spark.sources.layout import zorder_sql
+
+    return f"""
+WITH src AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+  FROM lineitem WHERE l_orderkey <= 2000
+),
+b AS (
+  SELECT min(l_partkey) AS lo_a, greatest(max(l_partkey) - min(l_partkey), 1) AS sp_a,
+         min(l_suppkey) AS lo_b, greatest(max(l_suppkey) - min(l_suppkey), 1) AS sp_b
+  FROM src
+),
+s AS (
+  SELECT l_orderkey, l_linenumber,
+         ((l_partkey - lo_a) * 255) // sp_a AS sa,
+         ((l_suppkey - lo_b) * 255) // sp_b AS sb
+  FROM src, b
+)
+SELECT l_orderkey, l_linenumber,
+       {zorder_sql('sa', 'sb', 8)} AS zval
+FROM s
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register("layout_zorder_key", oracle=_zorder_oracle(), tags=("LAYOUT",))
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey) —
+    the multi-column layout primitive behind OPTIMIZE ZORDER BY:
+    interleaving the bit patterns of both keys into one sort value
+    clusters rows so every output file covers a narrow range of BOTH
+    columns, making parquet min/max stats prune two-dimensional
+    predicates (a single-key sort prunes only its own column; the
+    effectiveness delta is measured in tests/test_bucketing.py).
+
+    The z-value is pure codegen'd bit arithmetic (shift/and/or — no
+    UDF, no shuffle); domain normalization is integer floor-division
+    into an 8-bit grid. The ORACLE SQL is GENERATED from the same
+    interleave definition (layout.zorder_sql), so the two engines
+    compute structurally identical expressions."""
+    from sql_engine_triangle_spark.sources import layout as L
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    lo_a, hi_a, lo_b, hi_b = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    z = L.zorder_value(
+        L._scale_expr(F.col("l_partkey"), int(lo_a), int(hi_a), 8),
+        L._scale_expr(F.col("l_suppkey"), int(lo_b), int(hi_b), 8),
+        8,
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", z.alias("zval"))
+        .orderBy("l_orderkey", "l_linenumber")
+    )
