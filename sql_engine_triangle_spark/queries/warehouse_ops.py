@@ -295,3 +295,65 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select("l_orderkey", "l_linenumber", z.alias("zval"))
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+HLL_ROLLUP_ORACLE = """
+SELECT CAST(strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS VARCHAR) AS ym,
+       count(DISTINCT o_custkey) AS exact_uniques,
+       TRUE AS est_within_5pct
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY ym
+ORDER BY ym
+"""
+
+
+@register("a_hll_partial_rollup", oracle=HLL_ROLLUP_ORACLE, tags=("A10", "A11"))
+def a_hll_partial_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the pre-aggregation pattern that
+    makes distinct-counting feasible at 100 TB: per-DAY HLL sketches
+    (Apache DataSketches via hll_sketch_agg) are UNIONED up to months
+    (hll_union_agg) without touching raw rows again. count(DISTINCT)
+    does not decompose over pre-aggregates (distinct counts don't
+    add); sketch union is the standard fix — daily tiles are built
+    once and every coarser rollup (month/quarter/year, any
+    dimension subset) derives by union, exactly the reuse discipline
+    of the reference lab's pre-aggregated marts.
+
+    Validation form (q4_approx_percentiles pattern): rows carry the
+    EXACT per-month uniques (oracle-computable), plus a deterministic
+    ``est_within_5pct`` boolean certifying the union-derived estimate
+    against it (HLL lgK=12 standard error ≈0.8%, so 5% is ~6 sigma —
+    deterministic given data; the raw estimate is engine-specific and
+    cannot itself be the oracle)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    base = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.col("o_orderdate").cast("date").alias("day"),
+        "o_custkey",
+    )
+    daily = base.groupBy("ym", "day").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    monthly_est = daily.groupBy("ym").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = base.groupBy("ym").agg(
+        F.count_distinct("o_custkey").alias("exact_uniques")
+    )
+    return (
+        exact.join(monthly_est, "ym")
+        .select(
+            "ym",
+            "exact_uniques",
+            (
+                F.abs(F.col("est") - F.col("exact_uniques"))
+                <= 0.05 * F.col("exact_uniques")
+            ).alias("est_within_5pct"),
+        )
+        .orderBy("ym")
+    )
