@@ -638,3 +638,83 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("quality_milli"), "doc_id")
     )
+
+
+HARD_NEGATIVES_ORACLE = f"""
+WITH {_ASSIGN_CTES},
+meta AS (
+  SELECT vec_id, cid, source
+  FROM asg JOIN documents ON doc_id = vec_id
+),
+pairs AS (
+  SELECT a.vec_id, b.vec_id AS neg_id, b.source AS neg_source,
+         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                      CAST(eb.embedding AS DOUBLE[])), 4)
+           AS cos_sim
+  FROM meta a
+  JOIN meta b ON a.cid = b.cid AND a.source <> b.source
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+)
+SELECT vec_id, neg_id, neg_source, cos_sim FROM (
+  SELECT vec_id, neg_id, neg_source, cos_sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, neg_id) AS rn
+  FROM pairs)
+WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
+@register("sim_hard_negatives", oracle=HARD_NEGATIVES_ORACLE, tags=("LLM-sim",))
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the contrastive-training data op: for
+    every vector, the MOST similar vector from a DIFFERENT source
+    (similar enough to be confusable, labeled differently — the
+    negatives that actually teach a retrieval/embedding model).
+    Rides the same cluster-bounded pairwise machinery as
+    sim_knn_join with the cross-source predicate pushed into the
+    join, plus a per-vector rank-1 compaction (WindowGroupLimit).
+    Source labels join in from the documents table (vec_id aligns
+    with doc_id in the fixture). At 100 TB the cluster bound is what
+    keeps this from being all-pairs — the same argument as
+    semantic dedup, with the source-inequality making buckets even
+    sparser."""
+    from pyspark.sql.window import Window as Wnd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    ed = F.col("embedding").cast("array<double>")
+    asg = (
+        similarity.seed_centroid_assign(emb, similarity.SEED_K)
+        .select("vec_id", "cid", ed.alias("emb"), similarity.row_norm(ed).alias("nrm"))
+        .join(docs, "vec_id")
+    )
+    other = asg.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("cid").alias("b_cid"),
+        F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+        F.col("source").alias("neg_source"),
+    )
+    scored = asg.join(
+        other,
+        (F.col("cid") == F.col("b_cid")) & (F.col("source") != F.col("neg_source")),
+    ).withColumn(
+        "cos_sim",
+        F.round(
+            similarity.pair_cosine(
+                F.col("emb"), F.col("b_emb"), F.col("nrm"), F.col("b_nrm")
+            ),
+            4,
+        ),
+    )
+    w = Wnd.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "neg_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "neg_id", "neg_source", "cos_sim")
+        .orderBy("vec_id")
+    )
