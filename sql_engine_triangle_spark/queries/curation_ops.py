@@ -718,3 +718,44 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "neg_id", "neg_source", "cos_sim")
         .orderBy("vec_id")
     )
+
+
+LABEL_CENTROIDS_ORACLE = """
+SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+       round(avg(e), 6) AS mean_val
+FROM (
+  SELECT label,
+         unnest(CAST(embedding AS DOUBLE[])) AS e,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+)
+GROUP BY label, i
+ORDER BY label, pos
+"""
+
+
+@register("emb_label_centroids", oracle=LABEL_CENTROIDS_ORACLE, tags=("LLM-sim",))
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids (long form: one row per (label,
+    dimension)) — the nearest-centroid-classifier / class-prototype
+    build, and the aggregation shape of any supervised pooling over
+    an embedding column. posexplode fans each vector into (pos, val)
+    rows; the (label, pos) mean is then a plain partial+final
+    aggregation — |labels|×dim output rows regardless of corpus
+    size, and the explode is a flat map that pipelines into the
+    scan (no pre-shuffle). Long form deliberately: re-assembling
+    arrays would need a collect_list sort; the flat grain IS what a
+    downstream nearest-centroid join consumes. Mean is rounded 6 dp
+    (order-varying float aggregate, the established discipline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "val"
+            ),
+        )
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("mean_val"))
+        .orderBy("label", "pos")
+    )

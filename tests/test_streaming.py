@@ -356,3 +356,47 @@ def test_stream_stream_interval_join_matches_batch(spark):
         got.orderBy("purchase_id", "view_id").toPandas(),
         want.toPandas(),
     )
+
+
+def test_stream_static_broadcast_enrichment(spark):
+    """Stream-static join: a readStream of events enriched against a
+    STATIC dimension (the per-user event-type profile computed in
+    batch) must produce exactly the batch join's rows. The static
+    side needs no watermark and no state — Spark re-plans it per
+    micro-batch with the usual broadcast strategy, which is how
+    dimension enrichment works in a streaming ingest pipeline."""
+    from pyspark.sql import functions as F
+
+    from sql_engine_triangle_spark.catalog import load_table
+    from sql_engine_triangle_spark.streaming import windows as W
+    from tests.conftest import SF_DIR_SMALL
+
+    batch_ev = load_table(spark, SF_DIR_SMALL, "events")
+    dim = (
+        batch_ev.groupBy("user_id")
+        .agg(F.count("*").alias("user_total"))
+    )
+
+    stream = W.stream_from_parquet(spark, SF_DIR_SMALL)
+    enriched = (
+        stream.select("event_id", "user_id")
+        .join(F.broadcast(dim), "user_id")
+        .select("event_id", "user_id", "user_total")
+    )
+    got = (
+        W.run_stream_to_memory(spark, enriched, "t_enrich", output_mode="append")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        batch_ev.select("event_id", "user_id")
+        .join(F.broadcast(dim), "user_id")
+        .select("event_id", "user_id", "user_total")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got["event_id"].values == want["event_id"].values).all()
+    assert (got["user_total"].values == want["user_total"].values).all()
