@@ -759,3 +759,105 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("val"), 6).alias("mean_val"))
         .orderBy("label", "pos")
     )
+
+
+CENTROID_CLASSIFY_ORACLE = """
+WITH ex AS (
+  SELECT vec_id, label AS true_label,
+         generate_subscripts(embedding, 1) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS val
+  FROM embeddings
+),
+cent AS (
+  SELECT true_label AS cand_label, pos, round(avg(val), 6) AS mean_val
+  FROM ex GROUP BY true_label, pos
+),
+cnorm AS (
+  SELECT cand_label, sqrt(sum(mean_val * mean_val)) AS cn
+  FROM cent GROUP BY cand_label
+),
+vnorm AS (
+  SELECT vec_id, sqrt(sum(val * val)) AS vn FROM ex GROUP BY vec_id
+),
+dots AS (
+  SELECT e.vec_id, e.true_label, c.cand_label,
+         sum(e.val * c.mean_val) AS dot
+  FROM ex e JOIN cent c ON e.pos = c.pos
+  GROUP BY e.vec_id, e.true_label, c.cand_label
+),
+scored AS (
+  SELECT d.vec_id, d.true_label, d.cand_label,
+         round(d.dot / (v.vn * n.cn), 6) AS cs
+  FROM dots d
+  JOIN vnorm v ON v.vec_id = d.vec_id
+  JOIN cnorm n ON n.cand_label = d.cand_label
+),
+pred AS (
+  SELECT vec_id, true_label, cand_label AS pred_label FROM (
+    SELECT vec_id, true_label, cand_label,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, cand_label) AS rn
+    FROM scored)
+  WHERE rn = 1
+)
+SELECT true_label, pred_label, count(*) AS n
+FROM pred
+GROUP BY true_label, pred_label
+ORDER BY true_label, pred_label
+"""
+
+
+@register("sim_centroid_classify", oracle=CENTROID_CLASSIFY_ORACLE, tags=("LLM-sim",))
+def sim_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification + confusion matrix — the
+    evaluation loop of a prototype classifier over the embedding
+    column, composed entirely from distributed aggregations (NO
+    driver-side centroid collect): posexplode → per-(label, dim)
+    centroid means (the emb_label_centroids grain) → a dim-keyed join
+    fans each vector's components across the |labels| candidates →
+    per-(vector, candidate) dot products → 6-dp cosine argmax with
+    label tie-break → (true, predicted) counts. Output is
+    |labels|² rows at any corpus size. Dot sums and means are
+    order-varying float aggregates — rounded at the comparison
+    points, the repo's established discipline; centroid means are
+    rounded BEFORE use so both engines score against identical
+    prototypes."""
+    from pyspark.sql.window import Window as Wnd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    cent = (
+        ex.groupBy(F.col("true_label").alias("cand_label"), "pos")
+        .agg(F.round(F.avg("val"), 6).alias("mean_val"))
+    )
+    cnorm = cent.groupBy("cand_label").agg(
+        F.sqrt(F.sum(F.col("mean_val") * F.col("mean_val"))).alias("cn")
+    )
+    vnorm = ex.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vn")
+    )
+    dots = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "true_label", "cand_label")
+        .agg(F.sum(F.col("val") * F.col("mean_val")).alias("dot"))
+    )
+    scored = (
+        dots.join(F.broadcast(cnorm), "cand_label")
+        .join(vnorm, "vec_id")
+        .withColumn("cs", F.round(F.col("dot") / (F.col("vn") * F.col("cn")), 6))
+    )
+    w = Wnd.partitionBy("vec_id").orderBy(F.desc("cs"), "cand_label")
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("true_label", F.col("cand_label").alias("pred_label"))
+    )
+    return (
+        pred.groupBy("true_label", "pred_label")
+        .agg(F.count("*").alias("n"))
+        .orderBy("true_label", "pred_label")
+    )
