@@ -357,3 +357,122 @@ def a_hll_partial_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ym")
     )
+
+
+TWA_ORACLE = """
+WITH seg AS (
+  SELECT user_id,
+         CAST(strftime(CAST(ts AS DATE), '%Y-%m-%d') AS VARCHAR) AS day,
+         value,
+         epoch_us(ts) AS us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY epoch_us(ts), event_id) AS next_us
+  FROM events
+  WHERE user_id <= 50
+)
+SELECT user_id, day,
+       CAST(sum(next_us - us) AS BIGINT) AS span_us,
+       round(sum(value * (next_us - us)) / sum(next_us - us), 6) AS twa
+FROM seg
+WHERE next_us IS NOT NULL
+GROUP BY user_id, day
+HAVING sum(next_us - us) > 0
+ORDER BY user_id, day
+"""
+
+
+@register("w_time_weighted_avg", oracle=TWA_ORACLE, tags=("W1", "A4"))
+def w_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over IRREGULAR samples — the hypertable
+    rollup primitive (TimescaleDB's time_weight): each reading holds
+    its value until the next one, so the day's average weights each
+    value by its holding duration, not its sample count (a plain avg
+    over-counts bursts). One (user, day) window supplies the
+    next-sample timestamp (lead); the weighted aggregation shares the
+    same exchange. Weights are integer microsecond spans — exact; the
+    final ratio is the only float op, rounded to normalize repr."""
+    from pyspark.sql.window import Window as Wnd
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    day = F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd")
+    us = F.unix_micros("ts")
+    base = ev.select(
+        "user_id", day.alias("day"), "value", us.alias("us"), "event_id"
+    )
+    w = Wnd.partitionBy("user_id", "day").orderBy("us", "event_id")
+    seg = base.withColumn("next_us", F.lead("us").over(w)).filter(
+        F.col("next_us").isNotNull()
+    )
+    return (
+        seg.groupBy("user_id", "day")
+        .agg(
+            F.sum(F.col("next_us") - F.col("us")).alias("span_us"),
+            F.round(
+                F.sum(F.col("value") * (F.col("next_us") - F.col("us")))
+                / F.sum(F.col("next_us") - F.col("us")),
+                6,
+            ).alias("twa"),
+        )
+        .filter(F.col("span_us") > 0)
+        .orderBy("user_id", "day")
+    )
+
+
+OHLC_ORACLE = """
+WITH ranked AS (
+  SELECT event_type,
+         date_trunc('hour', ts) AS bar_ts,
+         value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, bar_ts,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*) AS n_ticks
+FROM ranked
+GROUP BY event_type, bar_ts
+ORDER BY event_type, bar_ts
+"""
+
+
+@register("a_ohlc_bars", oracle=OHLC_ORACLE, tags=("A2", "A6", "W1"))
+def a_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars — the canonical timeseries downsample
+    (open/high/low/close per hour per series): positional endpoints
+    (first/last by (ts, event_id)) come from two row_number windows
+    over ONE (series, hour) partitioning — Spark evaluates both in a
+    single sort pass (ascending rank + descending rank share the
+    partition; the second direction is a reversed scan, not a second
+    exchange) — folded into the same aggregation that takes high/low.
+    Values pass through raw (no float arithmetic), so no rounding is
+    needed anywhere."""
+    from pyspark.sql.window import Window as Wnd
+
+    ev = load_table(spark, sf_dir, "events")
+    bar = F.date_trunc("hour", F.col("ts"))
+    base = ev.select(
+        "event_type", bar.alias("bar_ts"), "value", "ts", "event_id"
+    )
+    wa = Wnd.partitionBy("event_type", "bar_ts").orderBy("ts", "event_id")
+    wd = Wnd.partitionBy("event_type", "bar_ts").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        base.withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_d", F.row_number().over(wd))
+        .groupBy("event_type", "bar_ts")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count("*").alias("n_ticks"),
+        )
+        .orderBy("event_type", "bar_ts")
+    )
