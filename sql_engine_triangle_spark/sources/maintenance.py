@@ -83,3 +83,27 @@ def compact_table(
         out = df.repartition(n_files)
     out.write.mode("error").parquet(dst_dir)
     return n_files
+
+
+def compact_table_zorder(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    col_a: str,
+    col_b: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    bits: int = 16,
+) -> int:
+    """``compact_table`` with a Z-ORDER clustered layout: output files
+    cover narrow ranges of BOTH ``col_a`` and ``col_b`` (multi-column
+    min/max pruning), vs the single-key clustering of ``sort_cols``.
+    Same write-audit-publish contract; returns the file count."""
+    from sql_engine_triangle_spark.sources.layout import zorder_cluster
+
+    total = dir_bytes(spark, src_dir)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_dir)
+    zorder_cluster(df, col_a, col_b, n_files, bits=bits).write.mode("error").parquet(
+        dst_dir
+    )
+    return n_files

@@ -254,3 +254,74 @@ def test_compact_small_files(spark, tmp_path):
     spans = sorted((r.lo, r.hi) for r in per_file)
     for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, "sorted compaction should produce disjoint key ranges"
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema evolution on append: a later batch adds a column; a
+    mergeSchema read unions the schemas and null-extends old rows —
+    the additive-evolution contract a long-lived ingest directory
+    needs (the reference lab's engines handle this via ALTER TABLE;
+    parquet-on-Spark handles it at read time)."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "evolving")
+    spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).write.parquet(base)
+    spark.range(5, 8).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        F.lit("en").alias("lang"),
+    ).write.mode("append").parquet(base)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"k", "v", "lang"}
+    rows = {r["k"]: r for r in merged.collect()}
+    assert len(rows) == 8
+    assert rows[0]["lang"] is None and rows[7]["lang"] == "en"
+    # column pruning still works on the merged schema
+    assert merged.select("k").count() == 8
+
+
+def test_compact_zorder_variant(spark, tmp_path):
+    """compact_table_zorder: same row set, requested file count, and
+    z-clustered layout (each file narrow on BOTH keys)."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from sql_engine_triangle_spark.catalog import load_table
+    from sql_engine_triangle_spark.sources import maintenance
+    from tests.conftest import SF_DIR_SMALL
+
+    src = str(tmp_path / "src")
+    li = load_table(spark, SF_DIR_SMALL, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    li.repartition(8).write.parquet(src)
+    dst = str(tmp_path / "dst")
+    total = maintenance.dir_bytes(spark, src)
+    n = maintenance.compact_table_zorder(
+        spark, src, dst, "l_partkey", "l_suppkey",
+        target_file_bytes=max(1, total // 4), bits=8,
+    )
+    assert maintenance.parquet_file_count(spark, dst) == n
+    assert spark.read.parquet(dst).count() == li.count()
+    glo = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).first()
+    span_a, span_b = glo[1] - glo[0], glo[3] - glo[2]
+    spans = []
+    for f in sorted(_glob.glob(f"{dst}/*.parquet")):
+        r = (
+            spark.read.parquet(f)
+            .agg(
+                F.min("l_partkey"), F.max("l_partkey"),
+                F.min("l_suppkey"), F.max("l_suppkey"),
+            )
+            .first()
+        )
+        spans.append(((r[1] - r[0]) / span_a, (r[3] - r[2]) / span_b))
+    avg_a = sum(a for a, _ in spans) / len(spans)
+    avg_b = sum(b for _, b in spans) / len(spans)
+    assert avg_a < 0.8 and avg_b < 0.8, (avg_a, avg_b)
