@@ -476,3 +476,125 @@ def a_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bar_ts")
     )
+
+
+GAP_FILL_ORACLE = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, round(avg(value), 6) AS v
+  FROM events WHERE user_id <= 20
+  GROUP BY user_id, date_trunc('hour', ts)
+),
+bounds AS (
+  SELECT user_id, min(h) AS h_lo, max(h) AS h_hi FROM hourly GROUP BY user_id
+),
+grid AS (
+  SELECT b.user_id, g.h
+  FROM bounds b,
+       LATERAL (SELECT unnest(generate_series(b.h_lo, b.h_hi,
+                                              INTERVAL 1 HOUR)) AS h) g
+),
+joined AS (
+  SELECT g.user_id, g.h, o.v,
+         epoch_us(g.h) // 3600000000 AS hn
+  FROM grid g LEFT JOIN hourly o ON o.user_id = g.user_id AND o.h = g.h
+),
+ctx AS (
+  SELECT user_id, h, v, hn,
+         last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hn
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN hn END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY hn
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+         first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hn
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN hn END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY hn
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM joined
+)
+SELECT user_id, CAST(hn AS BIGINT) AS hour_num,
+       v IS NOT NULL AS observed,
+       CASE WHEN v IS NOT NULL
+            THEN CAST(CAST(round(v * 1000000) AS BIGINT) AS DOUBLE) / 1000000.0
+            ELSE CAST(CAST(round(pv * 1000000) AS BIGINT) * (nh - hn)
+                      + CAST(round(nv * 1000000) AS BIGINT) * (hn - ph) AS DOUBLE)
+                 / CAST((nh - ph) * 1000000 AS DOUBLE)
+       END AS v_interp
+FROM ctx
+WHERE pv IS NOT NULL AND nv IS NOT NULL
+ORDER BY user_id, hour_num
+"""
+
+
+@register("w_gap_fill_interpolate", oracle=GAP_FILL_ORACLE, tags=("W1", "F2"))
+def w_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with LINEAR interpolation — with LOCF (w_forward_fill)
+    and TWA (w_time_weighted_avg), the third hypertable resampling
+    primitive: per-user hourly averages are projected onto each
+    user's dense hourly grid, and missing hours interpolate linearly
+    between the surrounding observations ((h-hp)/(hn-hp) integer hour
+    fractions). The grid is generated per user with sequence/explode
+    (a bounded flat map — |hours in range|, not |events|); previous/
+    next observations come from two IGNORE-NULLS value windows over
+    ONE user ordering (running + reverse frame share the sort). Edge
+    rows without both neighbors are excluded (interior interpolation
+    only). Rounded 6 dp at the grid aggregation and the final
+    expression — the interpolation itself is arithmetic on already-
+    rounded inputs with exact integer weights."""
+    from pyspark.sql.window import Window as Wnd
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h_lo"), F.max("h").alias("h_hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h_lo", "h_hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left").withColumn(
+        "hn", F.expr("unix_micros(h) div 3600000000")
+    )
+    run = (
+        Wnd.partitionBy("user_id")
+        .orderBy("hn")
+        .rowsBetween(Wnd.unboundedPreceding, 0)
+    )
+    rev = (
+        Wnd.partitionBy("user_id")
+        .orderBy("hn")
+        .rowsBetween(0, Wnd.unboundedFollowing)
+    )
+    marked_h = F.when(F.col("v").isNotNull(), F.col("hn"))
+    ctx = (
+        joined.withColumn("pv", F.last("v", ignorenulls=True).over(run))
+        .withColumn("ph", F.last(marked_h, ignorenulls=True).over(run))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(rev))
+        .withColumn("nh", F.first(marked_h, ignorenulls=True).over(rev))
+    )
+    to_mu = lambda c: F.round(c * 1_000_000).cast("long")  # noqa: E731
+    interp = (
+        (
+            to_mu(F.col("pv")) * (F.col("nh") - F.col("hn"))
+            + to_mu(F.col("nv")) * (F.col("hn") - F.col("ph"))
+        ).cast("double")
+        / ((F.col("nh") - F.col("ph")) * 1_000_000).cast("double")
+    )
+    observed_v = to_mu(F.col("v")).cast("double") / F.lit(1_000_000.0)
+    return (
+        ctx.filter(F.col("pv").isNotNull() & F.col("nv").isNotNull())
+        .select(
+            "user_id",
+            F.col("hn").cast("long").alias("hour_num"),
+            F.col("v").isNotNull().alias("observed"),
+            F.when(F.col("v").isNotNull(), observed_v)
+            .otherwise(interp)
+            .alias("v_interp"),
+        )
+        .orderBy("user_id", "hour_num")
+    )
