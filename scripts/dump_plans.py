@@ -45,6 +45,11 @@ QUERIES = [
     "pipeline_token_budget",
     "curation_domain_cap",
     "pipeline_corpus_build",
+    # late-r4 timeseries/sketch/classifier additions
+    "w_gap_fill_interpolate",
+    "a_hll_partial_rollup",
+    "sim_centroid_classify",
+    "a_ohlc_bars",
 ]
 
 
