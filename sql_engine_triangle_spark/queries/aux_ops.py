@@ -1582,3 +1582,40 @@ def w_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", "cdist", "o_orderkey")
     )
+
+
+MULTI_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS uniq_parts,
+       count(DISTINCT l_suppkey) AS uniq_supps,
+       count(DISTINCT (l_partkey, l_suppkey)) AS uniq_pairs,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("a_count_distinct_multi", oracle=MULTI_DISTINCT_ORACLE, tags=("A11", "A5"))
+def a_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several DISTINCT aggregates with DIFFERENT argument sets in one
+    query — the distinct-expand stress: Catalyst rewrites this as an
+    Expand (one replica of each row per distinct group) feeding a
+    two-level aggregation, so all three distinct counts and the plain
+    count come out of ONE logical pass instead of three self-joined
+    subqueries. The composite pair count uses a struct key (the
+    multi-column DISTINCT form). At scale the Expand multiplies the
+    shuffle by the number of distinct groups — acceptable for a few
+    groups, and the HLL sketch path (a_hll_partial_rollup) is the
+    documented fallback when it is not."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("uniq_parts"),
+            F.count_distinct("l_suppkey").alias("uniq_supps"),
+            F.count_distinct(F.struct("l_partkey", "l_suppkey")).alias("uniq_pairs"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
