@@ -1619,3 +1619,58 @@ def a_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+TRY_ARITH_ORACLE = """
+SELECT o_orderstatus,
+       count(*) AS n,
+       CAST(sum(CASE WHEN o_custkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_div,
+       round(avg(o_totalprice / NULLIF(o_custkey % 5, 0)), 4) AS avg_ratio,
+       CAST(sum(CASE WHEN TRY_CAST(o_orderpriority AS INTEGER) IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_uncastable,
+       CAST(sum(COALESCE(TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER),
+                         0)) AS BIGINT) AS sum_priority_digit
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("f_try_arithmetic", oracle=TRY_ARITH_ORACLE, tags=("F10", "F11"))
+def f_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error-tolerant expressions — under Spark 4's ANSI
+    default, division by zero and bad casts THROW, so pipelines use
+    the try_* family to get null-on-error semantics row-locally
+    instead of failing the job: try_divide (null where the modulus
+    hits zero, counted and averaged over the survivors) and try_cast
+    (the full priority string never parses as int; its leading digit
+    always does). The DuckDB twin expresses the same semantics with
+    NULLIF guards and TRY_CAST — both engines agree on null
+    propagation through the aggregates. avg is rounded (float sum
+    order); the counts and digit sums are exact integers."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("o_custkey") % 5 == 0, 1).otherwise(0)
+            ).alias("n_null_div"),
+            F.round(
+                F.avg(F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 5)), 4
+            ).alias("avg_ratio"),
+            F.sum(
+                F.when(
+                    F.expr("try_cast(o_orderpriority AS int)").isNull(), 1
+                ).otherwise(0)
+            ).alias("n_uncastable"),
+            F.sum(
+                F.coalesce(
+                    F.expr("try_cast(substring(o_orderpriority, 1, 1) AS int)"),
+                    F.lit(0),
+                )
+            ).alias("sum_priority_digit"),
+        )
+        .orderBy("o_orderstatus")
+    )
