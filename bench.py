@@ -81,10 +81,42 @@ EXTRA = [
     "tpch_q1_pricing_summary",
     "tpch_q6_forecast_revenue",
     "tpch_q21_waiting_supplier",
+    # r5: first bench rows BEFORE their first driver window round, so
+    # their first correctness round has a perf baseline (VERDICT r4 §5).
+    "sim_hard_negatives",
+    "emb_label_centroids",
+    "sim_centroid_classify",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.
 ]
+
+
+def _ivf_bare(spark, sf_dir):
+    """The bare IVF top-k operator (build-or-probe + rerank), without
+    the brute-force exact twin + certification the registry's
+    ``sim_ivf_topk`` validation form runs alongside it. Benched under
+    its own id so round-over-round comparisons stay like-for-like:
+    the r4 `sim_ivf_topk` number jumped +77% when the entry's
+    SEMANTICS changed to the validation form (roughly double the work
+    by construction), not because the operator regressed (VERDICT r4
+    "watch item")."""
+    from pyspark.sql import functions as F
+
+    from sql_engine_triangle_spark.catalog import load_table
+    from sql_engine_triangle_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = similarity.query_vector(emb, 0)
+    return similarity.ivf_topk(emb, qvec, k=10, exclude_id=0, cache_key=sf_dir)
+
+
+# Benched operator forms that are not registry entries (bare operators
+# whose registry twin is a validation form with extra by-construction
+# work). Keys must not collide with registry names.
+BARE_OPS = {
+    "sim_ivf_topk_bare": _ivf_bare,
+}
 
 
 def main() -> None:
@@ -106,8 +138,8 @@ def main() -> None:
             pass
 
     timings: dict[str, float] = {}
-    for name in names:
-        fn = registry.get(name).fn
+    for name in names + list(BARE_OPS):
+        fn = BARE_OPS.get(name) or registry.get(name).fn
 
         def run() -> None:
             # noop sink: full evaluation of EVERY output column on the

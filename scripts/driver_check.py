@@ -164,6 +164,18 @@ def main() -> int:
         print(f"[warn] rows-only entries inside the 50-entry driver window: "
               f"{no_oracle_in_window}")
 
+    # Optional subset for fast iteration: DRIVER_CHECK_ONLY=a,b,c runs
+    # just those entries (full runs remain the commit gate).
+    import os
+
+    only = os.environ.get("DRIVER_CHECK_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = keep - set(qs)
+        if unknown:
+            print(f"[warn] DRIVER_CHECK_ONLY names not registered: {sorted(unknown)}")
+        qs = {n: f for n, f in qs.items() if n in keep}
+
     n_pass = n_fail = n_rows_only = 0
     for name, fn in sorted(qs.items()):
         t0 = time.time()

@@ -156,6 +156,38 @@ def user_events(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
     )
 
 
+def partsupp(spark: SparkSession, n_parts: int, n_suppliers: int, seed: int = 42) -> DataFrame:
+    """TPC-H ``partsupp``-shaped micro-fixture: exactly 4 supplier
+    offers per part (the TPC-H multiplicity), deterministic from
+    (row id, seed) like every other fixture table — no driver-side
+    data. The driver's testdata does not carry partsupp
+    (COVERAGE.md §2.3), so the four blocked classic shapes
+    (Q2/Q11/Q16/Q20) run against this table in pytest only.
+
+    Supplier assignment uses offsets ``i * (n_suppliers div 4)`` from
+    the part key, mod n_suppliers — distinct for i in 0..3 whenever
+    n_suppliers >= 4 (3 * floor(n/4) < n), mirroring TPC-H's
+    stride-based ps_suppkey formula. ps_supplycost is DECIMAL(10,2)
+    (exact min/compare on both engines)."""
+    per_part = 4
+    step = max(1, n_suppliers // per_part)
+    df = spark.range(n_parts * per_part).withColumn(
+        "_s", F.xxhash64("id", F.lit(seed + 7))
+    )
+    s = F.col("_s")
+    partkey = F.expr(f"id div {per_part}")
+    i = F.pmod(F.col("id"), F.lit(per_part))
+    suppkey = F.pmod(partkey + i * step, F.lit(n_suppliers))
+    return df.select(
+        partkey.alias("ps_partkey"),
+        suppkey.cast("long").alias("ps_suppkey"),
+        (F.pmod(s, F.lit(9999)) + 1).cast("int").alias("ps_availqty"),
+        (F.round(_u(s, 1) * 999.0 + 1.0, 2)).cast("decimal(10,2)").alias(
+            "ps_supplycost"
+        ),
+    )
+
+
 def compute_probes(df: DataFrame, date_col: str, distinct_cols: list[str]) -> dict:
     """Ground-truth probes (FIXTURES.md §5, clickhouse/queries.sql):
     row count, date range, distinct cardinalities — one aggregate pass."""

@@ -56,24 +56,15 @@ def row_norm(e: Column) -> Column:
     return F.sqrt(_dot(e, e))
 
 
-def pair_cosine(
-    a: Column, b: Column, na: Column, nb: Column, dim: int | None = None
-) -> Column:
+def pair_cosine(a: Column, b: Column, na: Column, nb: Column) -> Column:
     """Hoisted-norm cosine for pairwise joins (alias of
-    ``cosine_hoisted``; ``dim`` ignored). An unrolled
+    ``cosine_hoisted``). An unrolled
     ``0.0 + a[1]*b[1] + …`` element_at chain was A/B-measured here
     and REJECTED: at dim=64 the 192-node expression falls out of
     whole-stage codegen and evaluates interpreted per node
     (sim_knn_join 5.7→16.3 s at sf0.1) — the zip_with/aggregate fold
     is the fast JVM form for wide arrays."""
     return cosine_hoisted(a, b, na, nb)
-
-
-def probe_dim(emb: DataFrame, col: str = "embedding") -> int:
-    """Embedding dimensionality via a 1-row head — a scalar plan-time
-    parameter, same class as the IVF quantizer's dim probe."""
-    row = emb.select(col).head()
-    return len(row[0]) if row is not None else 0
 
 
 def _as_double(col: Column) -> Column:
@@ -110,7 +101,6 @@ def cosine_pairs(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
     """Exact embedding near-dup pairs (brute force, quadratic —
     correctness baseline; LSH buckets are the scale path)."""
     ed = _as_double(F.col("embedding"))
-    dim = probe_dim(emb)
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         ed.alias("ea"),
@@ -126,7 +116,7 @@ def cosine_pairs(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
         .withColumn(
             "cos_sim",
             F.round(
-                pair_cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"), dim),
+                pair_cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")),
                 4,
             ),
         )
@@ -215,7 +205,7 @@ def embedding_lsh_pairs(
         .withColumn(
             "cos_sim",
             F.round(
-                pair_cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"), dim),
+                pair_cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")),
                 4,
             ),
         )
@@ -508,7 +498,6 @@ def semantic_dedup(emb: DataFrame, k: int = SEED_K, eps: float = 0.45) -> DataFr
         F.col("emb").alias("b_emb"),
         F.col("nrm").alias("b_nrm"),
     )
-    dim = probe_dim(emb)
     dup_ids = (
         asg.join(
             later,
@@ -517,7 +506,7 @@ def semantic_dedup(emb: DataFrame, k: int = SEED_K, eps: float = 0.45) -> DataFr
         .filter(
             F.round(
                 pair_cosine(
-                    F.col("emb"), F.col("b_emb"), F.col("nrm"), F.col("b_nrm"), dim
+                    F.col("emb"), F.col("b_emb"), F.col("nrm"), F.col("b_nrm")
                 ),
                 4,
             )
@@ -575,8 +564,7 @@ def knn_join(
             "cos_sim",
             F.round(
                 pair_cosine(
-                    F.col("emb"), F.col("b_emb"), F.col("nrm"), F.col("b_nrm"),
-                    probe_dim(emb),
+                    F.col("emb"), F.col("b_emb"), F.col("nrm"), F.col("b_nrm")
                 ),
                 4,
             ),

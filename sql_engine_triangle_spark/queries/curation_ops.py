@@ -207,6 +207,85 @@ def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GOPHER_RULES_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE)
+           / len(toks) AS mean_word_len,
+         CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+              AS DOUBLE) / len(toks) AS alpha_frac,
+         CAST(len(list_filter(['the','a','and','of','to','is','in','it'],
+                              s -> list_contains(toks, s)))
+              AS BIGINT) AS stop_hits
+  FROM t
+  WHERE len(toks) >= 1
+)
+SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3 AND 10
+        AND alpha_frac >= 0.8
+        AND stop_hits >= 2) AS passes_gopher
+FROM m
+ORDER BY doc_id
+"""
+
+
+@register("text_gopher_rules", oracle=GOPHER_RULES_ORACLE, tags=("LLM-text",))
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule suite (Rae et al. 2021 §A1.1) as one
+    zero-shuffle row projection: word count bounds [50, 100k], mean
+    word length in [3, 10], fraction of words containing an
+    alphabetic character >= 0.8, and >= 2 distinct stopwords present
+    — plus the conjunction flag the keep-rule uses. Complements
+    text_dup_ngram_fraction (the suite's repetition rules) and
+    text_quality_scores.
+
+    Float discipline: both ratios are UNROUNDED int/int divisions
+    (IEEE-identical across engines; comparing them against 0.8/3/10
+    is therefore also engine-identical). All counts via per-row array
+    expressions inside codegen — embarrassingly parallel at 100 TB,
+    like every row-expression gate in this family."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 1)
+    stops = "array('the','a','and','of','to','is','in','it')"
+    m = base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        (
+            F.expr(
+                "aggregate(transform(toks, w -> length(w)), 0L, (a, x) -> a + x)"
+            ).cast("double")
+            / F.size("toks")
+        ).alias("mean_word_len"),
+        (
+            F.expr("size(filter(toks, w -> w rlike '[a-z]'))").cast("double")
+            / F.size("toks")
+        ).alias("alpha_frac"),
+        F.expr(f"size(filter({stops}, s -> array_contains(toks, s)))")
+        .cast("long")
+        .alias("stop_hits"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_frac",
+        "stop_hits",
+        (
+            F.col("n_words").between(50, 100000)
+            & F.col("mean_word_len").between(3, 10)
+            & (F.col("alpha_frac") >= 0.8)
+            & (F.col("stop_hits") >= 2)
+        ).alias("passes_gopher"),
+    ).orderBy("doc_id")
+
+
 DUP_NGRAM_ORACLE = r"""
 WITH t AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
@@ -331,7 +410,10 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets = totals.select(
         "_band", F.coalesce(F.sum("_total").over(w_b), F.lit(0)).alias("_band_off")
     )
-    budget = q.agg((F.sum("n_tokens") / 2).cast("long").alias("_budget"))
+    # Exact integer floor-division (`div`), matching the oracle's
+    # `//`: the double-divide form only agrees while the corpus token
+    # sum stays below 2^53 — at 100 TB it silently diverges.
+    budget = q.agg(F.expr("sum(n_tokens) div 2").alias("_budget"))
     return (
         local.join(F.broadcast(offsets), "_band")
         .withColumn("cum_before", F.col("_band_off") + F.col("_local_off"))
@@ -367,7 +449,7 @@ emb AS (
   FROM (
     SELECT e.vec_id,
            round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                        CAST(q.qe AS DOUBLE[])), 6) AS cos_sim
+                                        CAST(q.qe AS DOUBLE[])), 4) AS cos_sim
     FROM embeddings e CROSS JOIN qvec q
     WHERE e.vec_id <> 0
   )
@@ -425,9 +507,11 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qvec = similarity.query_vector(emb, 0)
     q_arr = F.array(*[F.lit(float(v)) for v in qvec])
-    # 6-dp rounding BEFORE the top-100 cut and the ranking (not
-    # brute_force_topk's 4-dp) so the rank order is bit-identical to
-    # the oracle's 6-dp ranking.
+    # 4-dp rounding BEFORE the top-100 cut and the ranking, like
+    # brute_force_topk: DuckDB's list_cosine_similarity sums in a
+    # different order than the Spark fold, so a cosine within ~1 ULP
+    # of a rounding midpoint can flip rank order across engines —
+    # 4-dp midpoints are 100x sparser than 6-dp ones.
     emb100 = (
         emb.filter(F.col("vec_id") != 0)
         .select(
@@ -436,7 +520,7 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 similarity.cosine(
                     F.col("embedding").cast("array<double>"), q_arr
                 ),
-                6,
+                4,
             ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), "doc_id")
@@ -556,6 +640,23 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit pushdown; the budget cut is the two-phase banded
     prefix sum (no fact-sized single-partition exchange); the budget
     scalar is a broadcast 1-row aggregate."""
+    return _corpus_build(spark, sf_dir, clustering="greedy")
+
+
+def _corpus_build(
+    spark: SparkSession, sf_dir: str, clustering: str,
+    share_tokens: bool = True,
+) -> DataFrame:
+    """Shared capstone builder. ``clustering`` picks the near-dup drop
+    rule consuming the LSH pair stream: ``"greedy"`` drops every doc
+    that is the LATER side of any >=0.9 pair (SemDeDup's
+    earliest-id-wins — doc kept iff it has no earlier direct
+    neighbor); ``"cc"`` runs alternating large/small-star connected
+    components and keeps only each component's MINIMUM doc_id — the
+    transitive semantic of dedup_clusters_lsh. The two differ on
+    chain shapes: in component {1,5,9} with edges (5,9),(1,9) only,
+    greedy keeps 5 (its one neighbor, 9, is later) while cc drops it
+    (component min is 1)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = textops.tokens(F.col("text"))
     feat = (
@@ -577,7 +678,7 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.size(F.array_distinct("bigrams")).cast("double")
         / F.size("bigrams").cast("double")
         <= 0.5
-    ).select("doc_id", "source", "text", "n_tokens", "quality_milli")
+    ).select("doc_id", "source", "text", "toks", "n_tokens", "quality_milli")
 
     # The SCALE-PATH pair generator: banded MinHash-LSH candidates,
     # exact-Jaccard verified. At threshold 0.9 the per-pair band-miss
@@ -590,8 +691,43 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # here and REJECTED: 8.7 -> 12.9 s at sf0.1 — with a single
     # consumer chain the eager materialization costs more than the
     # subtree reuse saves.
-    pairs = dedup.minhash_lsh_pairs(stage1, threshold=0.9, n=3)
-    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    exploded = None
+    if share_tokens:
+        # Reuse the gate's token arrays for the shingle pass instead
+        # of letting shingle_rows re-tokenize from text — measured
+        # 9.5 -> 8.6 s at sf0.1 (one tokenize per row instead of
+        # two; identical output). Same repartition barrier as
+        # shingle_rows (without it, CollapseProject inlines the
+        # split into the shingle lambda, re-splitting per shingle —
+        # the measured 10x hazard in dedup.shingle_rows' docstring).
+        sh = F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(F.col("toks")) - 2, F.lit(1))
+                ),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 3)),
+            )
+        )
+        exploded = (
+            stage1.select("doc_id", "toks")
+            .repartition("doc_id")
+            .select("doc_id", F.explode(sh).alias("s"))
+        )
+    pairs = dedup.minhash_lsh_pairs(
+        stage1, threshold=0.9, n=3, exploded=exploded
+    )
+    if clustering == "cc":
+        from sql_engine_triangle_spark.operators.graph import (
+            connected_components_star,
+        )
+
+        drops = (
+            connected_components_star(pairs)
+            .filter(F.col("vid") != F.col("component"))
+            .select(F.col("vid").alias("doc_id"))
+        )
+    else:
+        drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     stage2 = stage1.join(drops, "doc_id", "left_anti").select(
         "doc_id", "source", "n_tokens", "quality_milli"
     )
@@ -617,7 +753,8 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets = totals.select(
         "_band", F.coalesce(F.sum("_total").over(w_b), F.lit(0)).alias("_band_off")
     )
-    budget = stage3.agg((F.sum("n_tokens") / 2).cast("long").alias("_budget"))
+    # Exact integer floor-division — see pipeline_token_budget note.
+    budget = stage3.agg(F.expr("sum(n_tokens) div 2").alias("_budget"))
     return (
         local.join(F.broadcast(offsets), "_band")
         .withColumn("cum_before", F.col("_band_off") + F.col("_local_off"))
@@ -638,6 +775,114 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("quality_milli"), "doc_id")
     )
+
+
+CORPUS_BUILD_CC_ORACLE = r"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, source, n_chars,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, source, toks,
+         len(toks) AS n_tokens,
+         (1000 * n_chars) // len(toks) AS quality_milli,
+         list_transform(range(2, len(toks) + 1),
+                        i -> toks[i - 1] || ' ' || toks[i]) AS bigrams
+  FROM tok
+  WHERE len(toks) >= 10
+),
+stage1 AS (
+  SELECT doc_id, source, toks, n_tokens, quality_milli
+  FROM feat
+  WHERE 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+              / CAST(len(bigrams) AS DOUBLE) <= 0.5
+),
+shing AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM stage1
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shing),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shing),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+hp AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.9
+),
+e AS (
+  SELECT doc_a AS u, doc_b AS v FROM hp
+  UNION
+  SELECT doc_b, doc_a FROM hp
+),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+),
+drops AS (
+  SELECT u AS doc_id FROM reach GROUP BY u HAVING least(u, min(v)) <> u
+),
+stage2 AS (
+  SELECT doc_id, source, n_tokens, quality_milli FROM stage1
+  WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+),
+stage3 AS (
+  SELECT doc_id, source, n_tokens, quality_milli FROM (
+    SELECT doc_id, source, n_tokens, quality_milli,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY quality_milli DESC, doc_id) AS rn
+    FROM stage2
+  ) WHERE rn <= 50
+),
+cum AS (
+  SELECT doc_id, source, n_tokens, quality_milli,
+         CAST(COALESCE(sum(n_tokens) OVER (
+                ORDER BY quality_milli DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM cum_src
+)
+SELECT doc_id, source, quality_milli, n_tokens, cum_before,
+       CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+            AS INTEGER) % 8 AS shard
+FROM cum
+WHERE cum_before < (SELECT sum(n_tokens) // 2 FROM stage3)
+ORDER BY quality_milli DESC, doc_id
+"""
+# (cum_src is stage3 — named below via a replace to keep the two
+# capstone oracles textually aligned for review.)
+CORPUS_BUILD_CC_ORACLE = CORPUS_BUILD_CC_ORACLE.replace("cum_src", "stage3")
+
+
+@register(
+    "pipeline_corpus_build_cc",
+    oracle=CORPUS_BUILD_CC_ORACLE,
+    tags=("LLM-pipeline",),
+)
+def pipeline_corpus_build_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone with TRANSITIVE near-dup semantics: identical to
+    ``pipeline_corpus_build`` except stage 2 clusters the >=0.9 LSH
+    pairs with the O(log n)-round large/small-star connected-
+    components operator and keeps only each component's minimum
+    doc_id (the dedup_clusters_lsh semantic), instead of the
+    pairwise-greedy earliest-neighbor rule. Both semantics are
+    defensible (SemDeDup ships greedy; transitive closure is the
+    CCNet/RefinedWeb shape) — the engine offers BOTH as first-class
+    capstones, and this entry's recursive-CTE oracle certifies the
+    transitive one end-to-end. Scale shape: adds only the CC rounds
+    (vertex-id-partitioned groupBy/join, no driver data) on the
+    pair stream; every other stage is byte-identical to the greedy
+    capstone's certified plan."""
+    return _corpus_build(spark, sf_dir, clustering="cc")
 
 
 HARD_NEGATIVES_ORACLE = f"""

@@ -90,72 +90,82 @@ def _ensure_loaded() -> None:
 # sim_cosine_topk, pipeline_corpus_split, text_repetition_ratio,
 # pipeline_cohort_retention, text_unigram_logprob. Final swap:
 # pipeline_corpus_build (capstone) in for dedup_containment (green r3).
+# Round-5 rotation: the full 20-entry r5 queue (COVERAGE.md) enters
+# the window — every one oracle-backed and green in the local sweep,
+# none with a driver row yet. Displaced (all GREEN r4 driver rows,
+# still swept every round by the full-registry pytest oracle sweep):
+# q4_two_key_percentiles, q4_approx_percentiles, dedup_common_spans,
+# dedup_simhash_pairs, dedup_clusters, dedup_embedding_pairs,
+# text_dup_ngram_fraction, pipeline_chunk_documents,
+# pipeline_pack_sequences, text_term_stats, pipeline_corpus_prep,
+# pipeline_funnel_conversion, asof_purchase_attribution,
+# multimodal_metadata, multimodal_frames, text_boilerplate_strip,
+# text_bigram_logprob, text_tfidf_topterms, stream_sliding_counts,
+# stream_dedup_keys.
 _PRIORITY_WINDOW: tuple[str, ...] = (
-    # core flagship (7)
+    # core flagship (5)
     "q1_agg_by_type",
     "q2_town_month_rollup",
     "q3_yoy_window",
     "q4_top_nations_percentiles",
     "q4_semi_join_form",
-    "q4_two_key_percentiles",
-    "q4_approx_percentiles",
-    # llm_ops — every LLM-pipeline operator (35)
-    "dedup_common_spans",
-    # r4 rotation: dedup_fingerprint, text_fingerprint,
-    # text_rolling_hash, emb_l2_normalize (green r3, stable, simple)
-    # and rows-only text_compression_ratio ceded slots to the five new
-    # oracle-backed r4 entries below (dedup_simhash_pairs returns as
-    # its validation form). Late-r4: dedup_ngram_jaccard,
-    # sample_stratified, udaf_grouped_median (all green r3) ceded
-    # slots to the curation_ops additions (dedup_semantic,
-    # sim_knn_join, pipeline_shard_layout).
+    # literal TPC-H shapes (8 new r5 + 2 green-r4 carriers)
+    "tpch_q1_pricing_summary",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q9_product_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity",
+    "tpch_q19_disjunctive_join",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_customers",
+    # window / aggregation tier (7 new r5)
+    "w_dist_functions",
+    "w_time_weighted_avg",
+    "a_ohlc_bars",
+    "w_gap_fill_interpolate",
+    "a_count_distinct_multi",
+    "f_try_arithmetic",
+    "a_hll_partial_rollup",
+    # layout (new r5)
+    "layout_zorder_key",
+    # dedup (green r4, the flagship family)
     "dedup_semantic",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_mid",
-    "dedup_simhash_pairs",
-    "dedup_clusters",
     "dedup_clusters_lsh",
     "dedup_keep_best_quality",
-    "dedup_embedding_pairs",
-    "text_dup_ngram_fraction",
-    # r4 late rotation: text_lang_id and text_redact_pii (green r3,
-    # stable) ceded slots to pipeline_chunk_documents /
-    # pipeline_pack_sequences (first-ever driver rows).
-    "pipeline_chunk_documents",
-    "pipeline_pack_sequences",
-    "text_term_stats",
     "dedup_embedding_lsh",
+    "dedup_incremental",
+    # similarity (4 green r4 + 3 new r5 curation entries)
     "sim_hybrid_rrf",
     "sim_knn_join",
     "sim_ann_lsh_topk",
     "sim_ivf_topk",
-    "pipeline_corpus_prep",
-    "pipeline_funnel_conversion",
+    "sim_hard_negatives",
+    "emb_label_centroids",
+    "sim_centroid_classify",
+    # pipeline / curation (green r4)
     "pipeline_token_budget",
     "pipeline_decontaminate",
-    "asof_purchase_attribution",
-    "multimodal_metadata",
-    "multimodal_frames",
-    "multimodal_decode_stats",
     "pipeline_shard_layout",
     "pipeline_corpus_build",
-    "text_boilerplate_strip",
-    "curation_domain_cap",
-    "tpch_q7_volume_shipping",
-    "tpch_q19_disjunctive_join",
-    "text_bigram_logprob",
-    "text_tfidf_topterms",
-    "j_interval_events",
-    # streaming batch-twins (5)
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_dedup_keys",
-    "stream_session_windows",
-    "stream_hourly_topk",
-    # round-3 flagship additions, first driver exposure in r4 (3)
-    "dedup_incremental",
     "pipeline_incremental_admission",
     "sample_weighted_mix",
+    # new r5 flagship: the transitive-closure capstone variant
+    # (curation_domain_cap, green r4, ceded the slot — its
+    # WindowGroupLimit cap shape is embedded in both capstones and
+    # stays plan-asserted in pytest).
+    "pipeline_corpus_build_cc",
+    # multimodal / temporal (green r4)
+    "multimodal_decode_stats",
+    "j_interval_events",
+    # streaming batch-twins (3 green r4 + stream_closed_sessions new r5)
+    "stream_tumbling_counts",
+    "stream_session_windows",
+    "stream_hourly_topk",
+    "stream_closed_sessions",
 )
 
 

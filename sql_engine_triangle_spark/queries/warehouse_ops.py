@@ -287,8 +287,8 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_suppkey"), F.max("l_suppkey"),
     ).first()
     z = L.zorder_value(
-        L._scale_expr(F.col("l_partkey"), int(lo_a), int(hi_a), 8),
-        L._scale_expr(F.col("l_suppkey"), int(lo_b), int(hi_b), 8),
+        L._scale_expr("l_partkey", int(lo_a), int(hi_a), 8),
+        L._scale_expr("l_suppkey", int(lo_b), int(hi_b), 8),
         8,
     )
     return (
@@ -597,4 +597,152 @@ def w_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("v_interp"),
         )
         .orderBy("user_id", "hour_num")
+    )
+
+
+MAD_OUTLIERS_ORACLE = """
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+med AS (
+  SELECT event_type, quantile_cont(cents, 0.5) AS med_cents
+  FROM c GROUP BY event_type
+),
+dev AS (
+  SELECT c.event_type, c.cents, m.med_cents,
+         abs(c.cents - m.med_cents) AS adev
+  FROM c JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad_cents
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       any_value(d.med_cents) AS med_cents,
+       any_value(m2.mad_cents) AS mad_cents,
+       CAST(count(*) FILTER (WHERE d.adev > 3 * m2.mad_cents) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m2 USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+@register("a_mad_outliers", oracle=MAD_OUTLIERS_ORACLE, tags=("A9", "A5"))
+def a_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation robust outlier detection per group —
+    the robust twin of z-score filtering (median and MAD are immune
+    to the outliers being hunted, unlike mean/stddev), the standard
+    anomaly gate for metric streams. Two exact-percentile passes
+    (median, then median of absolute deviations) with the per-group
+    scalars riding broadcast joins, then one counting pass — the
+    winsorize/f_winsorize shape doubled.
+
+    Float discipline: values are lifted to exact integer CENTS via
+    floor(x*100 + 0.5) — Spark's double->long CAST truncates while
+    DuckDB's rounds, so the explicit floor is the only
+    engine-portable rounding. Interpolated medians of integers are
+    exact halves (k or k+0.5 — representable), so |x-med|, 3*MAD and
+    the outlier comparison are all EXACT arithmetic on both engines;
+    no rounding of the emitted medians is needed.
+
+    At 100 TB: exact MAD is inherently two passes over the fact; the
+    approx path swaps percentile -> approx_percentile per pass with
+    the same plan shape (the q4_approx_percentiles relationship)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    c = ev.select("event_type", cents.alias("cents"))
+    med = c.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("med_cents")
+    )
+    dev = c.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med_cents"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.first("med_cents").alias("med_cents"),
+            F.first("mad_cents").alias("mad_cents"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+HEAVY_HITTERS_ORACLE = r"""
+WITH t AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+counted AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY term
+),
+total AS (SELECT sum(cnt) AS tot FROM counted)
+SELECT term, cnt,
+       CAST(cnt AS DOUBLE) / tot AS share,
+       TRUE AS sketch_found_ok
+FROM counted, total
+WHERE cnt * 50 >= tot
+ORDER BY cnt DESC, term
+"""
+
+
+@register("a_heavy_hitters", oracle=HEAVY_HITTERS_ORACLE, tags=("A10", "LLM-text"))
+def a_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-term detection with a sketch certification — the
+    validation-form pattern of q4_approx_percentiles applied to
+    heavy hitters: rows are the EXACT terms with frequency >= 1/50
+    of all tokens (oracle-computable; the fraction compare is lifted
+    to ``cnt*50 >= tot``, integer-exact), plus ``sketch_found_ok`` —
+    whether Spark's freqItems sketch (Karp/Misra-Gries family)
+    returned every true heavy hitter. That flag is deterministically
+    TRUE by the algorithm's guarantee (the sketch may over-report,
+    never under-report at support = the true threshold), making the
+    certification hash-stable while actually executing the sketch.
+
+    Scale shape: the exact side is one explode -> groupBy (map-side
+    combined) with a broadcast 1-row total; the sketch side is
+    single-pass mergeable state, the piece that survives when the
+    exact groupBy's term domain no longer fits (the
+    a_hll_partial_rollup relationship)."""
+    from sql_engine_triangle_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(textops.tokens(F.col("text"))).alias("term")
+    )
+    counted = terms.groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
+    total = counted.agg(F.sum("cnt").alias("tot"))
+    exact = (
+        counted.join(F.broadcast(total))
+        .filter(F.col("cnt") * 50 >= F.col("tot"))
+        .select(
+            "term",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("tot")).alias("share"),
+        )
+    )
+    # Sketch pass: freqItems at the same support. Bounded output
+    # (<= 1/support items) — a scalar-class driver fetch, like the
+    # IVF quantizer seeds.
+    sketch_terms = set(
+        terms.stat.freqItems(["term"], support=0.02).head()[0]
+    )
+    exact_terms = {r.term for r in exact.select("term").collect()}
+    found = exact_terms.issubset(sketch_terms)
+    return (
+        exact.withColumn("sketch_found_ok", F.lit(bool(found)))
+        .orderBy(F.desc("cnt"), "term")
     )

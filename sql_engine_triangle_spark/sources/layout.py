@@ -28,14 +28,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _scale_expr(col: Column, lo: int, hi: int, bits: int) -> Column:
-    """Map integer col in [lo, hi] onto [0, 2^bits - 1] linearly.
-    INTEGER floor-division only — a double divide + cast would
-    truncate on Spark but round-to-nearest under DuckDB's CAST,
+def _scale_expr(col: str, lo: int, hi: int, bits: int) -> Column:
+    """Map integer column ``col`` (a column NAME — keeps the
+    expression buildable under Spark Connect, where Column carries no
+    reachable expression text) in [lo, hi] onto [0, 2^bits - 1]
+    linearly. INTEGER floor-division only — a double divide + cast
+    would truncate on Spark but round-to-nearest under DuckDB's CAST,
     skewing the oracle by one level at band edges."""
     span = max(1, hi - lo)
     levels = (1 << bits) - 1
-    return F.expr(f"(({col._jc.toString()} - {lo}) * {levels}) div {span}")
+    return F.expr(f"((`{col}` - {lo}) * {levels}) div {span}")
 
 
 def zorder_value(a: Column, b: Column, bits: int = 16) -> Column:
@@ -79,8 +81,8 @@ def zorder_cluster(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).first()
     z = zorder_value(
-        _scale_expr(F.col(col_a), int(lo_a), int(hi_a), bits),
-        _scale_expr(F.col(col_b), int(lo_b), int(hi_b), bits),
+        _scale_expr(col_a, int(lo_a), int(hi_a), bits),
+        _scale_expr(col_b, int(lo_b), int(hi_b), bits),
         bits,
     )
     return (

@@ -120,7 +120,6 @@ def _session_update(
         return
 
     events = pd.concat(list(pdfs), ignore_index=True)
-    ts_us = (events["ts"].astype("int64") // 1000).sort_values().reset_index(drop=True)
     vals = events.assign(_us=events["ts"].astype("int64") // 1000).sort_values("_us")
 
     if state.exists:

@@ -185,3 +185,51 @@ def test_hybrid_rrf_fuses_both_rankings(spark):
     want = fused.sort_values(["rrf", "doc_id"], ascending=[False, True]).head(10)
     assert list(res["doc_id"]) == list(want["doc_id"])
     assert np.allclose(res["rrf_score"], want["rrf"], atol=1e-9)
+
+
+def test_capstone_cc_vs_greedy_drop_semantics(spark):
+    """The two capstone drop rules must diverge exactly where the
+    docstring says: component {1,5,9} with edges (5,9),(1,9) only —
+    greedy keeps 5 (its sole neighbor 9 is LATER), transitive CC
+    drops 5 (component minimum is 1)."""
+    from sql_engine_triangle_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(5, 9), (1, 9)], "doc_a long, doc_b long"
+    )
+    greedy = {
+        r.doc_id
+        for r in pairs.select(F.col("doc_b").alias("doc_id")).distinct().collect()
+    }
+    cc = {
+        r.vid
+        for r in connected_components_star(pairs)
+        .filter(F.col("vid") != F.col("component"))
+        .collect()
+    }
+    assert greedy == {9}
+    assert cc == {5, 9}
+
+
+def test_capstone_cc_keeps_only_component_minima(spark):
+    """End-to-end invariant at fixture scale: every doc the CC
+    capstone emits must be the minimum of its >=0.9 near-dup
+    component (or a singleton)."""
+    from sql_engine_triangle_spark.operators import dedup
+    from sql_engine_triangle_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    out = registry.get("pipeline_corpus_build_cc").fn(spark, SF_DIR_SMALL)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    docs = load_table(spark, SF_DIR_SMALL, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.9, n=3)
+    nonmin = {
+        r.vid
+        for r in connected_components_star(pairs)
+        .filter(F.col("vid") != F.col("component"))
+        .collect()
+    }
+    assert not (kept & nonmin)

@@ -78,6 +78,7 @@ ALLOWED_NESTED_LOOP = {
     # same 1-row budget broadcast PLUS the oracle-grade exact pair
     # stage (swap in LSH pairs for the scale path — see docstring).
     "pipeline_corpus_build",
+    "pipeline_corpus_build_cc",  # same 1-row budget broadcast
     # 1-row broadcast of the global-average scalar subquery.
     "tpch_q22_idle_customers",
 }
