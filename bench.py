@@ -86,6 +86,15 @@ EXTRA = [
     "sim_hard_negatives",
     "emb_label_centroids",
     "sim_centroid_classify",
+    # late-r5 additions (r6 rotation queue) — same pre-baseline rule.
+    "pipeline_corpus_build_cc",
+    "text_gopher_rules",
+    "a_mad_outliers",
+    "a_heavy_hitters",
+    "j_skew_salted",
+    "asof_tolerance_attribution",
+    "sim_quantized_topk",
+    "maint_incremental_agg",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

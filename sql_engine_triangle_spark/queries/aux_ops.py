@@ -1674,3 +1674,50 @@ def f_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+J_SKEW_SALTED_ORACLE = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@register("j_skew_salted", oracle=J_SKEW_SALTED_ORACLE, tags=("J1", "A4"))
+def j_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join, driver-visible: the events fact
+    (power-law user_id — the head user carries orders of magnitude
+    more rows than the tail) joins the customer dimension through
+    ``operators/skew.salted_join``: each fact row gets a
+    deterministic xxhash64 salt in [0,16), the dimension replicates
+    16x, and the join keys on (key, salt) — the hot key spreads over
+    16 reducers instead of stalling one. Salting is
+    semantics-preserving, so the oracle is the PLAIN join: identical
+    results by construction is exactly the property worth
+    hash-checking. At 100 TB this is the manual fallback when AQE's
+    skew-join splitting can't apply (e.g. the skewed side feeds a
+    window, or the dimension is just over the broadcast threshold);
+    sums are decimal-routed (2-dp values exact at DECIMAL(12,2))."""
+    from sql_engine_triangle_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, on="user_id", left_unique_col="event_id")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -895,6 +895,60 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, qvec, k=10, exclude_id=0)
 
 
+SIM_QUANT_ORACLE = """
+WITH q8 AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 127 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+qq AS (SELECT qv AS query_qv FROM q8 WHERE vec_id = 0)
+SELECT vec_id, label,
+       CAST(list_dot_product(qv, query_qv) AS BIGINT) AS qdot
+FROM q8, qq
+WHERE vec_id <> 0
+ORDER BY qdot DESC, vec_id
+LIMIT 10
+"""
+
+
+@register("sim_quantized_topk", oracle=SIM_QUANT_ORACLE, tags=("LLM-sim",))
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 retrieval in INT8-quantized embedding space — the
+    memory-compression tier of an ANN stack (a 4x smaller index that
+    answers with integer arithmetic; FAISS's SQ8 discipline). Each
+    component maps through floor(x*127 + 0.5) — floor, not cast,
+    because Spark's double->long CAST truncates while DuckDB's
+    rounds; the same IEEE product+floor on both engines (and in the
+    Python quantization of the query vector) makes the codes
+    bit-identical everywhere. Scoring is an INTEGER dot product, so
+    the ranking is exact on both engines with no rounding-midpoint
+    hazard at all — the only cosine-family entry with zero float
+    discipline needed. Plan: narrow projection +
+    TakeOrderedAndProject (per-task k-heap), same one-pass shape as
+    sim_cosine_topk."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = similarity.query_vector(emb, 0)
+    q8 = [int(math.floor(v * 127 + 0.5)) for v in qvec]
+    codes = F.expr(
+        "transform(cast(embedding as array<double>), "
+        "x -> cast(floor(x * 127 + 0.5) as bigint))"
+    )
+    qlit = F.array(*[F.lit(v) for v in q8])
+    qdot = F.expr(
+        "aggregate(zip_with(qv, qlit, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", codes.alias("qv"), qlit.alias("qlit"))
+        .select("vec_id", "label", qdot.alias("qdot"))
+        .orderBy(F.desc("qdot"), "vec_id")
+        .limit(10)
+    )
+
+
 SIM_ANN_VALIDATION_ORACLE = """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, label,
@@ -1371,6 +1425,78 @@ def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_view_event_id",
         (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("r_ts"))).alias("gap_us"),
     ).orderBy("event_id")
+
+
+ASOF_TOL_ORACLE = """
+WITH views AS (
+  SELECT user_id, ts, max(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts,
+       CASE WHEN v.ts IS NOT NULL
+             AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000
+            THEN v.view_event_id END AS attr_view_id,
+       CASE WHEN v.ts IS NOT NULL
+             AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000
+            THEN epoch_us(p.ts) - epoch_us(v.ts) END AS gap_us,
+       COALESCE(epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000, FALSE)
+         AS is_fresh
+FROM purchases p
+ASOF LEFT JOIN views v ON p.user_id = v.user_id AND v.ts <= p.ts
+ORDER BY p.event_id
+"""
+
+
+@register("asof_tolerance_attribution", oracle=ASOF_TOL_ORACLE, tags=("J-asof",))
+def asof_tolerance_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS TOLERANCE — the feature-store
+    point-in-time rule: attribute each purchase to the latest
+    preceding view ONLY if it is at most 1 h old, else NULL (a stale
+    feature must not leak). Same union-sort-window operator as
+    asof_purchase_attribution (one key shuffle, no range explosion);
+    the tolerance is a post-window null-out of the matched payload —
+    the latest-prior row IS the latest row in any backward window,
+    so no second scan is needed. Oracle: DuckDB native ASOF LEFT
+    JOIN with the same freshness CASE (DuckDB ASOF carries no
+    tolerance clause — the post-CASE is the equivalent form)."""
+    from sql_engine_triangle_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_payload=["view_event_id", "ts"],
+        tie_col="view_event_id",
+    )
+    tol_us = 3600 * 1_000_000
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("r_ts"))
+    fresh = F.col("r_view_event_id").isNotNull() & (gap <= tol_us)
+    return (
+        joined.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(fresh, F.col("r_view_event_id")).alias("attr_view_id"),
+            F.when(fresh, gap).alias("gap_us"),
+            F.coalesce(gap <= tol_us, F.lit(False)).alias("is_fresh"),
+        )
+        .orderBy("event_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -746,3 +746,82 @@ def a_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.withColumn("sketch_found_ok", F.lit(bool(found)))
         .orderBy(F.desc("cnt"), "term")
     )
+
+
+MAINT_INCR_AGG_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+       CAST(max(value) AS DOUBLE) AS max_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("maint_incremental_agg", oracle=MAINT_INCR_AGG_ORACLE, tags=("A4", "A5"))
+def maint_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the corpus is
+    split (deterministic md5 bucket) into a 90% BASE whose aggregate
+    snapshot already exists and a 10% DELTA batch; the delta's
+    partial aggregate merges into the snapshot WITHOUT touching base
+    rows — count/sum/max are mergeable state, so the refresh cost is
+    O(|delta| + |groups|), the entire point of incremental view
+    maintenance. The oracle recomputes from scratch; equality IS the
+    maintenance-correctness claim (same pattern as j_skew_salted's
+    plain-join oracle). Sums are decimal-routed; the merge is a
+    group-key full-outer join with coalesced partials (a key may
+    exist in only one side). At 100 TB the base snapshot is a stored
+    table and only the delta is scanned — here both sides derive
+    from one fixture scan, which Catalyst shares."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("int"),
+        F.lit(10),
+    )
+    ev = ev.withColumn("_bk", bucket)
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("s"),
+            F.max("value").alias("m"),
+        )
+
+    base = agg(ev.filter(F.col("_bk") < 9))
+    delta = agg(ev.filter(F.col("_bk") >= 9))
+    b = base.select(
+        "event_type",
+        F.col("n").alias("bn"),
+        F.col("s").alias("bs"),
+        F.col("m").alias("bm"),
+    )
+    d = delta.select(
+        "event_type",
+        F.col("n").alias("dn"),
+        F.col("s").alias("ds"),
+        F.col("m").alias("dm"),
+    )
+    return (
+        b.join(d, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (F.coalesce(F.col("bn"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0)))
+            .cast("long")
+            .alias("n_events"),
+            (
+                F.coalesce(F.col("bs"), F.lit(0).cast("decimal(12,2)"))
+                + F.coalesce(F.col("ds"), F.lit(0).cast("decimal(12,2)"))
+            )
+            .cast("double")
+            .alias("total_value"),
+            F.greatest(
+                F.coalesce(F.col("bm"), F.col("dm")),
+                F.coalesce(F.col("dm"), F.col("bm")),
+            )
+            .cast("double")
+            .alias("max_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -81,6 +81,8 @@ ALLOWED_NESTED_LOOP = {
     "pipeline_corpus_build_cc",  # same 1-row budget broadcast
     # 1-row broadcast of the global-average scalar subquery.
     "tpch_q22_idle_customers",
+    # 1-row broadcast of the corpus token total onto the term counts.
+    "a_heavy_hitters",
 }
 
 
