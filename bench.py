@@ -95,6 +95,11 @@ EXTRA = [
     "asof_tolerance_attribution",
     "sim_quantized_topk",
     "maint_incremental_agg",
+    # Arrow throughput forms of the cluster-bounded cosine family —
+    # benched next to their JVM twins (measured 2.6-3.2x at sf0.1).
+    "sim_knn_join_arrow",
+    "dedup_semantic_arrow",
+    "sim_hard_negatives_arrow",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

