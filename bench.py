@@ -100,6 +100,8 @@ EXTRA = [
     "sim_knn_join_arrow",
     "dedup_semantic_arrow",
     "sim_hard_negatives_arrow",
+    "graph_pagerank",
+    "ml_kmeans_int",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

@@ -1220,3 +1220,140 @@ def sim_hard_negatives_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(per_cluster, schema=out_schema)
         .orderBy("vec_id")
     )
+
+
+def _kmeans_iter_sql(cent: str, idx: int) -> str:
+    """One unrolled integer-k-means iteration (assign + recenter) as
+    DuckDB CTEs — generated from one definition so the oracle cannot
+    drift from the Spark loop (the graph_pagerank discipline)."""
+    return f"""asg{idx} AS (
+  SELECT vec_id, cid FROM (
+    SELECT p.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY list_sum(list_transform(range(1, 65),
+                       d -> (p.q[d] - c.q[d]) * (p.q[d] - c.q[d]))), c.cid
+           ) AS rn
+    FROM pts p CROSS JOIN {cent} c
+  ) WHERE rn = 1
+),
+cent{idx} AS (
+  SELECT cid, list(coord ORDER BY d) AS q FROM (
+    SELECT a.cid, dims.d,
+           CAST(CAST(sum(p.q[dims.d]) AS BIGINT) // count(*) AS BIGINT) AS coord
+    FROM asg{idx} a
+    JOIN pts p USING (vec_id)
+    CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dims
+    GROUP BY a.cid, dims.d
+  ) GROUP BY cid
+)"""
+
+
+KMEANS_ITERS = 3
+
+KMEANS_ORACLE = (
+    """
+WITH pts AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+),
+cent0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q
+  FROM (SELECT vec_id, q FROM pts ORDER BY vec_id LIMIT 8)
+),
+"""
+    + ",\n".join(
+        _kmeans_iter_sql(f"cent{i}", i + 1) for i in range(KMEANS_ITERS)
+    )
+    + f"""
+SELECT c.cid, dims.d - 1 AS dim, CAST(c.q[dims.d] AS BIGINT) AS coord,
+       CAST(s.n AS BIGINT) AS n_members
+FROM cent{KMEANS_ITERS} c
+JOIN (SELECT cid, count(*) AS n FROM asg{KMEANS_ITERS} GROUP BY cid) s
+  USING (cid)
+CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dims
+ORDER BY cid, dim
+"""
+)
+
+
+@register("ml_kmeans_int", oracle=KMEANS_ORACLE, tags=("LLM-sim", "ML"))
+def ml_kmeans_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means, INTEGER-EXACT — the real IVF
+    quantizer trainer, made externally hash-checkable: coordinates
+    lift to micro-units via floor(x*1e6 + 0.5); distances are exact
+    BIGINT squared-L2 sums; recentering is integer division
+    (sum div count — Spark ``div`` and DuckDB ``//`` both truncate
+    toward zero, verified on negatives); assignment ties break
+    toward the lowest cid. Three iterations from the 8
+    lowest-vec_id seeds, every iteration bit-identical on both
+    engines — the same integer lift that makes graph_pagerank's
+    fixpoint oracle-able, applied to ML training. Emits the final
+    centroids exploded to (cid, dim, coord) with member counts.
+
+    Plan shape per iteration: broadcast the k×dim centroid frame
+    onto the points (bounded k·N pair work — the allowlisted
+    bounded-crossJoin class), one vec_id-window argmin, then a
+    posexplode + (cid, dim) aggregation for recentering — k·dim
+    output rows at any corpus size; centroids localCheckpoint
+    between iterations (lineage truncation, no driver data). At
+    100 TB this is exactly FAISS-style IVF training with the
+    refinement loop kept distributed."""
+    from pyspark.sql.window import Window as Wnd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(cast(embedding as array<double>), "
+            "x -> cast(floor(x * 1000000 + 0.5) as bigint))"
+        ).alias("q"),
+    ).localCheckpoint()
+    cent = (
+        pts.orderBy("vec_id")
+        .limit(8)
+        .select(
+            (F.row_number().over(Wnd.orderBy("vec_id")) - 1).alias("cid"),
+            F.col("q").alias("cq"),
+        )
+    )
+    dist = F.expr(
+        "aggregate(zip_with(q, cq, (a, b) -> (a - b) * (a - b)), 0L, "
+        "(acc, x) -> acc + x)"
+    )
+    w_pt = Wnd.partitionBy("vec_id").orderBy("dist", "cid")
+    asg = None
+    for _ in range(KMEANS_ITERS):
+        asg = (
+            pts.crossJoin(F.broadcast(cent))
+            .withColumn("dist", dist)
+            .withColumn("rn", F.row_number().over(w_pt))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "q")
+        )
+        cent = (
+            asg.select("cid", F.posexplode("q").alias("d", "v"))
+            .groupBy("cid", "d")
+            .agg(F.expr("sum(v) div count(*)").alias("coord"))
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(d, coord))), "
+                    "x -> x.coord)"
+                ).alias("cq")
+            )
+            .localCheckpoint()
+        )
+    sizes = asg.groupBy("cid").agg(F.count("*").cast("long").alias("n_members"))
+    return (
+        cent.join(sizes, "cid")
+        .select(
+            "cid",
+            F.posexplode("cq").alias("dim", "coord"),
+            "n_members",
+        )
+        .select("cid", "dim", "coord", "n_members")
+        .orderBy("cid", "dim")
+    )

@@ -825,3 +825,113 @@ def maint_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _pagerank_iter_sql(prev: str, label: str) -> str:
+    """One unrolled integer-PageRank iteration as a DuckDB CTE — the
+    oracle twin is GENERATED from one definition (the layout.zorder_sql
+    discipline) so the engines cannot drift."""
+    return f"""{label} AS (
+  SELECT n.node, CAST(150000 + COALESCE(s.acc, 0) AS BIGINT) AS mass
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum((m.mass * 85 // 100) // o.deg) AS acc
+    FROM {prev} m
+    JOIN edges e ON e.src = m.node
+    JOIN outd o ON o.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+
+
+PAGERANK_ITERS = 5
+
+PAGERANK_ORACLE = (
+    """
+WITH seq AS (
+  SELECT user_id,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+         lead(CAST(json_extract_string(props, '$.k') AS INTEGER))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nk
+  FROM events
+),
+edges AS (
+  SELECT DISTINCT k AS src, nk AS dst
+  FROM seq WHERE nk IS NOT NULL AND nk <> k
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+outd AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+m0 AS (SELECT node, CAST(1000000 AS BIGINT) AS mass FROM nodes),
+"""
+    + ",\n".join(
+        _pagerank_iter_sql(f"m{i}", f"m{i + 1}") for i in range(PAGERANK_ITERS)
+    )
+    + f"""
+SELECT node, mass AS pr_mass FROM m{PAGERANK_ITERS} ORDER BY node
+"""
+)
+
+
+@register("graph_pagerank", oracle=PAGERANK_ORACLE, tags=("graph", "A5"))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank over the content-navigation graph
+    (consecutive per-user content ids from the event stream), with
+    INTEGER-EXACT arithmetic so five iterations stay bit-identical
+    across engines: masses live in micro-units, damping and
+    out-degree splits are floor divisions (``mass*85 div 100 div
+    deg`` — Spark ``div`` == DuckDB ``//`` on positive BIGINT), the
+    teleport term is the integer 150000, and truncation remainders
+    deterministically evaporate. Float PageRank cannot be
+    differentially tested across engines (per-iteration sum order
+    amplifies); the integer lift is what makes an iterative
+    fixpoint algorithm externally hash-checkable at all.
+
+    Plan shape: each iteration is one edges⋈mass join keyed src +
+    one dst-keyed aggregation — the canonical distributed PageRank
+    step; masses localCheckpoint between iterations (the graph.py
+    discipline: truncate lineage, no driver-side data). The oracle
+    unrolls the same five iterations as generated CTEs from ONE
+    shared definition. At 100 TB: |nodes| bounds the mass frame,
+    edges partition by src, and AQE handles hub skew — same
+    contract as connected_components_star."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "ts", "event_id", k.alias("k")).withColumn(
+        "nk", F.lead("k").over(w)
+    )
+    edges = (
+        seq.filter(F.col("nk").isNotNull() & (F.col("nk") != F.col("k")))
+        .select(F.col("k").alias("src"), F.col("nk").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outd = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    mass = nodes.withColumn("mass", F.lit(1_000_000).cast("long"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(mass, F.col("src") == F.col("node"))
+            .join(outd, "src")
+            .select(
+                F.col("dst").alias("cnode"),
+                F.expr("(mass * 85 div 100) div deg").alias("share"),
+            )
+            .groupBy("cnode")
+            .agg(F.sum("share").alias("acc"))
+        )
+        mass = (
+            nodes.join(contrib, F.col("node") == F.col("cnode"), "left")
+            .select(
+                "node",
+                (F.lit(150000) + F.coalesce(F.col("acc"), F.lit(0)))
+                .cast("long")
+                .alias("mass"),
+            )
+            .localCheckpoint()
+        )
+    return mass.select("node", F.col("mass").alias("pr_mass")).orderBy("node")

@@ -83,6 +83,9 @@ ALLOWED_NESTED_LOOP = {
     "tpch_q22_idle_customers",
     # 1-row broadcast of the corpus token total onto the term counts.
     "a_heavy_hitters",
+    # k-row (k=8) broadcast centroid frame onto the points each Lloyd
+    # iteration — bounded k x N by construction.
+    "ml_kmeans_int",
 }
 
 
