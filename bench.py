@@ -102,6 +102,8 @@ EXTRA = [
     "sim_hard_negatives_arrow",
     "graph_pagerank",
     "ml_kmeans_int",
+    "a_bitmap_distinct",
+    "graph_triangle_count",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

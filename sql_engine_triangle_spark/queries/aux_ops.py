@@ -1721,3 +1721,65 @@ def j_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+BITMAP_DISTINCT_ORACLE = """
+WITH tiles AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, user_id // 63 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER)) AS bits
+  FROM events
+  GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT event_type, word, bit_or(bits) AS bits FROM tiles GROUP BY 1, 2
+),
+tile_counts AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_tiles FROM tiles GROUP BY 1
+)
+SELECT m.event_type,
+       CAST(sum(bit_count(m.bits)) AS BIGINT) AS distinct_users,
+       any_value(t.n_tiles) AS n_tiles
+FROM merged m JOIN tile_counts t USING (event_type)
+GROUP BY m.event_type
+ORDER BY m.event_type
+"""
+
+
+@register("a_bitmap_distinct", oracle=BITMAP_DISTINCT_ORACLE, tags=("A11", "A8"))
+def a_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct-count tiles via bitmaps — the exact
+    counterpart of a_hll_partial_rollup for bounded integer domains:
+    per-(event_type, day) user bitmaps packed 63 ids per 64-bit word
+    (word = id div 63, bit = id mod 63 — bits 0..62 only, because
+    DuckDB range-checks a shift into the sign bit), merged with bit_or into the
+    per-type rollup, counted with bit_count. Like HLL tiles, the
+    per-day partials are REUSABLE pre-aggregates (any date range
+    merges without rescanning facts) — unlike HLL they are exact,
+    at the cost of domain/64 words per group. All integer/bitwise
+    ops, bit-identical across engines; two map-side-combined
+    aggregations, no distinct-expand. The bitmap is how warehouses
+    accelerate COUNT(DISTINCT int_key) before reaching for sketches."""
+    ev = load_table(spark, sf_dir, "events")
+    tiles = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.expr("user_id div 63").alias("word"),
+            F.expr("shiftleft(1L, cast(pmod(user_id, 63) as int))").alias("m"),
+        )
+        .groupBy("event_type", "day", "word")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+    )
+    merged = tiles.groupBy("event_type", "word").agg(
+        F.expr("bit_or(bits)").alias("bits")
+    )
+    tile_counts = tiles.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_tiles")
+    )
+    return (
+        merged.groupBy("event_type")
+        .agg(F.sum(F.bit_count("bits")).cast("long").alias("distinct_users"))
+        .join(tile_counts, "event_type")
+        .select("event_type", "distinct_users", "n_tiles")
+        .orderBy("event_type")
+    )

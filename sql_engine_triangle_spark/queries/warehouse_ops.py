@@ -935,3 +935,70 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return mass.select("node", F.col("mass").alias("pr_mass")).orderBy("node")
+
+
+TRIANGLE_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+         lead(CAST(json_extract_string(props, '$.k') AS INTEGER))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nk
+  FROM events
+),
+und AS (
+  SELECT DISTINCT least(k, nk) AS a, greatest(k, nk) AS b
+  FROM seq WHERE nk IS NOT NULL AND nk <> k
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+       (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+       (SELECT CAST(count(DISTINCT v) AS BIGINT)
+        FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und)) AS n_nodes
+FROM und e1
+JOIN und e2 ON e2.a = e1.b
+JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+@register("graph_triangle_count", oracle=TRIANGLE_ORACLE, tags=("graph", "J1"))
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the undirected content-navigation graph
+    — the canonical big-graph analytics kernel (clustering
+    coefficient, community density). Edges orient low->high node id,
+    so each triangle {a<b<c} is counted exactly once by the two-hop
+    join e1=(a,b) ⋈ e2=(b,c) closed by e3=(a,c). Both joins are
+    equi-joins keyed on node ids — at 100 TB the standard
+    optimization stands: orienting edges toward the higher-DEGREE
+    endpoint bounds the two-hop fan-out by sqrt(|E|) per node
+    (documented; id-orientation keeps the oracle trivially
+    replayable). Pure integer counts, exact on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    kcol = F.get_json_object(F.col("props"), "$.k").cast("int")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "ts", "event_id", kcol.alias("k")).withColumn(
+        "nk", F.lead("k").over(w)
+    )
+    und = (
+        seq.filter(F.col("nk").isNotNull() & (F.col("nk") != F.col("k")))
+        .select(
+            F.least("k", "nk").alias("a"), F.greatest("k", "nk").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    e1 = und.select(F.col("a").alias("a1"), F.col("b").alias("b1"))
+    e2 = und.select(F.col("a").alias("a2"), F.col("b").alias("b2"))
+    e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("b3"))
+    tri = (
+        e1.join(e2, F.col("a2") == F.col("b1"))
+        .join(e3, (F.col("a3") == F.col("a1")) & (F.col("b3") == F.col("b2")))
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    n_edges = und.agg(F.count("*").cast("long").alias("n_edges"))
+    n_nodes = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .agg(F.countDistinct("v").cast("long").alias("n_nodes"))
+    )
+    return tri.join(F.broadcast(n_edges)).join(F.broadcast(n_nodes)).select(
+        "n_triangles", "n_edges", "n_nodes"
+    )
