@@ -104,6 +104,7 @@ EXTRA = [
     "ml_kmeans_int",
     "a_bitmap_distinct",
     "graph_triangle_count",
+    "w_ema_int",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

@@ -1002,3 +1002,71 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.join(F.broadcast(n_edges)).join(F.broadcast(n_nodes)).select(
         "n_triangles", "n_edges", "n_nodes"
     )
+
+
+EMA_INT_ORACLE = """
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+series AS (
+  SELECT user_id, list(cents ORDER BY ts, event_id) AS vals
+  FROM c GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(vals) AS BIGINT) AS n_events,
+       CAST(list_reduce(vals,
+                        (acc, x) -> (85 * acc + 15 * x) // 100) AS BIGINT)
+         AS ema_cents
+FROM series
+ORDER BY user_id
+"""
+
+
+@register("w_ema_int", oracle=EMA_INT_ORACLE, tags=("W-free", "F1"))
+def w_ema_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average per user, INTEGER-EXACT: values
+    lift to cents, the recurrence is ``acc = (85*acc + 15*x) div
+    100`` folded over the time-ordered series from its first element
+    — a linear recurrence is inherently sequential per key, and the
+    integer lift is what lets two engines replay it bit-identically
+    (the graph_pagerank discipline applied to a window-class op; a
+    float EMA would drift in the last ulp per step). Spark folds
+    with ``aggregate(slice(...), vals[1], ...)`` to match DuckDB's
+    init-less list_reduce exactly.
+
+    Scale shape: one user_id exchange + per-key ordered fold over
+    the collected series — per-key sequential work is intrinsic to
+    EMA (each term depends on the previous); the per-key series
+    must fit a task, which holds whenever per-entity event counts
+    are bounded (the same assumption every stateful-streaming EMA
+    makes). The streaming twin is applyInPandasWithState with the
+    same integer recurrence."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    series = (
+        ev.select("user_id", "ts", "event_id", cents.alias("cents"))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(ts, event_id, cents))), "
+                "x -> x.cents)"
+            ).alias("vals")
+        )
+    )
+    return series.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        # element_at is 1-based (like slice); bare vals[1] would be the
+        # SECOND element — Spark's [] is 0-based while slice/element_at
+        # are 1-based.
+        F.expr(
+            "aggregate(slice(vals, 2, size(vals) - 1), element_at(vals, 1), "
+            "(acc, x) -> (85 * acc + 15 * x) div 100)"
+        )
+        .cast("long")
+        .alias("ema_cents"),
+    ).orderBy("user_id")

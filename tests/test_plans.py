@@ -86,6 +86,9 @@ ALLOWED_NESTED_LOOP = {
     # k-row (k=8) broadcast centroid frame onto the points each Lloyd
     # iteration — bounded k x N by construction.
     "ml_kmeans_int",
+    # 1-row broadcast n_edges / n_nodes summary frames onto the 1-row
+    # triangle count.
+    "graph_triangle_count",
 }
 
 
