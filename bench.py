@@ -105,6 +105,8 @@ EXTRA = [
     "a_bitmap_distinct",
     "graph_triangle_count",
     "w_ema_int",
+    "a_bitmap_rolling_distinct",
+    "maint_snapshot_diff",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

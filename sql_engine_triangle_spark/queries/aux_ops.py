@@ -1783,3 +1783,59 @@ def a_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "distinct_users", "n_tiles")
         .orderBy("event_type")
     )
+
+
+BITMAP_ROLLING_ORACLE = """
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+SELECT d.day,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS distinct_users_7d
+FROM days d
+JOIN events e
+  ON CAST(e.ts AS DATE) BETWEEN d.day - INTERVAL 6 DAY AND d.day
+GROUP BY d.day
+ORDER BY d.day
+"""
+
+
+@register("a_bitmap_rolling_distinct", oracle=BITMAP_ROLLING_ORACLE, tags=("A11", "W-free"))
+def a_bitmap_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day — the rolling-distinct
+    problem that windowed count(DISTINCT) cannot decompose, solved by
+    REUSING the a_bitmap_distinct tiles: each per-(day, word) bitmap
+    tile is EXPLODED to the 7 report days it contributes to
+    (sequence(day, day+6) — turning the range join into an equi
+    groupBy, 7x tile rows instead of a nested-loop band join), then
+    bit_or-merged per (report_day, word) and read out with
+    bit_count. The oracle recomputes each day's distinct set from
+    raw facts — equality certifies the tile-merge algebra. At 100 TB
+    the fact table is scanned ONCE; everything after the tile
+    aggregation is |days|x|words| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    tiles = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.expr("user_id div 63").alias("word"),
+            F.expr("shiftleft(1L, cast(pmod(user_id, 63) as int))").alias("m"),
+        )
+        .groupBy("day", "word")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+    )
+    days = ev.select(F.to_date("ts").alias("rday")).distinct()
+    contrib = tiles.select(
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+        ).alias("rday"),
+        "word",
+        "bits",
+    )
+    merged = (
+        contrib.join(days, "rday")  # only days that actually occur report
+        .groupBy("rday", "word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    return (
+        merged.groupBy("rday")
+        .agg(F.sum(F.bit_count("bits")).cast("long").alias("distinct_users_7d"))
+        .select(F.col("rday").alias("day"), "distinct_users_7d")
+        .orderBy("day")
+    )

@@ -1070,3 +1070,83 @@ def w_ema_int(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ema_cents"),
     ).orderBy("user_id")
+
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH b AS (
+  SELECT event_id, event_type, value,
+         CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 4)
+              AS INTEGER) % 10 AS bk
+  FROM events
+),
+v1 AS (SELECT event_id, event_type, value FROM b WHERE bk <= 8),
+v2 AS (
+  SELECT event_id, event_type,
+         CASE WHEN bk = 5 THEN value * 2 ELSE value END AS value
+  FROM b WHERE bk >= 1
+)
+SELECT COALESCE(v1.event_type, v2.event_type) AS event_type,
+       CAST(count(*) FILTER (WHERE v1.event_id IS NULL) AS BIGINT) AS n_added,
+       CAST(count(*) FILTER (WHERE v2.event_id IS NULL) AS BIGINT) AS n_removed,
+       CAST(count(*) FILTER (WHERE v1.event_id IS NOT NULL
+                               AND v2.event_id IS NOT NULL
+                               AND v1.value <> v2.value) AS BIGINT) AS n_changed,
+       CAST(count(*) FILTER (WHERE v1.event_id IS NOT NULL
+                               AND v2.event_id IS NOT NULL
+                               AND v1.value = v2.value) AS BIGINT) AS n_unchanged
+FROM v1 FULL OUTER JOIN v2 USING (event_id)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("maint_snapshot_diff", oracle=SNAPSHOT_DIFF_ORACLE, tags=("J1", "A5"))
+def maint_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / change-data-feed generation — the INVERSE of
+    merge_upsert_snapshot: given two table versions, classify every
+    key as added / removed / changed / unchanged via one full-outer
+    join on the key (the same single-shuffle shape as the CDC apply,
+    run backwards to produce the change feed a downstream consumer
+    replays). Versions are deterministic md5-bucket slices of the
+    fixture with a deterministic mutation (bucket 5 doubles its
+    value), so both engines derive identical snapshots. At 100 TB a
+    co-bucketed layout on the diff key makes the join shuffle-free —
+    the bucketing.py argument; value comparison is exact (the
+    mutation is *2 on a parquet double — exact in IEEE)."""
+    ev = load_table(spark, sf_dir, "events")
+    bk = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 10
+    )
+    b = ev.select("event_id", "event_type", "value", bk.alias("bk"))
+    v1 = b.filter(F.col("bk") <= 8).select(
+        "event_id",
+        F.col("event_type").alias("t1"),
+        F.col("value").alias("val1"),
+    )
+    v2 = b.filter(F.col("bk") >= 1).select(
+        "event_id",
+        F.col("event_type").alias("t2"),
+        F.when(F.col("bk") == 5, F.col("value") * 2)
+        .otherwise(F.col("value"))
+        .alias("val2"),
+    )
+    j = v1.join(v2, "event_id", "full_outer")
+    added = F.col("val1").isNull()
+    removed = F.col("val2").isNull()
+    both = F.col("val1").isNotNull() & F.col("val2").isNotNull()
+    return (
+        j.groupBy(F.coalesce(F.col("t1"), F.col("t2")).alias("event_type"))
+        .agg(
+            F.sum(F.when(added, 1).otherwise(0)).cast("long").alias("n_added"),
+            F.sum(F.when(removed, 1).otherwise(0)).cast("long").alias("n_removed"),
+            F.sum(F.when(both & (F.col("val1") != F.col("val2")), 1).otherwise(0))
+            .cast("long")
+            .alias("n_changed"),
+            F.sum(F.when(both & (F.col("val1") == F.col("val2")), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unchanged"),
+        )
+        .orderBy("event_type")
+    )
