@@ -179,3 +179,69 @@ def sessionize_with_timeout(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact streaming EMA — the stateful twin of the batch
+# w_ema_int entry: same integer-cents recurrence, state = (n, ema),
+# so a stream whose micro-batches respect event-time order replays
+# the batch fold bit-for-bit.
+# ---------------------------------------------------------------------------
+
+EMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("ema_cents", LongType()),
+    ]
+)
+
+EMA_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("ema_cents", LongType()),
+    ]
+)
+
+
+def _ema_update(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    (user_id,) = key
+    n, ema = state.get if state.exists else (0, 0)
+    events = pd.concat(list(pdfs), ignore_index=True)
+    events = events.assign(
+        _us=events["ts"].astype("int64") // 1000
+    ).sort_values(["_us", "event_id"])
+    cents = np.floor(events["value"].to_numpy() * 100 + 0.5).astype("int64")
+    for c in cents:
+        # Python // == Spark `div` == DuckDB `//` on the positive
+        # operands this recurrence produces (w_ema_int discipline).
+        ema = int(c) if n == 0 else (85 * ema + 15 * int(c)) // 100
+        n += 1
+    state.update((n, ema))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "ema_cents": [ema]}
+    )
+
+
+def running_user_ema(events: DataFrame) -> DataFrame:
+    """Stateful integer-cents EMA per user (85/15 damping): state is
+    two longs per user, updated per micro-batch in (ts, event_id)
+    order. Correct whenever micro-batch boundaries respect event-time
+    order per key (file-per-time-slice sources) — the same in-order
+    contract every streaming EMA assumes; cross-batch equality with
+    the batch fold is pinned in tests/test_engine_facade.py."""
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ema_update,
+            outputStructType=EMA_OUTPUT_SCHEMA,
+            stateStructType=EMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -190,3 +190,53 @@ def test_stateful_session_merges_across_batches(spark, tmp_path):
         r1 = t1.iloc[0]
         assert r1["n_events"] == 4 and r1["sum_value"] == 10.0
         assert r1["session_start_us"] == us(0) and r1["session_end_us"] == us(25)
+
+
+def test_stateful_ema_matches_batch_across_batches(spark, tmp_path):
+    """Streaming integer EMA == the batch w_ema_int fold, with the
+    stream split into TWO time-ordered files consumed one per
+    micro-batch — state must carry the recurrence across the batch
+    boundary bit-exactly."""
+    import os
+
+    from sql_engine_triangle_spark.catalog import load_table
+    from sql_engine_triangle_spark.queries import registry
+
+    ev = (
+        load_table(spark, SF_DIR_SMALL, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    cut = ev.agg(F.expr("percentile(unix_micros(ts), 0.5)")).head()[0]
+    d = str(tmp_path / "ema_stream")
+    os.makedirs(d)
+    ev.filter(F.unix_micros("ts") <= cut).coalesce(1).write.parquet(
+        os.path.join(d, "f1.parquet")
+    )
+    ev.filter(F.unix_micros("ts") > cut).coalesce(1).write.parquet(
+        os.path.join(d, "f2.parquet")
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*/")
+    )
+    out = stateful.running_user_ema(stream)
+    got = (
+        W.run_stream_to_memory(spark, out, "t_ema", output_mode="update")
+        .toPandas()
+        .sort_values(["user_id", "n_events"])
+        .groupby("user_id")
+        .tail(1)
+        .set_index("user_id")
+        .sort_index()
+    )
+    want = (
+        registry.get("w_ema_int")
+        .fn(spark, SF_DIR_SMALL)
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert (got["n_events"] == want["n_events"]).all()
+    assert (got["ema_cents"] == want["ema_cents"]).all()
