@@ -50,6 +50,21 @@ QUERIES = [
     "a_hll_partial_rollup",
     "sim_centroid_classify",
     "a_ohlc_bars",
+    # round-5 additions: transitive capstone, Arrow kernel forms,
+    # integer-exact iterative algorithms, bitmap tiles, and the new
+    # join/maintenance surface
+    "pipeline_corpus_build_cc",
+    "sim_knn_join_arrow",
+    "graph_pagerank",
+    "ml_kmeans_int",
+    "a_bitmap_distinct",
+    "a_bitmap_rolling_distinct",
+    "j_skew_salted",
+    "asof_tolerance_attribution",
+    "sim_quantized_topk",
+    "maint_snapshot_diff",
+    "a_mad_outliers",
+    "text_gopher_rules",
 ]
 
 
@@ -70,6 +85,23 @@ def main() -> None:
         "Re-measured solo in a fresh session (r3): ~1.3 s, plan unchanged",
         "(4 BroadcastHashJoins, one fact-side agg exchange, decimal-routed",
         "sum). Stable; nothing to fix.",
+        "",
+        "Measurement note (r5, VERDICT r4 item 4): pipeline_corpus_build's",
+        "shingle pass now REUSES the quality gate's token arrays",
+        "(minhash_lsh_pairs(..., exploded=...) behind the shingle_rows",
+        "repartition barrier) instead of re-tokenizing from text — A/B at",
+        "sf0.1, min of 2 noop-sink runs, identical output verified:",
+        "re-tokenize 9.89 s / 9.48 s repeat vs reuse 8.62 s (~9-13%, one",
+        "regex tokenize per row instead of two). Shipped as the default for",
+        "both capstones. The cross-entry checkpoint-sharing idea remains",
+        "rejected (8.7 -> 12.9 s, r4 note in curation_ops.py).",
+        "",
+        "Measurement note (r5, Arrow kernel forms): the cluster-bounded",
+        "cosine family pays an interpreted HOF fold per PAIR on the JVM;",
+        "the *_arrow twins pay one numpy matmul per CLUSTER — sf0.1:",
+        "sim_knn_join 4.97 -> 1.90 s, dedup_semantic 4.95 -> 1.57 s,",
+        "sim_hard_negatives 4.63 -> 1.59 s; outputs bit-equal at every",
+        "fixture SF (equality tests in tests/test_curation_ops.py).",
         "",
     ]
     for name in QUERIES:

@@ -1770,16 +1770,22 @@ def a_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day", "word")
         .agg(F.expr("bit_or(m)").alias("bits"))
     )
+    # ONE aggregation chain: the word-merge also counts its input
+    # tiles, so n_tiles folds into the rollup instead of re-running
+    # the tile aggregation as a second consumer (a split tiles ->
+    # {merge, count} shape scans and tile-aggregates twice — Catalyst
+    # cannot share an exchange between consumers with different
+    # downstream aggregates).
     merged = tiles.groupBy("event_type", "word").agg(
-        F.expr("bit_or(bits)").alias("bits")
-    )
-    tile_counts = tiles.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n_tiles")
+        F.expr("bit_or(bits)").alias("bits"),
+        F.count("*").alias("n_tiles_w"),
     )
     return (
         merged.groupBy("event_type")
-        .agg(F.sum(F.bit_count("bits")).cast("long").alias("distinct_users"))
-        .join(tile_counts, "event_type")
+        .agg(
+            F.sum(F.bit_count("bits")).cast("long").alias("distinct_users"),
+            F.sum("n_tiles_w").cast("long").alias("n_tiles"),
+        )
         .select("event_type", "distinct_users", "n_tiles")
         .orderBy("event_type")
     )
@@ -1811,6 +1817,10 @@ def a_bitmap_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact table is scanned ONCE; everything after the tile
     aggregation is |days|x|words| rows."""
     ev = load_table(spark, sf_dir, "events")
+    # localCheckpoint: tiles (|days| x |words| — bounded metadata) has
+    # TWO consumers (the rolling merge and the report-day domain);
+    # materializing it keeps the fact scan + tile aggregation single-
+    # pass instead of once per consumer.
     tiles = (
         ev.select(
             F.to_date("ts").alias("day"),
@@ -1819,8 +1829,9 @@ def a_bitmap_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("day", "word")
         .agg(F.expr("bit_or(m)").alias("bits"))
+        .localCheckpoint()
     )
-    days = ev.select(F.to_date("ts").alias("rday")).distinct()
+    days = tiles.select(F.col("day").alias("rday")).distinct()
     contrib = tiles.select(
         F.explode(
             F.expr("sequence(day, date_add(day, 6), interval 1 day)")
