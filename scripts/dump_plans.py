@@ -96,6 +96,14 @@ def main() -> None:
         "both capstones. The cross-entry checkpoint-sharing idea remains",
         "rejected (8.7 -> 12.9 s, r4 note in curation_ops.py).",
         "",
+        "Measurement note (r5, CC capstone): pipeline_corpus_build_cc first",
+        "benched 24.4 s — the star operator's emptiness probe and symmetric-",
+        "edge checkpoint each re-evaluated the LSH pair lineage. Checkpointing",
+        "the pair stream before the operator cut it to 16.3 s; the remaining",
+        "gap over the greedy capstone (8.8 s) is the iterative star rounds'",
+        "per-round jobs — inherent to transitive clustering, and why",
+        "dedup_clusters_lsh itself is unbenched (r4 note).",
+        "",
         "Measurement note (r5, Arrow kernel forms): the cluster-bounded",
         "cosine family pays an interpreted HOF fold per PAIR on the JVM;",
         "the *_arrow twins pay one numpy matmul per CLUSTER — sf0.1:",

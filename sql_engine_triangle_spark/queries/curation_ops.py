@@ -721,8 +721,13 @@ def _corpus_build(
             connected_components_star,
         )
 
+        # localCheckpoint the pair stream FIRST: the star operator's
+        # emptiness probe and its symmetric-edge checkpoint would each
+        # re-evaluate the whole LSH generation otherwise (measured
+        # 24.4 s -> see PLANS.md note); the materialized pairs frame
+        # is |near-dup pairs|-sized — bounded metadata.
         drops = (
-            connected_components_star(pairs)
+            connected_components_star(pairs.localCheckpoint())
             .filter(F.col("vid") != F.col("component"))
             .select(F.col("vid").alias("doc_id"))
         )
