@@ -58,6 +58,15 @@ PARALLELISM_SENSITIVE = [
     "w_latest_per_key",
     "a_stats_moments",
     "text_repetition_ratio",
+    # r5: iterative integer algorithms (per-iteration aggregation
+    # layout must not leak into results), bitmap tiles (bit_or merge
+    # order), the EMA fold (sort-before-fold), and an Arrow kernel
+    # (per-cluster group content must be partitioning-invariant).
+    "graph_pagerank",
+    "ml_kmeans_int",
+    "a_bitmap_distinct",
+    "w_ema_int",
+    "sim_knn_join_arrow",
 ]
 
 
