@@ -107,6 +107,7 @@ EXTRA = [
     "w_ema_int",
     "a_bitmap_rolling_distinct",
     "maint_snapshot_diff",
+    "dedup_pair_histogram",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

@@ -2450,3 +2450,70 @@ def j_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id", "view_id")
     )
+
+
+PAIR_HISTOGRAM_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+shing AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM tok
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shing),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shing),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST((inter * 10) // (sa.n_sh + sb.n_sh - inter) AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+GROUP BY 1
+ORDER BY band
+"""
+
+
+@register("dedup_pair_histogram", oracle=PAIR_HISTOGRAM_ORACLE, tags=("LLM-dedup", "A5"))
+def dedup_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup OBSERVABILITY: the similarity distribution of all
+    co-shingling document pairs, banded into Jaccard deciles — the
+    report that tells an operator where to SET the dedup threshold
+    before running it (how much mass sits at 0.4 vs 0.9 decides
+    whether 0.5 or 0.8 is the right operating point). The band is
+    computed as ``(inter*10) div union`` — INTEGER-exact, no float
+    Jaccard near a decile edge can flip across engines (the
+    float-free lift discipline). Shape: one shingle pass, the
+    gram-key co-occurrence aggregation (map-side combined — the
+    dedup_common_spans scale argument: fan-out bounded by shingle
+    frequency, not corpus size), two broadcast-size joins, one
+    11-group rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = dedup.shingle_rows(docs, "doc_id", "text", 3)
+    sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = exploded.select(F.col("doc_id").alias("doc_a"), "s")
+    b = exploded.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.expr("(inter * 10) div (na + nb - inter)").alias("band")
+        )
+        .groupBy("band")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("band")
+    )
