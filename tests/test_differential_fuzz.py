@@ -374,3 +374,107 @@ def test_random_ranking_fn_parity(spark, ddb, fn, desc, key):
     ORDER BY {key}, o_orderkey
     """
     assert_frames_match(df.toPandas(), ddb.execute(sql).fetchdf())
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    spec=st.fixed_dictionaries(
+        {
+            "flag": st.sampled_from(["A", "N", "R"]),
+            "qty_lo": st.integers(min_value=0, max_value=40),
+            "with_join": st.booleans(),
+            "statuses": st.lists(
+                st.sampled_from(STATUSES), min_size=1, max_size=3, unique=True
+            ),
+            "group_key": st.sampled_from(["l_returnflag", "l_linestatus"]),
+            "having_min": st.integers(min_value=0, max_value=200),
+            "limit": st.integers(min_value=1, max_value=5),
+        }
+    )
+)
+def test_random_pipeline_parity(spark, ddb, spec):
+    """Composed multi-stage pipelines: filter -> (optional join to a
+    filtered orders dim) -> group -> HAVING -> top-k — the
+    single-feature fuzzers above each pin one operator, this one pins
+    their COMPOSITION (predicate pushdown through joins, having-on-agg,
+    limit-after-order) against DuckDB. Aggregates are integer-only
+    (count / sum of line numbers) so comparison is exact."""
+    li = load_table(spark, SF_DIR, "lineitem").filter(
+        (F.col("l_returnflag") == spec["flag"])
+        & (F.col("l_quantity") >= float(spec["qty_lo"]))
+    )
+    if spec["with_join"]:
+        orders = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderstatus").isin(spec["statuses"])
+        )
+        li = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    gk = spec["group_key"]
+    df = (
+        li.groupBy(gk)
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("l_linenumber").alias("sum_ln"),
+        )
+        .filter(F.col("cnt") >= spec["having_min"])
+        .orderBy(F.desc("cnt"), gk)
+        .limit(spec["limit"])
+    )
+    s_list = ", ".join(f"'{s}'" for s in spec["statuses"])
+    join_sql = (
+        f"JOIN (SELECT * FROM orders WHERE o_orderstatus IN ({s_list})) o "
+        "ON l.l_orderkey = o.o_orderkey"
+        if spec["with_join"]
+        else ""
+    )
+    sql = f"""
+    SELECT {gk}, count(*) AS cnt, sum(l_linenumber) AS sum_ln
+    FROM (SELECT * FROM lineitem
+          WHERE l_returnflag = '{spec["flag"]}'
+            AND l_quantity >= {spec["qty_lo"]}) l
+    {join_sql}
+    GROUP BY {gk}
+    HAVING count(*) >= {spec["having_min"]}
+    ORDER BY cnt DESC, {gk}
+    LIMIT {spec["limit"]}
+    """
+    spark_pdf = df.toPandas()
+    oracle_pdf = ddb.execute(sql).fetchdf()
+    if len(spark_pdf) == 0 and len(oracle_pdf) == 0:
+        return
+    assert_frames_match(spark_pdf, oracle_pdf)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    unit=st.sampled_from(["year", "quarter", "month", "week", "day", "hour"]),
+    days=st.integers(min_value=-400, max_value=400),
+)
+def test_random_date_fn_parity(spark, ddb, unit, days):
+    """date_trunc unit sweep x interval shifts over the event stream —
+    truncation boundaries (ISO weeks, quarters) and day arithmetic
+    must agree across engines."""
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("event_id") <= 2000)
+    df = (
+        ev.select(
+            "event_id",
+            F.date_trunc(unit, F.col("ts")).alias("bucket"),
+            F.date_add(F.to_date("ts"), days).alias("shifted"),
+        )
+        .orderBy("event_id")
+    )
+    sql = f"""
+    SELECT event_id,
+           date_trunc('{unit}', ts) AS bucket,
+           CAST(CAST(ts AS DATE) + {days} * INTERVAL 1 DAY AS DATE) AS shifted
+    FROM events WHERE event_id <= 2000
+    ORDER BY event_id
+    """
+    assert_frames_match(df.toPandas(), ddb.execute(sql).fetchdf())
