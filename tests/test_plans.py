@@ -135,3 +135,49 @@ def test_q6_pushes_all_three_predicates(spark):
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert pa.has_pushed_filter(df, col), col
     assert pa.has_partial_final_agg(df)
+
+
+def test_quantized_topk_single_pass_plan(spark):
+    """sim_quantized_topk must be the ideal retrieval plan: one scan,
+    per-task k-heap (TakeOrderedAndProject), ZERO exchanges — the
+    shape that stays a single pass at 100 TB."""
+    df = _q(spark, "sim_quantized_topk")
+    plan = pa.executed_plan(df)
+    assert pa.has_take_ordered(df)
+    assert "Exchange" not in plan
+
+
+def test_bitmap_distinct_single_agg_chain(spark):
+    """a_bitmap_distinct must be ONE aggregation chain (tile agg →
+    word merge → rollup): a split tiles→{merge, count} shape would
+    re-run the tile aggregation per consumer (the r5 fix)."""
+    df = _q(spark, "a_bitmap_distinct")
+    plan = pa.executed_plan(df)
+    # one scan of events only
+    assert plan.count("Scan parquet") == 1
+    assert pa.has_partial_final_agg(df)
+
+
+def test_skew_salted_join_no_nested_loop(spark):
+    """j_skew_salted's (key, salt) equi-join must plan as a hash/SMJ
+    join — salting must never degrade to a nested loop."""
+    df = _q(spark, "j_skew_salted")
+    plan = pa.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_argmin_uses_window_group_limit(spark):
+    """ml_kmeans_int's per-point argmin (rn = 1 over dist, cid) must
+    push below the exchange as WindowGroupLimit — each map task ships
+    one candidate row per vector, not k."""
+    df = _q(spark, "ml_kmeans_int")
+    assert "WindowGroupLimit" in pa.executed_plan(df)
+
+
+def test_mad_outliers_broadcasts_scalars(spark):
+    """a_mad_outliers' per-group medians/MADs must ride broadcast
+    joins back onto the fact — group-cardinality frames, never a
+    fact-sized shuffle join."""
+    df = _q(spark, "a_mad_outliers")
+    assert pa.has_broadcast_join(df)
