@@ -96,3 +96,63 @@ def test_exact_dedup_all_identical(spark):
     assert len(groups) == 1
     assert groups[0].dup_cnt == 5
     assert groups[0].keep_id == 0
+
+
+def test_connected_components_star_empty_and_singleton(spark):
+    from sql_engine_triangle_spark.operators.graph import connected_components_star
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components_star(empty).count() == 0
+    # self-loop only: filtered out, graph empty
+    selfloop = spark.createDataFrame([(1, 1)], "doc_a long, doc_b long")
+    assert connected_components_star(selfloop).count() == 0
+
+
+def test_knn_join_arrow_singleton_clusters_emit_nothing(spark):
+    """A cluster with one vector has no within-cluster neighbors —
+    both kernel forms must agree on emitting zero rows for it (k
+    large enough that some clusters are singletons at tiny input)."""
+    from sql_engine_triangle_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0], "x") for i in range(4)],
+        "vec_id long, embedding array<float>, label string",
+    )
+    a = similarity.knn_join(emb, k=4, n_neighbors=3).toPandas()
+    b = similarity.knn_join_arrow(emb, k=4, n_neighbors=3).toPandas()
+    assert sorted(map(tuple, a.values.tolist())) == sorted(
+        map(tuple, b.values.tolist())
+    )
+
+
+def test_semantic_dedup_arrow_all_identical_keeps_first(spark):
+    """All-identical embeddings: one cluster, everything a dup of the
+    earliest id — only vec_id 0 survives, in both kernel forms."""
+    from sql_engine_triangle_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0], "x") for i in range(6)],
+        "vec_id long, embedding array<float>, label string",
+    )
+    for fn in (similarity.semantic_dedup, similarity.semantic_dedup_arrow):
+        res = fn(emb, k=2, eps=0.9).toPandas().sort_values("vec_id")
+        assert list(res["keep"]) == [True] + [False] * 5
+
+
+def test_salted_join_empty_sides(spark):
+    from sql_engine_triangle_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([], "event_id long, user_id long, value double")
+    right = spark.createDataFrame([(1, "A")], "user_id long, seg string")
+    assert salted_join(left, right, on="user_id", left_unique_col="event_id").count() == 0
+
+
+def test_partsupp_generator_tiny_supplier_pool(spark):
+    """n_suppliers < 4: offsets collapse but each part still gets 4
+    offer ROWS with suppkeys inside the domain (distinctness needs
+    n_suppliers >= 4, documented)."""
+    from sql_engine_triangle_spark.fixtures.generate import partsupp
+
+    ps = partsupp(spark, 5, 2).toPandas()
+    assert len(ps) == 20
+    assert ps["ps_suppkey"].between(0, 1).all()
