@@ -108,6 +108,7 @@ EXTRA = [
     "a_bitmap_rolling_distinct",
     "maint_snapshot_diff",
     "dedup_pair_histogram",
+    "a_frequent_pairs",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

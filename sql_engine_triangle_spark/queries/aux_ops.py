@@ -1850,3 +1850,38 @@ def a_bitmap_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("rday").alias("day"), "distinct_users_7d")
         .orderBy("day")
     )
+
+
+FREQUENT_PAIRS_ORACLE = """
+WITH u AS (
+  SELECT DISTINCT user_id, event_type FROM events
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS support
+FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+ORDER BY support DESC, type_a, type_b
+"""
+
+
+@register("a_frequent_pairs", oracle=FREQUENT_PAIRS_ORACLE, tags=("A5", "J1"))
+def a_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-occurrence pairs (market-basket / Apriori step 2):
+    for every pair of event types, how many users exhibit BOTH —
+    the association-mining primitive behind 'users who X also Y'.
+    Shape: distinct (user, type) — one exchange — then a per-user
+    self-join whose fan-out is bounded by the per-user distinct-type
+    count (|types| choose 2 per user, NOT |events|²; with a bounded
+    type domain this is the safe small-domain pair join), and a
+    map-side-combined support count. Pure integer counts, exact."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id", "event_type").distinct()
+    a = u.select("user_id", F.col("event_type").alias("type_a"))
+    b = u.select("user_id", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("support"))
+        .orderBy(F.desc("support"), "type_a", "type_b")
+    )
