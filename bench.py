@@ -109,6 +109,8 @@ EXTRA = [
     "maint_snapshot_diff",
     "dedup_pair_histogram",
     "a_frequent_pairs",
+    "a_percentile_disc",
+    "u_union_by_name",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

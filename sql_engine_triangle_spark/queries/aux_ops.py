@@ -1885,3 +1885,122 @@ def a_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("support"))
         .orderBy(F.desc("support"), "type_a", "type_b")
     )
+
+
+PERCENTILE_DISC_ORACLE = """
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(quantile_disc(cents, 0.25) AS BIGINT) AS p25_cents,
+       CAST(quantile_disc(cents, 0.50) AS BIGINT) AS p50_cents,
+       CAST(quantile_disc(cents, 0.90) AS BIGINT) AS p90_cents
+FROM c
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("a_percentile_disc", oracle=PERCENTILE_DISC_ORACLE, tags=("A9", "A5"))
+def a_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles per group — the percentile family's third
+    member next to exact-interpolated (q4) and sketch (A10):
+    percentile_disc returns an ACTUAL data value (the first element
+    whose cumulative share reaches p), which is what operators want
+    when the quantile must be a real observation (a real latency, a
+    real price — never an interpolated phantom). Values lift to
+    integer cents so element identity is engine-exact; the emitted
+    quantiles are integers, no float discipline needed.
+
+    Spark's percentile_disc == DuckDB's quantile_disc: both pick
+    element ceil(p*n) of the sorted group. One exchange, per-group
+    sort inside the aggregate — the same cost class as exact
+    interpolated percentiles, with approx_percentile the documented
+    100 TB fallback."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    c = ev.select("event_type", cents.alias("cents"))
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)")
+            .cast("long")
+            .alias("p25_cents"),
+            F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY cents)")
+            .cast("long")
+            .alias("p50_cents"),
+            F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY cents)")
+            .cast("long")
+            .alias("p90_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+UNION_BY_NAME_ORACLE = """
+WITH b AS (
+  SELECT event_id, event_type, value,
+         CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 4)
+              AS INTEGER) % 10 AS bk
+  FROM events
+),
+v1 AS (SELECT event_id, event_type, value FROM b WHERE bk < 5),
+v2 AS (SELECT event_id, event_type,
+              'ch_' || CAST(event_id % 3 AS VARCHAR) AS channel
+       FROM b WHERE bk >= 5),
+u AS (
+  SELECT * FROM v1
+  UNION ALL BY NAME
+  SELECT * FROM v2
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(value) AS BIGINT) AS n_with_value,
+       CAST(count(channel) AS BIGINT) AS n_with_channel
+FROM u
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("u_union_by_name", oracle=UNION_BY_NAME_ORACLE, tags=("U1", "A5"))
+def u_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two batches with DIFFERENT column sets
+    (an old batch carrying `value`, a new batch carrying `channel`)
+    combined by NAME with missing columns null-extended — the ELT
+    union every evolving pipeline needs (positional UNION would
+    misalign or reject). Spark's
+    unionByName(allowMissingColumns=True) == DuckDB's UNION ALL BY
+    NAME; the count(col) aggregates then pin the null-extension
+    semantics (non-null counts must match the source batch sizes).
+    Complements the mergeSchema parquet-read evolution test in
+    tests/test_ingest.py with a driver-hashable query form."""
+    ev = load_table(spark, sf_dir, "events")
+    bk = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 10
+    )
+    b = ev.select("event_id", "event_type", "value", bk.alias("bk"))
+    v1 = b.filter(F.col("bk") < 5).select("event_id", "event_type", "value")
+    v2 = b.filter(F.col("bk") >= 5).select(
+        "event_id",
+        "event_type",
+        F.concat(F.lit("ch_"), (F.col("event_id") % 3).cast("string")).alias(
+            "channel"
+        ),
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return (
+        u.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.count("value").cast("long").alias("n_with_value"),
+            F.count("channel").cast("long").alias("n_with_channel"),
+        )
+        .orderBy("event_type")
+    )
