@@ -111,6 +111,7 @@ EXTRA = [
     "a_frequent_pairs",
     "a_percentile_disc",
     "u_union_by_name",
+    "graph_reachability",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

@@ -1150,3 +1150,75 @@ def maint_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+REACHABILITY_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+         lead(CAST(json_extract_string(props, '$.k') AS INTEGER))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nk
+  FROM events
+),
+e AS (
+  SELECT DISTINCT k AS src, nk AS dst
+  FROM seq WHERE nk IS NOT NULL AND nk <> k
+),
+h1 AS (SELECT DISTINCT src, dst AS n FROM e),
+h2 AS (
+  SELECT DISTINCT h1.src, e.dst AS n
+  FROM h1 JOIN e ON e.src = h1.n
+  UNION SELECT src, n FROM h1
+),
+h3 AS (
+  SELECT DISTINCT h2.src, e.dst AS n
+  FROM h2 JOIN e ON e.src = h2.n
+  UNION SELECT src, n FROM h2
+)
+SELECT src AS node,
+       CAST(count(*) FILTER (WHERE n <> src) AS BIGINT) AS n_reach_3hop
+FROM h3
+GROUP BY src
+ORDER BY node
+"""
+
+
+@register("graph_reachability", oracle=REACHABILITY_ORACLE, tags=("graph", "J1"))
+def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop neighborhood size per node over the directed navigation
+    graph — the bounded-depth reachability feature (k-hop expansion)
+    used in graph feature engineering and influence scoring. Each hop
+    is one edges-join + distinct, a FIXED 3-deep chain (no fixpoint
+    state, unlike connected components — bounded depth means bounded
+    plan); the node itself is excluded from its own count. Frontier
+    sets stay (src, node) pairs — at 100 TB the k-hop frontier is the
+    thing to bound, which fixed k does by construction. Pure integer
+    counts, exact on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    kcol = F.get_json_object(F.col("props"), "$.k").cast("int")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "ts", "event_id", kcol.alias("k")).withColumn(
+        "nk", F.lead("k").over(w)
+    )
+    edges = (
+        seq.filter(F.col("nk").isNotNull() & (F.col("nk") != F.col("k")))
+        .select(F.col("k").alias("src"), F.col("nk").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    frontier = edges.select("src", F.col("dst").alias("n")).distinct()
+    for _ in range(2):  # hops 2 and 3
+        step = (
+            frontier.join(
+                edges.select(F.col("src").alias("n"), F.col("dst").alias("n2")),
+                "n",
+            )
+            .select("src", F.col("n2").alias("n"))
+        )
+        frontier = frontier.unionByName(step).distinct()
+    return (
+        frontier.filter(F.col("n") != F.col("src"))
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("long").alias("n_reach_3hop"))
+        .orderBy("node")
+    )
