@@ -2004,3 +2004,47 @@ def u_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+RUNNING_DISTINCT_ORACLE = """
+SELECT user_id, event_id,
+       CAST(count(DISTINCT event_type) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_types_seen
+FROM events
+WHERE user_id <= 40
+ORDER BY user_id, event_id
+"""
+
+
+@register("w_running_distinct", oracle=RUNNING_DISTINCT_ORACLE, tags=("W-free", "A11"))
+def w_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct count over an ordered window — 'how many
+    distinct event types has this user exhibited SO FAR' (feature
+    engineering for engagement breadth; also the dedup-progress
+    metric). Spark has no COUNT(DISTINCT) OVER; the engine form is
+    size(collect_set() OVER running-frame) — set state bounded by the
+    DISTINCT domain (here |event types|), which is the condition
+    under which running-distinct is safe at 100 TB at all (an
+    unbounded domain needs the bitmap/HLL tile path instead —
+    a_bitmap_distinct / a_hll_partial_rollup). One user_id exchange,
+    one sort. Integer counts, exact."""
+    from pyspark.sql.window import Window as Wnd
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 40)
+    w = (
+        Wnd.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Wnd.unboundedPreceding, Wnd.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.size(F.collect_set("event_type").over(w))
+            .cast("long")
+            .alias("n_types_seen"),
+        )
+        .orderBy("user_id", "event_id")
+    )
