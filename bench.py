@@ -113,6 +113,7 @@ EXTRA = [
     "u_union_by_name",
     "graph_reachability",
     "w_running_distinct",
+    "w_interval_coverage",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

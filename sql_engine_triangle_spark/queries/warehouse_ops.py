@@ -1222,3 +1222,88 @@ def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_reach_3hop"))
         .orderBy("node")
     )
+
+
+INTERVAL_COVER_ORACLE = """
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) AS s_us,
+         epoch_us(ts) + CAST(floor(value * 100 + 0.5) AS BIGINT) * 1000000
+           AS e_us
+  FROM events WHERE event_type = 'view'
+),
+flagged AS (
+  SELECT user_id, s_us, e_us,
+         CASE WHEN s_us > max(e_us) OVER (
+                PARTITION BY user_id ORDER BY s_us, e_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              OR max(e_us) OVER (
+                PARTITION BY user_id ORDER BY s_us, e_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s_us, e_us,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+  FROM flagged
+)
+SELECT user_id,
+       CAST(count(DISTINCT island) AS BIGINT) AS n_islands,
+       CAST(sum(cover) AS BIGINT) AS covered_us
+FROM (
+  SELECT user_id, island, max(e_us) - min(s_us) AS cover
+  FROM islands GROUP BY user_id, island
+)
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("w_interval_coverage", oracle=INTERVAL_COVER_ORACLE, tags=("W1", "A5"))
+def w_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval union per user — total COVERED time and
+    island count from overlapping [start, end) spans (uptime /
+    billing / watch-time dedup: overlapping views must not
+    double-count). The classic sweep: order intervals by start, a
+    new island begins where start exceeds the running max of prior
+    ends (running-max window), islands close by (user, island)
+    aggregation of max(end)-min(start). Interval ends derive as
+    start + value-in-cents seconds — all integer micros, exact. Two
+    windows + one rollup sharing a single user_id exchange; at
+    100 TB the per-key sweep is the minimal sequential dependency
+    interval union has."""
+    from pyspark.sql.window import Window as Wnd
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + cents * 1_000_000).alias("e_us"),
+    )
+    w = Wnd.partitionBy("user_id").orderBy("s_us", "e_us")
+    prev_max = F.max("e_us").over(w.rowsBetween(Wnd.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s_us") > prev_max), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Wnd.unboundedPreceding, 0)),
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        (F.max("e_us") - F.min("s_us")).alias("cover")
+    )
+    return (
+        per_island.groupBy("user_id")
+        .agg(
+            F.countDistinct("island").cast("long").alias("n_islands"),
+            F.sum("cover").cast("long").alias("covered_us"),
+        )
+        .orderBy("user_id")
+    )
