@@ -114,6 +114,7 @@ EXTRA = [
     "graph_reachability",
     "w_running_distinct",
     "w_interval_coverage",
+    "a_weighted_median",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

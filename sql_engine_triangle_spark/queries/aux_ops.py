@@ -2048,3 +2048,87 @@ def w_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+WEIGHTED_MEDIAN_ORACLE = """
+WITH d AS (
+  SELECT lang,
+         (1000 * n_chars) // len(string_split_regex(lower(trim(text)), '\\s+'))
+           AS quality_milli,
+         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+           AS w
+  FROM documents
+  WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= 1
+),
+cum AS (
+  SELECT lang, quality_milli, w,
+         sum(w) OVER (PARTITION BY lang ORDER BY quality_milli
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cw,
+         sum(w) OVER (PARTITION BY lang) AS tw
+  FROM d
+)
+SELECT lang,
+       CAST(min(CASE WHEN 2 * cw >= tw THEN quality_milli END) AS BIGINT)
+         AS wmedian_quality_milli,
+       CAST(any_value(tw) AS BIGINT) AS total_weight
+FROM cum
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("a_weighted_median", oracle=WEIGHTED_MEDIAN_ORACLE, tags=("A9", "W-free"))
+def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-WEIGHTED median document quality per language — the
+    aggregate curation actually needs ('median quality of the tokens
+    I'd train on', not of the documents): neither engine ships a
+    weighted percentile, so it is built from first principles — sort
+    by value within each group, running weight sum, first value
+    whose cumulative weight reaches half the total (2*cw >= tw,
+    integer-exact, no 0.5 float). Quality is the integer
+    milli-chars-per-token; one lang exchange shared by both window
+    sums and the final rollup. At 100 TB this is exactly the
+    pipeline_token_budget prefix-sum shape with a different cut
+    condition — the banded two-phase decomposition applies verbatim
+    if a single group outgrows a task."""
+    from pyspark.sql.window import Window as Wnd
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    d = (
+        docs.select(
+            "lang",
+            F.size(toks).alias("n_toks"),
+            F.col("n_chars"),
+        )
+        .filter(F.col("n_toks") >= 1)
+        .select(
+            "lang",
+            F.expr("(1000 * n_chars) div n_toks").alias("quality_milli"),
+            F.col("n_toks").cast("long").alias("w"),
+        )
+    )
+    w_run = (
+        Wnd.partitionBy("lang")
+        .orderBy("quality_milli")
+        .rowsBetween(Wnd.unboundedPreceding, Wnd.currentRow)
+    )
+    cum = d.select(
+        "lang",
+        "quality_milli",
+        F.sum("w").over(w_run).alias("cw"),
+        F.sum("w").over(Wnd.partitionBy("lang")).alias("tw"),
+    )
+    return (
+        cum.groupBy("lang")
+        .agg(
+            F.min(
+                F.when(2 * F.col("cw") >= F.col("tw"), F.col("quality_milli"))
+            )
+            .cast("long")
+            .alias("wmedian_quality_milli"),
+            F.first("tw").cast("long").alias("total_weight"),
+        )
+        .orderBy("lang")
+    )
