@@ -115,6 +115,7 @@ EXTRA = [
     "w_running_distinct",
     "w_interval_coverage",
     "a_weighted_median",
+    "dedup_drop_witness",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

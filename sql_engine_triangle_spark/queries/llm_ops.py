@@ -2517,3 +2517,48 @@ def dedup_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_pairs"))
         .orderBy("band")
     )
+
+
+DROP_WITNESS_ORACLE = f"""
+WITH {_NGRAM_PAIR_CTES},
+hp AS (SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.9),
+ranked AS (
+  SELECT doc_b AS doc_id, doc_a AS witness_id, jaccard,
+         row_number() OVER (PARTITION BY doc_b
+                            ORDER BY jaccard DESC, doc_a) AS rn
+  FROM hp
+)
+SELECT doc_id, witness_id, jaccard
+FROM ranked WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@register("dedup_drop_witness", oracle=DROP_WITNESS_ORACLE, tags=("LLM-dedup",))
+def dedup_drop_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup EXPLAINABILITY: for every dropped document, WHY — its
+    strongest earlier near-duplicate (highest Jaccard, lowest doc_id
+    tie-break). The audit row a curation pipeline keeps so a dropped
+    document can be traced to its witness (and disputed drops
+    re-reviewed). Runs the production LSH pair generator at the 0.9
+    operating point (deterministically equal to the exact pair set —
+    the band-miss argument), then a per-doc_b top-1 compaction
+    (WindowGroupLimit). Ranking compares UNROUNDED int/int Jaccard
+    values: each is the same IEEE division on both engines, so the
+    order — not just the values — is engine-identical with no
+    rounding step at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.9, n=3)
+    from pyspark.sql.window import Window as Wnd
+
+    w = Wnd.partitionBy("doc_b").orderBy(F.desc("jaccard"), "doc_a")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("witness_id"),
+            "jaccard",
+        )
+        .orderBy("doc_id")
+    )
