@@ -116,6 +116,7 @@ EXTRA = [
     "w_interval_coverage",
     "a_weighted_median",
     "dedup_drop_witness",
+    "text_vocab_coverage",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

@@ -2562,3 +2562,63 @@ def dedup_drop_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+VOCAB_COVERAGE_ORACLE = r"""
+WITH t AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+counted AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY term
+),
+top100 AS (
+  SELECT cnt FROM counted ORDER BY cnt DESC, term LIMIT 100
+),
+tot AS (SELECT sum(cnt) AS total_tokens, count(*) AS vocab_size FROM counted)
+SELECT CAST(tot.total_tokens AS BIGINT) AS total_tokens,
+       CAST(tot.vocab_size AS BIGINT) AS vocab_size,
+       CAST((SELECT sum(cnt) FROM top100) AS BIGINT) AS top100_tokens,
+       CAST(((SELECT sum(cnt) FROM top100) * 1000) // tot.total_tokens
+            AS BIGINT) AS coverage_permille
+FROM tot
+"""
+
+
+@register("text_vocab_coverage", oracle=VOCAB_COVERAGE_ORACLE, tags=("LLM-text", "A4"))
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design report: corpus vocabulary size and what share
+    of all token OCCURRENCES the top-100 vocabulary entries cover —
+    the first number a vocab-size decision reads (Zipf coverage:
+    how fast does marginal vocab stop paying). Shape: one explode ->
+    map-side-combined term count; the top-100 cut is a per-task
+    k-heap (TakeOrderedAndProject) so no vocab-sized sort ships
+    anywhere; totals are 1-row broadcast aggregates. Coverage is
+    integer permille via `div` — no float share. At 100 TB the
+    vocab frame is the only intermediate and it is
+    domain-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(textops.tokens(F.col("text"))).alias("term")
+    )
+    counted = terms.groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
+    top100 = (
+        counted.orderBy(F.desc("cnt"), "term")
+        .limit(100)
+        .agg(F.sum("cnt").alias("top100_tokens"))
+    )
+    tot = counted.agg(
+        F.sum("cnt").alias("total_tokens"),
+        F.count("*").alias("vocab_size"),
+    )
+    return (
+        tot.join(F.broadcast(top100))
+        .select(
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.col("vocab_size").cast("long").alias("vocab_size"),
+            F.col("top100_tokens").cast("long").alias("top100_tokens"),
+            F.expr("(top100_tokens * 1000) div total_tokens")
+            .cast("long")
+            .alias("coverage_permille"),
+        )
+    )

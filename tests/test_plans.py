@@ -89,6 +89,8 @@ ALLOWED_NESTED_LOOP = {
     # 1-row broadcast n_edges / n_nodes summary frames onto the 1-row
     # triangle count.
     "graph_triangle_count",
+    # 1-row broadcast top-100 total onto the 1-row corpus totals.
+    "text_vocab_coverage",
 }
 
 
