@@ -117,6 +117,7 @@ EXTRA = [
     "a_weighted_median",
     "dedup_drop_witness",
     "text_vocab_coverage",
+    "curation_domain_concentration",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

@@ -1362,3 +1362,51 @@ def ml_kmeans_int(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid", "dim", "coord", "n_members")
         .orderBy("cid", "dim")
     )
+
+
+DOMAIN_CONCENTRATION_ORACLE = """
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY source
+),
+tot AS (SELECT sum(cnt) AS n, sum(cnt * cnt) AS sumsq,
+               count(*) AS n_sources, max(cnt) AS top_cnt
+        FROM c)
+SELECT CAST(n_sources AS BIGINT) AS n_sources,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(sumsq AS BIGINT) AS hhi_num,
+       CAST(n * n AS BIGINT) AS hhi_den,
+       CAST(sumsq AS DOUBLE) / (n * n) AS hhi,
+       CAST(top_cnt AS BIGINT) AS top_source_docs
+FROM tot
+"""
+
+
+@register(
+    "curation_domain_concentration",
+    oracle=DOMAIN_CONCENTRATION_ORACLE,
+    tags=("LLM-pipeline", "A4"),
+)
+def curation_domain_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-concentration report (Herfindahl index over the corpus'
+    domain mix) — the diversity metric a curation run watches to know
+    whether the domain cap is needed at all: HHI near 1/n_sources is
+    balanced, near 1 is a one-domain corpus. Emitted as the exact
+    INTEGER numerator/denominator (sum of squared counts over total
+    squared) plus the unrounded ratio — sums of integer squares and
+    one IEEE division, bit-identical across engines with no rounding.
+    One map-side-combined source count, one 1-row rollup; at 100 TB
+    this is a metadata-sized report off the same counts the domain
+    cap already computes."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count("*").cast("long").alias("cnt"))
+    return c.agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("hhi_num"),
+        (F.sum("cnt") * F.sum("cnt")).cast("long").alias("hhi_den"),
+        (
+            F.sum(F.col("cnt") * F.col("cnt")).cast("double")
+            / (F.sum("cnt") * F.sum("cnt"))
+        ).alias("hhi"),
+        F.max("cnt").cast("long").alias("top_source_docs"),
+    )
