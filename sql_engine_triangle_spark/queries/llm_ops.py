@@ -2622,3 +2622,86 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("coverage_permille"),
         )
     )
+
+
+CONTAM_REPORT_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+sh8 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 7, 1) + 1),
+                                      i -> array_to_string(toks[i:i+7], ' '))) AS sh
+  FROM tok
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh8),
+bkt AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              AS INTEGER) % 100 AS bk
+  FROM documents
+),
+train_grams AS (
+  SELECT DISTINCT ex.s
+  FROM ex JOIN bkt ON bkt.doc_id = ex.doc_id AND bkt.bk < 95
+),
+eval_docs AS (
+  SELECT ex.doc_id, ex.s
+  FROM ex JOIN bkt ON bkt.doc_id = ex.doc_id AND bkt.bk >= 95
+)
+SELECT e.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(*) FILTER (WHERE t.s IS NOT NULL) AS BIGINT)
+         AS n_contaminated,
+       CAST(count(*) FILTER (WHERE t.s IS NOT NULL) * 1000 AS BIGINT)
+         // count(*) AS contam_permille
+FROM eval_docs e LEFT JOIN train_grams t ON t.s = e.s
+GROUP BY e.doc_id
+ORDER BY e.doc_id
+"""
+
+
+@register(
+    "pipeline_contamination_report", oracle=CONTAM_REPORT_ORACLE, tags=("LLM-pipeline",)
+)
+def pipeline_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-document contamination REPORT — the explainability
+    twin of pipeline_decontaminate: for every held-out doc, how many
+    of its distinct word-8-grams appear anywhere in the training
+    split, and the integer-permille contamination share (the number
+    an eval-integrity review reads per benchmark item; GPT-3 appendix
+    C reports exactly this distribution). Same one-shingle-pass +
+    train-side distinct gram set as the decontaminate entry; the eval
+    side LEFT-joins the gram set so zero-contamination docs still
+    report. The permille is integer `div` — no float share."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    grams = dedup.shingle_rows(docs, "doc_id", "text", 8).withColumn(
+        "_bk", bucket
+    )
+    train_grams = (
+        grams.filter(F.col("_bk") < 95).select("s").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    eval_grams = grams.filter(F.col("_bk") >= 95).select("doc_id", "s")
+    return (
+        eval_grams.join(train_grams, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.expr(
+                "(sum(coalesce(_hit, 0)) * 1000) div count(*)"
+            )
+            .cast("long")
+            .alias("contam_permille"),
+        )
+        .orderBy("doc_id")
+    )
