@@ -119,6 +119,7 @@ EXTRA = [
     "text_vocab_coverage",
     "curation_domain_concentration",
     "pipeline_contamination_report",
+    "pipeline_dataset_card",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

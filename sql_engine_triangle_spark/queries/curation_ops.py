@@ -1410,3 +1410,108 @@ def curation_domain_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("hhi"),
         F.max("cnt").cast("long").alias("top_source_docs"),
     )
+
+
+DATASET_CARD_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, lang, source, n_chars,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang, source,
+         CAST(len(toks) AS BIGINT) AS n_toks,
+         CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+              AS DOUBLE) / len(toks) AS alpha_frac,
+         CAST(len(list_filter(['the','a','and','of','to','is','in','it'],
+                              s -> list_contains(toks, s)))
+              AS BIGINT) AS stop_hits,
+         CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE)
+           / len(toks) AS mean_word_len
+  FROM t WHERE len(toks) >= 1
+),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(*) FILTER (
+           WHERE n_toks BETWEEN 50 AND 100000
+             AND mean_word_len BETWEEN 3 AND 10
+             AND alpha_frac >= 0.8 AND stop_hits >= 2) AS BIGINT)
+           AS n_pass_gopher
+  FROM m
+),
+src AS (
+  SELECT CAST(sum(cnt * cnt) AS BIGINT) AS hhi_num,
+         CAST(sum(cnt) * sum(cnt) AS BIGINT) AS hhi_den
+  FROM (SELECT count(*) AS cnt FROM m GROUP BY source)
+)
+SELECT base.*, src.hhi_num, src.hhi_den FROM base, src
+"""
+
+
+@register(
+    "pipeline_dataset_card", oracle=DATASET_CARD_ORACLE, tags=("LLM-pipeline",)
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row DATASET CARD — the summary block a corpus release
+    publishes: document/token totals, language and source breadth,
+    the Gopher-pass count (quality composition), and the source-
+    concentration HHI as exact integer num/den. Composes the
+    observability family (text_gopher_rules' flags,
+    curation_domain_concentration's HHI) into ONE plan: a single
+    pass derives the per-doc quality features as row expressions,
+    one rollup takes the corpus totals, one source-count aggregate
+    feeds the HHI — 1-row frames joined broadcast. Every emitted
+    value is an exact integer; nothing to round."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    m = (
+        docs.select("doc_id", "lang", "source", toks.alias("toks"))
+        .filter(F.size("toks") >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size("toks").cast("long").alias("n_toks"),
+            (
+                F.expr("size(filter(toks, w -> w rlike '[a-z]'))").cast("double")
+                / F.size("toks")
+            ).alias("alpha_frac"),
+            F.expr(
+                "size(filter(array('the','a','and','of','to','is','in','it'),"
+                " s -> array_contains(toks, s)))"
+            )
+            .cast("long")
+            .alias("stop_hits"),
+            (
+                F.expr(
+                    "aggregate(transform(toks, w -> length(w)), 0L, (a, x) -> a + x)"
+                ).cast("double")
+                / F.size("toks")
+            ).alias("mean_word_len"),
+        )
+    )
+    passes = (
+        F.col("n_toks").between(50, 100000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("alpha_frac") >= 0.8)
+        & (F.col("stop_hits") >= 2)
+    )
+    base = m.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum(F.when(passes, 1).otherwise(0)).cast("long").alias("n_pass_gopher"),
+    )
+    src = (
+        m.groupBy("source")
+        .agg(F.count("*").alias("cnt"))
+        .agg(
+            F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("hhi_num"),
+            (F.sum("cnt") * F.sum("cnt")).cast("long").alias("hhi_den"),
+        )
+    )
+    return base.join(F.broadcast(src))

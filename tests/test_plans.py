@@ -91,6 +91,8 @@ ALLOWED_NESTED_LOOP = {
     "graph_triangle_count",
     # 1-row broadcast top-100 total onto the 1-row corpus totals.
     "text_vocab_coverage",
+    # 1-row broadcast HHI frame onto the 1-row corpus summary.
+    "pipeline_dataset_card",
 }
 
 
