@@ -120,6 +120,8 @@ EXTRA = [
     "curation_domain_concentration",
     "pipeline_contamination_report",
     "pipeline_dataset_card",
+    "a_autocorr_terms",
+    "dedup_cluster_size_hist",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

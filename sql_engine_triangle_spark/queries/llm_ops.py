@@ -2705,3 +2705,60 @@ def pipeline_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("doc_id")
     )
+
+
+CLUSTER_SIZE_HIST_ORACLE = f"""
+WITH RECURSIVE {_NGRAM_PAIR_CTES},
+hp AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.9),
+e AS (
+  SELECT doc_a AS u, doc_b AS v FROM hp
+  UNION
+  SELECT doc_b, doc_a FROM hp
+),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+),
+comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS component
+  FROM reach GROUP BY u
+),
+csizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY component
+)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM csizes
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
+@register(
+    "dedup_cluster_size_hist", oracle=CLUSTER_SIZE_HIST_ORACLE, tags=("LLM-dedup",)
+)
+def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER SIZE distribution — the third dedup
+    observability report (with dedup_pair_histogram and
+    dedup_drop_witness): how big do duplicate families get, i.e. is
+    duplication pairwise noise or viral template spam (a fat tail
+    here is what motivates the large/small-star rounds over naive
+    propagation). LSH pairs at the deterministic 0.9 point feed the
+    star components operator; sizes histogram per component. Pure
+    integer counts; oracle = recursive-CTE closure over exact
+    pairs."""
+    from sql_engine_triangle_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.9, n=3).localCheckpoint()
+    return (
+        connected_components_star(pairs)
+        .groupBy("component")
+        .agg(F.count("*").cast("long").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )

@@ -1307,3 +1307,55 @@ def w_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+AUTOCORR_TERMS_ORACLE = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+p AS (
+  SELECT c AS x,
+         lead(c) OVER (ORDER BY day) AS y
+  FROM d
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(sum(x * y) AS BIGINT) AS sum_xy,
+       CAST(sum(x * x) AS BIGINT) AS sum_x2,
+       CAST(sum(y * y) AS BIGINT) AS sum_y2
+FROM p WHERE y IS NOT NULL
+"""
+
+
+@register("a_autocorr_terms", oracle=AUTOCORR_TERMS_ORACLE, tags=("A4", "W1"))
+def a_autocorr_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily event-count series, emitted
+    as the six EXACT integer moment terms (n, Σx, Σy, Σxy, Σx², Σy²)
+    rather than the float r — the sqrt/division in Pearson's r is
+    engine-divergent, but every moment of an integer series is a
+    BIGINT sum, so the driver hashes the full statistical content
+    exactly and r is one driver-side formula away. The
+    integer-moments trick is the same lift that made MAD and the
+    iterative algorithms oracle-able. Shape: one day rollup, one
+    1-partition lead over the BOUNDED daily series (|days| rows —
+    metadata, not facts), one 1-row rollup."""
+    from pyspark.sql.window import Window as Wnd
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = Wnd.orderBy("day")
+    p = d.select(
+        F.col("c").alias("x"), F.lead("c").over(w).alias("y")
+    ).filter(F.col("y").isNotNull())
+    return p.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_x2"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sum_y2"),
+    )
