@@ -122,6 +122,8 @@ EXTRA = [
     "pipeline_dataset_card",
     "a_autocorr_terms",
     "dedup_cluster_size_hist",
+    "pipeline_repeat_factors",
+    "w_longest_streak",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

@@ -1515,3 +1515,59 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return base.join(F.broadcast(src))
+
+
+REPEAT_FACTORS_ORACLE = r"""
+WITH t AS (
+  SELECT lang,
+         CAST(sum(len(string_split_regex(lower(trim(text)), '\s+')))
+              AS BIGINT) AS tokens
+  FROM documents GROUP BY lang
+),
+m AS (SELECT max(tokens) AS max_tokens FROM t)
+SELECT lang, tokens,
+       CAST((m.max_tokens + tokens - 1) // tokens AS BIGINT) AS repeats,
+       CAST(((m.max_tokens + tokens - 1) // tokens) * tokens AS BIGINT)
+         AS repeated_tokens
+FROM t, m
+ORDER BY lang
+"""
+
+
+@register(
+    "pipeline_repeat_factors", oracle=REPEAT_FACTORS_ORACLE, tags=("LLM-pipeline",)
+)
+def pipeline_repeat_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-repetition planning: the integer epoch count each language
+    needs to reach parity with the largest language's token mass —
+    the up-sampling table behind multilingual mixture balancing (how
+    many times the tail languages repeat per head-language epoch;
+    the data-constrained-scaling repetition discipline). The ceiling
+    division is the integer identity (max + t - 1) div t — exact on
+    both engines; one per-lang token rollup + a broadcast 1-row max.
+    Token counting shares the corpus-tokenize shape of every text
+    entry."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("lang").agg(
+        F.sum(F.size(textops.tokens(F.col("text"))))
+        .cast("long")
+        .alias("tokens")
+    )
+    m = t.agg(F.max("tokens").alias("max_tokens"))
+    return (
+        t.join(F.broadcast(m))
+        .select(
+            "lang",
+            "tokens",
+            F.expr("(max_tokens + tokens - 1) div tokens")
+            .cast("long")
+            .alias("repeats"),
+            (
+                F.expr("(max_tokens + tokens - 1) div tokens")
+                * F.col("tokens")
+            )
+            .cast("long")
+            .alias("repeated_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -1359,3 +1359,56 @@ def a_autocorr_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_x2"),
         F.sum(F.col("y") * F.col("y")).cast("long").alias("sum_y2"),
     )
+
+
+STREAK_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+g AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS grp
+  FROM d
+),
+streaks AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS len
+  FROM g GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(max(len) AS BIGINT) AS longest_streak_days,
+       CAST(count(*) AS BIGINT) AS n_streaks
+FROM streaks
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("w_longest_streak", oracle=STREAK_ORACLE, tags=("W1", "A5"))
+def w_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    engagement metric every product warehouse computes, and the
+    canonical date-arithmetic gaps-and-islands: distinct active days,
+    then `day - row_number` is CONSTANT within a consecutive run (the
+    classic trick — no lag/flag chain needed), so one group-by of
+    that difference yields the streaks. One user_id exchange; all
+    integer day arithmetic."""
+    from pyspark.sql.window import Window as Wnd
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Wnd.partitionBy("user_id").orderBy("day")
+    g = d.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = g.groupBy("user_id", "grp").agg(
+        F.count("*").cast("long").alias("len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("len").cast("long").alias("longest_streak_days"),
+            F.count("*").cast("long").alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )

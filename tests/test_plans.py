@@ -93,6 +93,8 @@ ALLOWED_NESTED_LOOP = {
     "text_vocab_coverage",
     # 1-row broadcast HHI frame onto the 1-row corpus summary.
     "pipeline_dataset_card",
+    # 1-row broadcast max-tokens scalar onto the per-lang rollup.
+    "pipeline_repeat_factors",
 }
 
 
