@@ -124,6 +124,8 @@ EXTRA = [
     "dedup_cluster_size_hist",
     "pipeline_repeat_factors",
     "w_longest_streak",
+    "maint_table_checksum",
+    "a_benford_digits",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

@@ -1412,3 +1412,89 @@ def w_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+TABLE_CHECKSUM_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(CAST('0x' || substring(
+              md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+                  CAST(l_linenumber AS VARCHAR) || '|' ||
+                  CAST(l_partkey AS VARCHAR) || '|' ||
+                  CAST(l_suppkey AS VARCHAR) || '|' ||
+                  l_returnflag || '|' || l_linestatus),
+              1, 15) AS BIGINT)) AS BIGINT) AS content_checksum
+FROM lineitem
+"""
+
+
+@register("maint_table_checksum", oracle=TABLE_CHECKSUM_ORACLE, tags=("A4", "F6"))
+def maint_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table content checksum — the
+    replication/migration integrity check (same rows on both sides
+    regardless of layout => same checksum): md5 each row's canonical
+    key string, take a 60-bit integer slice, BIT_XOR — XOR commutes
+    and can never overflow (a SUM of 60-bit slices overflows BIGINT
+    within 10^5 rows — found the hard way under ANSI mode), so the
+    checksum is partition-, order-, and SCALE-invariant; any
+    single-row difference flips bits, and duplicate-row cancellation
+    cannot occur because the canonical string embeds the unique key.
+    Uses only integer/string columns so canonicalization needs no
+    float formatting. One map-side-combined aggregation — the
+    cheapest possible full-table verification."""
+    li = load_table(spark, sf_dir, "lineitem")
+    canon = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+    )
+    rowhash = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    li = li.withColumn("rh", rowhash)
+    return li.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.expr("bit_xor(rh)").cast("long").alias("content_checksum"),
+    )
+
+
+BENFORD_ORACLE = """
+WITH c AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE value > 0
+)
+SELECT substring(CAST(cents AS VARCHAR), 1, 1) AS first_digit,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) * 1000 AS BIGINT) // (SELECT count(*) FROM c)
+         AS share_permille
+FROM c
+GROUP BY 1
+ORDER BY first_digit
+"""
+
+
+@register("a_benford_digits", oracle=BENFORD_ORACLE, tags=("A5", "F6"))
+def a_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit distribution of transaction values — the
+    classic fraud / synthetic-data audit (organic magnitudes lean
+    logarithmic: ~30% leading 1s; uniform generators flunk it). The
+    first digit comes from the STRING form of the integer cents —
+    no log10 float anywhere; shares are integer permille via `div`
+    against a broadcast 1-row total. One pass, map-side combined."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    c = ev.select(cents.alias("cents"))
+    total = c.agg(F.count("*").alias("_tot"))
+    return (
+        c.select(F.substring(F.col("cents").cast("string"), 1, 1).alias("first_digit"))
+        .groupBy("first_digit")
+        .agg(F.count("*").cast("long").alias("n"))
+        .join(F.broadcast(total))
+        .select(
+            "first_digit",
+            "n",
+            F.expr("(n * 1000) div _tot").cast("long").alias("share_permille"),
+        )
+        .orderBy("first_digit")
+    )
