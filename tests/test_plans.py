@@ -95,6 +95,8 @@ ALLOWED_NESTED_LOOP = {
     "pipeline_dataset_card",
     # 1-row broadcast max-tokens scalar onto the per-lang rollup.
     "pipeline_repeat_factors",
+    # 1-row broadcast total onto the 9-row digit distribution.
+    "a_benford_digits",
 }
 
 
