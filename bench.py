@@ -126,6 +126,7 @@ EXTRA = [
     "w_longest_streak",
     "maint_table_checksum",
     "a_benford_digits",
+    "j_fuzzy_name_match",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

@@ -2132,3 +2132,67 @@ def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+FUZZY_MATCH_ORACLE = """
+WITH p AS (
+  SELECT p_partkey, p_brand, p_name FROM part WHERE p_partkey <= 300
+),
+pairs AS (
+  SELECT a.p_partkey, b.p_partkey AS match_key,
+         CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+  FROM p a JOIN p b
+    ON a.p_brand = b.p_brand AND a.p_partkey <> b.p_partkey
+)
+SELECT p_partkey, match_key, edit_dist
+FROM (
+  SELECT p_partkey, match_key, edit_dist,
+         row_number() OVER (PARTITION BY p_partkey
+                            ORDER BY edit_dist, match_key) AS rn
+  FROM pairs
+) WHERE rn = 1
+ORDER BY p_partkey
+"""
+
+
+@register("j_fuzzy_name_match", oracle=FUZZY_MATCH_ORACLE, tags=("J1", "F6"))
+def j_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: each part's nearest SAME-BRAND neighbor
+    by Levenshtein edit distance (tie → lowest key) — the
+    entity-resolution primitive (dedupe catalog listings, match
+    vendor names). The brand equi-key BLOCKS the pairwise work —
+    exactly the blocking discipline real ER uses so the quadratic is
+    per-block, never corpus-wide (the LSH-bucket idea applied to
+    record linkage); the per-entity argmin compacts via
+    WindowGroupLimit. Edit distances are exact integers on both
+    engines (both implement standard Levenshtein), so ranking is
+    engine-identical with no float anywhere."""
+    from pyspark.sql.window import Window as Wnd
+
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_partkey") <= 300
+    ).select("p_partkey", "p_brand", "p_name")
+    a = p.select(
+        F.col("p_partkey"), F.col("p_brand"), F.col("p_name").alias("na")
+    )
+    b = p.select(
+        F.col("p_partkey").alias("match_key"),
+        F.col("p_brand"),
+        F.col("p_name").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "p_brand")
+        .filter(F.col("p_partkey") != F.col("match_key"))
+        .select(
+            "p_partkey",
+            "match_key",
+            F.levenshtein("na", "nb").cast("long").alias("edit_dist"),
+        )
+    )
+    w = Wnd.partitionBy("p_partkey").orderBy("edit_dist", "match_key")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "match_key", "edit_dist")
+        .orderBy("p_partkey")
+    )
