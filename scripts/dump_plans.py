@@ -65,6 +65,15 @@ QUERIES = [
     "maint_snapshot_diff",
     "a_mad_outliers",
     "text_gopher_rules",
+    # late-r5 observability / window / ER tier
+    "dedup_pair_histogram",
+    "w_interval_coverage",
+    "a_weighted_median",
+    "w_longest_streak",
+    "j_fuzzy_name_match",
+    "maint_table_checksum",
+    "w_running_distinct",
+    "graph_reachability",
 ]
 
 
