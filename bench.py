@@ -127,6 +127,7 @@ EXTRA = [
     "maint_table_checksum",
     "a_benford_digits",
     "j_fuzzy_name_match",
+    "pipeline_attribution_split",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

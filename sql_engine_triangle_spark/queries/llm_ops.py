@@ -2762,3 +2762,75 @@ def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_clusters"))
         .orderBy("cluster_size")
     )
+
+
+ATTRIBUTION_SPLIT_ORACLE = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+views AS (
+  SELECT event_id AS view_id, user_id, ts AS vts
+  FROM events WHERE event_type = 'view'
+),
+touches AS (
+  SELECT p.event_id, p.user_id, v.view_id
+  FROM purchases p
+  JOIN views v ON v.user_id = p.user_id
+             AND v.vts <= p.ts
+             AND v.vts > p.ts - INTERVAL 30 MINUTE
+)
+SELECT event_id, user_id,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(1000 // count(*) AS BIGINT) AS credit_milli_each,
+       CAST(1000 - (1000 // count(*)) * count(*) AS BIGINT)
+         AS credit_milli_remainder
+FROM touches
+GROUP BY event_id, user_id
+ORDER BY event_id
+"""
+
+
+@register(
+    "pipeline_attribution_split", oracle=ATTRIBUTION_SPLIT_ORACLE, tags=("J-asof",)
+)
+def pipeline_attribution_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase splits 1000
+    milli-credits EQUALLY across its attribution-window views (30 min,
+    the j_interval_events window) — the ad-tech credit model between
+    first-touch and last-touch (asof_purchase_attribution). Emitted
+    as integer per-touch credit (1000 div n) plus the explicit
+    remainder, so the split is exact and auditable (credits*n +
+    remainder == 1000 always) — no float shares. Same single
+    user_id-keyed interval join as j_interval_events, then one
+    (purchase) rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("vts"),
+    )
+    win_us = 30 * 60 * 1_000_000
+    touches = purchases.join(views, "user_id").filter(
+        (F.col("vts") <= F.col("ts"))
+        & (
+            F.unix_micros(F.col("vts"))
+            > F.unix_micros(F.col("ts")) - win_us
+        )
+    )
+    return (
+        touches.groupBy("event_id", "user_id")
+        .agg(F.count("*").cast("long").alias("n_touches"))
+        .select(
+            "event_id",
+            "user_id",
+            "n_touches",
+            F.expr("1000 div n_touches").cast("long").alias("credit_milli_each"),
+            F.expr("1000 - (1000 div n_touches) * n_touches")
+            .cast("long")
+            .alias("credit_milli_remainder"),
+        )
+        .orderBy("event_id")
+    )
