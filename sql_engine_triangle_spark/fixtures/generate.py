@@ -170,6 +170,15 @@ def partsupp(spark: SparkSession, n_parts: int, n_suppliers: int, seed: int = 42
     stride-based ps_suppkey formula. ps_supplycost is DECIMAL(10,2)
     (exact min/compare on both engines)."""
     per_part = 4
+    if n_suppliers < per_part:
+        # With fewer suppliers than offers the stride offsets collapse
+        # mod n_suppliers and (ps_partkey, ps_suppkey) stops being a
+        # primary key — fail loudly instead of silently emitting a
+        # non-PK table (ADVICE r5).
+        raise ValueError(
+            f"partsupp needs n_suppliers >= {per_part} for the TPC-H "
+            f"4-distinct-offers multiplicity; got {n_suppliers}"
+        )
     step = max(1, n_suppliers // per_part)
     df = spark.range(n_parts * per_part).withColumn(
         "_s", F.xxhash64("id", F.lit(seed + 7))

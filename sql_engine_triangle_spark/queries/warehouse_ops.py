@@ -734,11 +734,16 @@ def a_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cnt").cast("double") / F.col("tot")).alias("share"),
         )
     )
-    # Sketch pass: freqItems at the same support. Bounded output
-    # (<= 1/support items) — a scalar-class driver fetch, like the
-    # IVF quantizer seeds.
+    # Sketch pass: freqItems at support slightly BELOW the exact
+    # threshold. The no-false-negative guarantee only covers items
+    # with frequency strictly GREATER than support, so a term at
+    # exactly 1/50 share (cnt*50 == tot, which the exact filter
+    # includes) could legally be missed at support=0.02; 0.019 makes
+    # the guarantee strictly cover the >= 1/50 exact set (ADVICE r5).
+    # Bounded output (<= 1/support items) — a scalar-class driver
+    # fetch, like the IVF quantizer seeds.
     sketch_terms = set(
-        terms.stat.freqItems(["term"], support=0.02).head()[0]
+        terms.stat.freqItems(["term"], support=0.019).head()[0]
     )
     exact_terms = {r.term for r in exact.select("term").collect()}
     found = exact_terms.issubset(sketch_terms)
@@ -1120,22 +1125,29 @@ def maint_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 10
     )
     b = ev.select("event_id", "event_type", "value", bk.alias("bk"))
+    # Presence is carried by each side's copy of the KEY (id1/id2),
+    # not by value NULLness — the oracle classifies on
+    # v1.event_id/v2.event_id, and a matched row with a NULL value
+    # payload must count as present on both sides, not as
+    # added/removed (ADVICE r5: the two diverge on nullable values).
     v1 = b.filter(F.col("bk") <= 8).select(
         "event_id",
+        F.col("event_id").alias("id1"),
         F.col("event_type").alias("t1"),
         F.col("value").alias("val1"),
     )
     v2 = b.filter(F.col("bk") >= 1).select(
         "event_id",
+        F.col("event_id").alias("id2"),
         F.col("event_type").alias("t2"),
         F.when(F.col("bk") == 5, F.col("value") * 2)
         .otherwise(F.col("value"))
         .alias("val2"),
     )
     j = v1.join(v2, "event_id", "full_outer")
-    added = F.col("val1").isNull()
-    removed = F.col("val2").isNull()
-    both = F.col("val1").isNotNull() & F.col("val2").isNotNull()
+    added = F.col("id1").isNull()
+    removed = F.col("id2").isNull()
+    both = F.col("id1").isNotNull() & F.col("id2").isNotNull()
     return (
         j.groupBy(F.coalesce(F.col("t1"), F.col("t2")).alias("event_type"))
         .agg(
