@@ -102,6 +102,27 @@ def _ensure_loaded() -> None:
 # multimodal_metadata, multimodal_frames, text_boilerplate_strip,
 # text_bigram_logprob, text_tfidf_topterms, stream_sliding_counts,
 # stream_dedup_keys.
+# Round-6 rotation (triaged per VERDICT r5 #1; full record in
+# COVERAGE.md): 27 first-ever entries in, 27 out. Every displaced
+# entry holds a green r5 (or earlier) driver row and stays in the
+# every-round full-registry oracle sweep; every family keeps >=1
+# window representative (steady-state policy, COVERAGE.md).
+# Swapped like-for-like: the Arrow cosine forms replace their
+# bit-equal JVM twins (bench-default policy — the form you'd run at
+# 100 TB takes the slot; equality pinned in tests). Displaced:
+# tpch_q4/q6/q7/q9/q13/q17/q19 (join-tree family stays represented
+# by the three hardest: q1/q21/q22), w_dist_functions,
+# w_time_weighted_avg, a_ohlc_bars, a_count_distinct_multi,
+# f_try_arithmetic, a_hll_partial_rollup, layout_zorder_key,
+# dedup_semantic, sim_knn_join, sim_hard_negatives (Arrow twins take
+# the slots), dedup_minhash_lsh (_mid twin carries the LSH shape),
+# dedup_clusters_lsh (CC machinery lives in pipeline_corpus_build_cc),
+# dedup_embedding_lsh, sim_ann_lsh_topk (sim_ivf_topk carries ANN),
+# emb_label_centroids (embedded in sim_centroid_classify),
+# pipeline_token_budget (embedded in the capstones),
+# j_interval_events (temporal carried by asof_tolerance_attribution),
+# stream_tumbling_counts, stream_session_windows, stream_hourly_topk
+# (streaming carried by the stateful flagship stream_closed_sessions).
 _PRIORITY_WINDOW: tuple[str, ...] = (
     # core flagship (5)
     "q1_agg_by_type",
@@ -109,62 +130,67 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "q3_yoy_window",
     "q4_top_nations_percentiles",
     "q4_semi_join_form",
-    # literal TPC-H shapes (8 new r5 + 2 green-r4 carriers)
+    # literal TPC-H (the three hardest keep the join-tree family)
     "tpch_q1_pricing_summary",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q9_product_profit",
-    "tpch_q13_customer_distribution",
-    "tpch_q17_small_quantity",
-    "tpch_q19_disjunctive_join",
     "tpch_q21_waiting_supplier",
     "tpch_q22_idle_customers",
-    # window / aggregation tier (7 new r5)
-    "w_dist_functions",
-    "w_time_weighted_avg",
-    "a_ohlc_bars",
+    # iterative / ML tier (new r6 — integer-exact fixpoints)
+    "graph_pagerank",
+    "ml_kmeans_int",
+    "w_ema_int",
+    # graph kernels (new r6)
+    "graph_triangle_count",
+    "graph_reachability",
+    # exact mergeable distinct tiles (new r6)
+    "a_bitmap_distinct",
+    "a_bitmap_rolling_distinct",
+    # aggregation / window tier (5 new r6 + carried hypertable rep)
+    "a_percentile_disc",
+    "a_weighted_median",
+    "w_interval_coverage",
+    "a_mad_outliers",
+    "a_heavy_hitters",
     "w_gap_fill_interpolate",
-    "a_count_distinct_multi",
-    "f_try_arithmetic",
-    "a_hll_partial_rollup",
-    # layout (new r5)
-    "layout_zorder_key",
-    # dedup (green r4, the flagship family)
-    "dedup_semantic",
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_mid",
-    "dedup_clusters_lsh",
-    "dedup_keep_best_quality",
-    "dedup_embedding_lsh",
-    "dedup_incremental",
-    # similarity (4 green r4 + 3 new r5 curation entries)
-    "sim_hybrid_rrf",
-    "sim_knn_join",
-    "sim_ann_lsh_topk",
+    # joins / temporal (new r6; j_fuzzy_name_match carries the
+    # composite-blocking ER fix from VERDICT r5 #4)
+    "j_skew_salted",
+    "asof_tolerance_attribution",
+    "j_fuzzy_name_match",
+    # maintenance tier (new r6)
+    "maint_incremental_agg",
+    "maint_snapshot_diff",
+    "maint_table_checksum",
+    # text quality (new r6)
+    "text_gopher_rules",
+    # similarity (1 new + 3 carried)
+    "sim_quantized_topk",
     "sim_ivf_topk",
-    "sim_hard_negatives",
-    "emb_label_centroids",
+    "sim_hybrid_rrf",
     "sim_centroid_classify",
-    # pipeline / curation (green r4)
-    "pipeline_token_budget",
+    # Arrow cosine forms (bench-default production forms; bit-equal
+    # JVM twins displaced, equality pinned in tests)
+    "sim_knn_join_arrow",
+    "dedup_semantic_arrow",
+    "sim_hard_negatives_arrow",
+    # dedup (carried flagships)
+    "dedup_minhash_lsh_mid",
+    "dedup_incremental",
+    "dedup_keep_best_quality",
+    # observability / explainability tier (new r6)
+    "dedup_drop_witness",
+    "dedup_cluster_size_hist",
+    "pipeline_dataset_card",
+    "pipeline_contamination_report",
+    # pipeline / curation (carried flagships)
     "pipeline_decontaminate",
     "pipeline_shard_layout",
     "pipeline_corpus_build",
     "pipeline_incremental_admission",
     "sample_weighted_mix",
-    # new r5 flagship: the transitive-closure capstone variant
-    # (curation_domain_cap, green r4, ceded the slot — its
-    # WindowGroupLimit cap shape is embedded in both capstones and
-    # stays plan-asserted in pytest).
     "pipeline_corpus_build_cc",
-    # multimodal / temporal (green r4)
+    # multimodal (carried)
     "multimodal_decode_stats",
-    "j_interval_events",
-    # streaming batch-twins (3 green r4 + stream_closed_sessions new r5)
-    "stream_tumbling_counts",
-    "stream_session_windows",
-    "stream_hourly_topk",
+    # streaming (the stateful flagship carries the family)
     "stream_closed_sessions",
 )
 
