@@ -143,6 +143,14 @@ EXTRA = [
     "a_benford_digits",
     "j_fuzzy_name_match",
     "pipeline_attribution_split",
+    # r6: contamination-aware capstone (first bench row BEFORE its
+    # first driver round, per the pre-baseline rule).
+    "pipeline_corpus_build_decontam",
+    # r6-built r7-queue entries (same pre-baseline rule).
+    "a_linear_trend",
+    "sim_sparse_cosine_pairs",
+    "text_inverted_index",
+    "j_bloom_prefilter",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

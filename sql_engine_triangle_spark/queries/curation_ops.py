@@ -646,6 +646,7 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _corpus_build(
     spark: SparkSession, sf_dir: str, clustering: str,
     share_tokens: bool = True,
+    decontam: bool = False,
 ) -> DataFrame:
     """Shared capstone builder. ``clustering`` picks the near-dup drop
     rule consuming the LSH pair stream: ``"greedy"`` drops every doc
@@ -734,8 +735,53 @@ def _corpus_build(
     else:
         drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     stage2 = stage1.join(drops, "doc_id", "left_anti").select(
-        "doc_id", "source", "n_tokens", "quality_milli"
+        "doc_id", "source", "n_tokens", "quality_milli",
+        *(["toks"] if decontam else []),
     )
+
+    if decontam:
+        # Stage 2.5: train/eval decontamination (the
+        # pipeline_decontaminate discipline composed in). Bucket is a
+        # pure function of doc_id, re-derivable anywhere without a
+        # join back.
+        bk = (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+            ).cast("int")
+            % 100
+        )
+        docs_all = load_table(spark, sf_dir, "documents")
+        # Eval grams come from the RAW corpus (the benchmark precedes
+        # curation); bounded side -> distinct grams broadcast.
+        eval_grams = (
+            dedup.shingle_rows(docs_all.withColumn("_bk", bk).filter(F.col("_bk") >= 95),
+                               "doc_id", "text", 8)
+            .select("s")
+            .distinct()
+        )
+        train = stage2.filter(bk < 95)
+        # Train-side 8-grams only over stage-2 survivors, from the
+        # carried token arrays (no re-tokenize); same repartition
+        # barrier as shingle_rows (CollapseProject re-split hazard).
+        sh8 = F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(F.col("toks")) - 7, F.lit(1))
+                ),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 8)),
+            )
+        )
+        contaminated = (
+            train.select("doc_id", "toks")
+            .repartition("doc_id")
+            .select("doc_id", F.explode(sh8).alias("s"))
+            .join(F.broadcast(eval_grams), "s", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        stage2 = train.join(contaminated, "doc_id", "left_anti").select(
+            "doc_id", "source", "n_tokens", "quality_milli"
+        )
 
     w_cap = Window.partitionBy("source").orderBy(F.desc("quality_milli"), "doc_id")
     stage3 = (
@@ -888,6 +934,69 @@ def pipeline_corpus_build_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair stream; every other stage is byte-identical to the greedy
     capstone's certified plan."""
     return _corpus_build(spark, sf_dir, clustering="cc")
+
+
+# The decontamination-stage twin is GENERATED from the greedy
+# capstone's oracle (one shared definition, the unrolled-CTE
+# discipline): insert eval-gram extraction + contamination drop
+# between stage 2 (dedup) and stage 3 (domain cap), and repoint
+# stage 3 at the decontaminated frame.
+CORPUS_BUILD_DECONTAM_ORACLE = CORPUS_BUILD_ORACLE.replace(
+    "stage3 AS (",
+    r"""ex8 AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 7, 1) + 1),
+                                             i -> array_to_string(toks[i:i+7], ' ')))) AS s
+  FROM tok
+),
+bkt AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              AS INTEGER) % 100 AS bk
+  FROM documents
+),
+contaminated AS (
+  SELECT DISTINCT a.doc_id
+  FROM ex8 a
+  JOIN bkt ba ON ba.doc_id = a.doc_id AND ba.bk < 95
+  JOIN ex8 b ON b.s = a.s
+  JOIN bkt bb ON bb.doc_id = b.doc_id AND bb.bk >= 95
+),
+stage2d AS (
+  SELECT s2.doc_id, s2.source, s2.n_tokens, s2.quality_milli
+  FROM stage2 s2 JOIN bkt ON bkt.doc_id = s2.doc_id
+  WHERE bkt.bk < 95
+    AND s2.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+stage3 AS (""",
+).replace("    FROM stage2\n", "    FROM stage2d\n")
+
+
+@register(
+    "pipeline_corpus_build_decontam",
+    oracle=CORPUS_BUILD_DECONTAM_ORACLE,
+    tags=("LLM-pipeline",),
+)
+def pipeline_corpus_build_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The greedy capstone with the one production stage the r5
+    capstones lacked: train/eval DECONTAMINATION composed in as stage
+    2.5 (quality gate -> near-dup drop -> decontaminate -> domain cap
+    -> token budget -> shard, ONE logical plan). Eval set = md5
+    bucket >= 95 of the RAW corpus (the benchmark exists before any
+    curation, so its grams come from unfiltered docs); a surviving
+    training doc is dropped iff it shares any word 8-gram with an
+    eval doc (the GPT-3/PaLM discipline of pipeline_decontaminate),
+    and eval-bucket docs themselves never enter the training corpus.
+
+    Scale shape: the eval side is bounded by construction (a held-out
+    benchmark), so its distinct grams BROADCAST and the probe is a
+    map-side semi join against each training partition — no shuffle
+    of training grams; the train-side 8-gram pass runs only over
+    stage-2 SURVIVORS and reuses their carried token arrays (one
+    tokenize for gate + LSH shingles + decontam grams). Every other
+    stage is byte-identical to the greedy capstone's certified
+    plan."""
+    return _corpus_build(spark, sf_dir, clustering="greedy", decontam=True)
 
 
 HARD_NEGATIVES_ORACLE = f"""

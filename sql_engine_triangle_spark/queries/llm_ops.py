@@ -2834,3 +2834,193 @@ def pipeline_attribution_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+SPARSE_COSINE_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(2, len(toks) + 1),
+                               i -> toks[i - 1] || ' ' || toks[i])) AS term
+  FROM tok
+  WHERE len(toks) >= 2
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY 1, 2),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+kept AS (
+  SELECT tf.doc_id, tf.term, tf.cnt
+  FROM tf
+  JOIN (SELECT term FROM tf GROUP BY term
+        HAVING count(*) * 20 <= (SELECT n FROM nd)) d USING (term)
+),
+norms AS (SELECT doc_id, CAST(sum(cnt * cnt) AS BIGINT) AS nrm FROM kept GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(sum(a.cnt * b.cnt) AS BIGINT) AS dot
+  FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, dot, na.nrm AS norm_a, nb.nrm AS norm_b,
+       CAST((dot * dot * 1000000) // (na.nrm * nb.nrm) AS BIGINT) AS cos2_ppm
+FROM dots
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+WHERE (dot * dot * 1000000) // (na.nrm * nb.nrm) >= 250000
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "sim_sparse_cosine_pairs", oracle=SPARSE_COSINE_ORACLE, tags=("LLM-sim", "LLM-dedup")
+)
+def sim_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE bag-of-words cosine similarity — the lexical
+    counterpart of the dense-embedding family (dedup_semantic /
+    sim_knn_join work on vectors; this works straight off text with
+    no embedding model): doc pairs whose bigram-count vectors have
+    cos² >= 0.25, via the classic inverted-index self-join. Terms
+    are BIGRAMS restricted to DISCRIMINATIVE ones (document
+    frequency <= 5% of the corpus — the stopword-pruning rule that
+    bounds every posting list, exactly the LSH-bucket discipline:
+    per-term join fan-out is df², and df is capped by construction).
+
+    Ranking is integer-exact with NO sqrt: cos² = dot²/(‖a‖²·‖b‖²)
+    compares as (dot·dot·10⁶) div (na·nb) — counts are integers, so
+    both engines compute identical BIGINTs (the sim_quantized_topk
+    discipline applied to sparse vectors; at web scale lift the
+    product into DECIMAL(38,0) headroom). Plan: one bigram explode →
+    (doc,term) count agg; the df cap joins back as a BROADCAST of
+    the kept-term list (vocab-bounded); posting-list self-join on
+    the term equi-key; two doc-keyed norm joins. No driver data, no
+    cartesian — the quadratic is per-term and df-capped."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    base = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .repartition("doc_id")
+    )
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(toks)), i -> concat(toks[i-2], ' ', toks[i-1]))"
+            )
+        ).alias("term"),
+    )
+    tf = bg.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("cnt"))
+    nd = tf.agg(F.countDistinct("doc_id").alias("n"))
+    kept_terms = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .join(F.broadcast(nd))
+        .filter(F.col("df") * 20 <= F.col("n"))
+        .select("term")
+    )
+    kept = tf.join(F.broadcast(kept_terms), "term")
+    norms = kept.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("nrm")
+    )
+    a = kept.select(F.col("doc_id").alias("doc_a"), "term", F.col("cnt").alias("ca"))
+    b = kept.select(F.col("doc_id").alias("doc_b"), "term", F.col("cnt").alias("cb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"))
+    )
+    return (
+        dots.join(norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("norm_a")), "doc_a")
+        .join(norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("norm_b")), "doc_b")
+        .withColumn(
+            "cos2_ppm",
+            F.expr("(dot * dot * 1000000) div (norm_a * norm_b)").cast("long"),
+        )
+        .filter(F.col("cos2_ppm") >= 250000)
+        .select("doc_a", "doc_b", "dot", "norm_a", "norm_b", "cos2_ppm")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+INVERTED_INDEX_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(2, len(toks) + 1),
+                               i -> toks[i - 1] || ' ' || toks[i])) AS term
+  FROM tok
+  WHERE len(toks) >= 2
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc,
+       array_to_string(list_sort(list(doc_id))[1:10], ',') AS top_docs
+FROM bg
+GROUP BY term
+ORDER BY term
+"""
+
+
+@register("text_inverted_index", oracle=INVERTED_INDEX_ORACLE, tags=("LLM-text",))
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index BUILD — the retrieval-side artifact every
+    BM25/hybrid search system derives from a corpus: per bigram
+    term, its document frequency, posting range, and the first 10
+    postings (lowest doc_ids) as a sample. The sample is computed
+    with row_number <= 10 BEFORE the list aggregation, so Spark's
+    WindowGroupLimit caps per-term state at 10 rows even for
+    stop-bigrams whose true posting list is corpus-sized — the
+    full-list-then-truncate form would materialize unbounded
+    per-term arrays at 100 TB (the same bound discipline as
+    curation_domain_cap). Output is vocab-sized at any corpus
+    scale. Posting ids sort NUMERICALLY (sort_array on the long
+    array before stringifying — lexicographic would rank 10 < 2)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    base = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .repartition("doc_id")
+    )
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(toks)), i -> concat(toks[i-2], ' ', toks[i-1]))"
+            )
+        ).alias("term"),
+    ).distinct()
+    stats = bg.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    top = (
+        bg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .groupBy("term")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("top_docs")
+        )
+    )
+    return (
+        stats.join(top, "term")
+        .select("term", "df", "min_doc", "max_doc", "top_docs")
+        .orderBy("term")
+    )

@@ -181,8 +181,11 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_cluster_size_hist",
     "pipeline_dataset_card",
     "pipeline_contamination_report",
-    # pipeline / curation (carried flagships)
-    "pipeline_decontaminate",
+    # pipeline / curation (carried flagships; the r6-built
+    # contamination-aware capstone takes pipeline_decontaminate's slot
+    # — it embeds that entry's stage and was three-SF pre-verified;
+    # the standalone keeps its green r4/r5 rows and stays swept)
+    "pipeline_corpus_build_decontam",
     "pipeline_shard_layout",
     "pipeline_corpus_build",
     "pipeline_incremental_admission",

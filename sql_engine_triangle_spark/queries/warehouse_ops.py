@@ -1510,3 +1510,221 @@ def a_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_digit")
     )
+
+
+LINEAR_TREND_ORACLE = """
+WITH d AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM d
+  GROUP BY 1
+)
+SELECT event_type, n_days, sx, sy, sxy, sxx,
+       CAST(n_days * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST(n_days * sxy - sx * sy AS DOUBLE)
+         / CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope_per_day
+FROM m
+ORDER BY event_type
+"""
+
+
+@register("a_linear_trend", oracle=LINEAR_TREND_ORACLE, tags=("A5", "W2"))
+def a_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares TREND: the slope of daily event counts
+    over time per event_type — the volume-trend detector behind
+    "is this source growing or dying" curation decisions. Same
+    discipline as a_autocorr_terms: the regression reduces to five
+    EXACT integer moments (n, Σx, Σy, Σxy, Σx²) over (epoch-day,
+    daily count) points, so the engine never does float statistics —
+    slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is emitted both as the two
+    exact BIGINT terms and as their unrounded IEEE quotient
+    (bit-identical across engines). Two cheap aggregations: daily
+    rollup (map-side combined), then one bounded moments pass —
+    output is |event_type| rows at any corpus size. Epoch-day x
+    values keep every product well inside BIGINT (x ~ 2e4, n ~ 4e2:
+    n·Σx² ~ 5e13)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    m = d.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        "event_type",
+        "n_days",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        (num.cast("double") / den.cast("double")).alias("slope_per_day"),
+    ).orderBy("event_type")
+
+
+BLOOM_PREFILTER_ORACLE = """
+WITH dim AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1996
+),
+seeds AS (SELECT unnest([1, 2, 3]) AS i),
+hb AS (
+  SELECT k,
+         CAST('0x' || substring(md5(CAST(k AS VARCHAR) || '#' || i), 1, 8)
+              AS BIGINT) % 32256 AS pos
+  FROM dim, seeds
+),
+words AS (
+  SELECT pos // 63 AS w_idx,
+         bit_or(1::BIGINT << CAST(pos % 63 AS INTEGER)) AS wval
+  FROM hb GROUP BY 1
+),
+pk AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+ph AS (
+  SELECT k,
+         CAST('0x' || substring(md5(CAST(k AS VARCHAR) || '#' || i), 1, 8)
+              AS BIGINT) % 32256 AS pos
+  FROM pk, seeds
+),
+cand AS (
+  SELECT ph.k
+  FROM ph JOIN words ON words.w_idx = ph.pos // 63
+  WHERE (wval & (1::BIGINT << CAST(ph.pos % 63 AS INTEGER))) <> 0
+  GROUP BY ph.k HAVING count(*) = 3
+),
+tru AS (SELECT k FROM pk WHERE k IN (SELECT k FROM dim))
+SELECT CAST((SELECT count(*) FROM dim) AS BIGINT) AS n_build_keys,
+       CAST((SELECT count(*) FROM pk) AS BIGINT) AS n_probe_keys,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT count(*) FROM tru) AS BIGINT) AS n_true_match,
+       CAST((SELECT count(*) FROM cand) - (SELECT count(*) FROM tru)
+            AS BIGINT) AS n_false_pos,
+       (SELECT count(*) FROM tru
+        WHERE k NOT IN (SELECT k FROM cand)) = 0 AS no_false_negatives
+"""
+
+
+def _bloom_positions(key_col, n_bits: int):
+    """Three md5-derived bloom bit positions for a key — portable
+    (md5 is bit-identical everywhere), 8 hex chars < 2^32 so the
+    BIGINT mod is exact on both engines."""
+    return [
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(key_col.cast("string"), F.lit(f"#{i}"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(n_bits),
+        )
+        for i in (1, 2, 3)
+    ]
+
+
+@register("j_bloom_prefilter", oracle=BLOOM_PREFILTER_ORACLE, tags=("J1", "J3"))
+def j_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast BLOOM-FILTER semi-join prefilter — the runtime-filter
+    pattern (Spark's own InjectRuntimeFilter / bloom_filter_agg)
+    built explicitly as a validation form: a 32256-bit / 3-hash bloom
+    of the urgent-1996 order keys is aggregated into 512 BIGINT words
+    (63 usable bits per word — bit 63 stays clear so neither engine
+    needs the 1<<63 overflow trap, CLAUDE.md), BROADCAST, and probed
+    by every distinct fact key BEFORE the exact semi join. At 100 TB
+    this is what turns a shuffle semi join into a map-side drop of
+    the ~99% of fact partitions' keys that cannot match, at the cost
+    of a few-KB broadcast. The bloom is md5-derived, so BOTH engines
+    build bit-identical words: candidate and false-positive COUNTS
+    are deterministic and hash-checked, and `no_false_negatives` is
+    the filter's correctness guarantee (a bloom may over-admit,
+    never under-admit), certified TRUE by construction. One-row
+    output; scalar subquery counts ride broadcast 1-row frames."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n_bits = 32256  # 512 words x 63 bits
+    dim = (
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.year("o_orderdate") == 1996)
+        )
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    hb = dim.select(
+        "k", F.explode(F.array(*_bloom_positions(F.col("k"), n_bits))).alias("pos")
+    )
+    words = hb.groupBy(F.expr("pos div 63").alias("w_idx")).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))")
+        ).alias("wval")
+    )
+    pk = li.select(F.col("l_orderkey").alias("k")).distinct()
+    ph = pk.select(
+        "k", F.explode(F.array(*_bloom_positions(F.col("k"), n_bits))).alias("pos")
+    )
+    cand = (
+        ph.join(F.broadcast(words), F.expr("w_idx = pos div 63"))
+        .filter(
+            F.expr("wval & shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))") != 0
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("nhit"))
+        .filter(F.col("nhit") == 3)
+        .select("k")
+    )
+    tru = pk.join(dim, "k", "left_semi")
+    n_build = dim.agg(F.count("*").cast("long").alias("n_build_keys"))
+    n_probe = pk.agg(F.count("*").cast("long").alias("n_probe_keys"))
+    n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    n_true = tru.agg(F.count("*").cast("long").alias("n_true_match"))
+    missed = tru.join(cand, "k", "left_anti").agg(
+        (F.count("*") == 0).alias("no_false_negatives")
+    )
+    return (
+        n_build.join(F.broadcast(n_probe))
+        .join(F.broadcast(n_cand))
+        .join(F.broadcast(n_true))
+        .join(F.broadcast(missed))
+        .select(
+            "n_build_keys",
+            "n_probe_keys",
+            "n_candidates",
+            (F.col("n_candidates") - F.col("n_true_match")).cast("long").alias("n_false_pos"),
+            "no_false_negatives",
+            "n_true_match",
+        )
+        .select(
+            "n_build_keys",
+            "n_probe_keys",
+            "n_candidates",
+            "n_true_match",
+            "n_false_pos",
+            "no_false_negatives",
+        )
+    )

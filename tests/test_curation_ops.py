@@ -253,3 +253,43 @@ def test_arrow_kernels_bit_equal_to_jvm_forms(spark):
     e = registry.get("sim_hard_negatives").fn(spark, SF_DIR_SMALL).toPandas()
     f = registry.get("sim_hard_negatives_arrow").fn(spark, SF_DIR_SMALL).toPandas()
     assert_frames_match(e, f)
+
+
+def test_decontam_capstone_excludes_eval_and_contaminated(spark):
+    """pipeline_corpus_build_decontam consistency pins: (1) no
+    eval-bucket doc (md5 bucket >= 95) ever reaches the training
+    corpus; (2) no output doc is one pipeline_decontaminate flags as
+    contaminated — the capstone's in-plan stage must agree with the
+    standalone entry it composes (same bucket split, same 8-gram
+    rule); (3) the stage is not vacuous on the fixture (the eval
+    bucket is non-empty, so the output differs from the plain greedy
+    capstone's doc set)."""
+    out = {
+        r.doc_id
+        for r in registry.get("pipeline_corpus_build_decontam")
+        .fn(spark, SF_DIR_SMALL)
+        .select("doc_id")
+        .collect()
+    }
+    assert out, "empty corpus — fixture problem"
+    for doc_id in out:
+        import hashlib
+
+        bk = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 100
+        assert bk < 95, f"eval-bucket doc {doc_id} in training corpus"
+    flagged = {
+        r.train_doc
+        for r in registry.get("pipeline_decontaminate")
+        .fn(spark, SF_DIR_SMALL)
+        .select("train_doc")
+        .collect()
+    }
+    assert not (out & flagged), sorted(out & flagged)[:5]
+    plain = {
+        r.doc_id
+        for r in registry.get("pipeline_corpus_build")
+        .fn(spark, SF_DIR_SMALL)
+        .select("doc_id")
+        .collect()
+    }
+    assert out != plain

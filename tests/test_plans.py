@@ -97,6 +97,15 @@ ALLOWED_NESTED_LOOP = {
     "pipeline_repeat_factors",
     # 1-row broadcast total onto the 9-row digit distribution.
     "a_benford_digits",
+    # 1-row broadcast token-budget scalar (same shape as the greedy
+    # capstone it extends).
+    "pipeline_corpus_build_decontam",
+    # 1-row broadcast corpus-doc-count scalar onto the vocab-sized
+    # df frame.
+    "sim_sparse_cosine_pairs",
+    # 1-row certification frames (build/probe/candidate/true counts)
+    # folded into the single output row.
+    "j_bloom_prefilter",
 }
 
 
