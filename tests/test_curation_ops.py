@@ -293,3 +293,42 @@ def test_decontam_capstone_excludes_eval_and_contaminated(spark):
         .collect()
     }
     assert out != plain
+
+
+def test_power_iteration_matches_numpy_eigenvector(spark):
+    """ml_power_iteration's integer fixpoint must agree with the
+    float ground truth it approximates: cosine similarity between
+    the returned milli-vector and numpy's top eigenvector of the
+    SAME between-class scatter matrix (integer centroids, so both
+    sides diagonalize the identical B) >= 0.95 after 8 rounds. This
+    is the semantic pin; the DuckDB oracle pins cross-engine
+    exactness separately. The raw Gram matrix was measured
+    Marchenko-Pastur-flat here (cos 0.16 after 3 rounds) — the
+    scatter matrix is the object with a spectral gap."""
+    import numpy as np
+
+    from sql_engine_triangle_spark.catalog import load_table
+
+    res = (
+        registry.get("ml_power_iteration")
+        .fn(spark, SF_DIR_SMALL)
+        .toPandas()
+        .sort_values("dim_idx")
+    )
+    v = res["v_milli"].to_numpy().astype(float)
+    rows = (
+        load_table(spark, SF_DIR_SMALL, "embeddings")
+        .select("label", "embedding")
+        .collect()
+    )
+    X = np.floor(np.array([r.embedding for r in rows], dtype=np.float64) * 10000 + 0.5)
+    y = np.array([r.label for r in rows])
+    B = np.zeros((64, 64))
+    for c in np.unique(y):
+        Xc = X[y == c]
+        m = np.trunc(Xc.sum(0) / len(Xc))  # truncating integer mean
+        B += len(Xc) * np.outer(m, m)
+    evals, evecs = np.linalg.eigh(B)
+    top = evecs[:, int(np.argmax(evals))]
+    cos = abs(float(v @ top)) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos >= 0.95, cos

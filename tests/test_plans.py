@@ -106,6 +106,9 @@ ALLOWED_NESTED_LOOP = {
     # 1-row certification frames (build/probe/candidate/true counts)
     # folded into the single output row.
     "j_bloom_prefilter",
+    # 1-row broadcast rescale scalar (max|w|) onto the 64-row vector
+    # each power-iteration round.
+    "ml_power_iteration",
 }
 
 
