@@ -151,6 +151,9 @@ EXTRA = [
     "sim_sparse_cosine_pairs",
     "text_inverted_index",
     "j_bloom_prefilter",
+    "ml_power_iteration",
+    "w_window_funnel",
+    "multimodal_patch_stats",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

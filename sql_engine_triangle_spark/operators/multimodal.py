@@ -383,3 +383,83 @@ def synthesize_assets(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.select("doc_id").mapInPandas(gen, ASSET_SCHEMA)
+
+
+def synthesize_gradient_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic GRADIENT PPM payloads for even doc_ids — the
+    patch-statistics companion to synthesize_assets (whose constant
+    channels make any sub-region mean equal the global mean, so they
+    cannot certify patch logic). Red channel r(x, y) = base + x + 2y
+    with base = (3·id) % 200, w = 4 + id%8, h = 3 + id%5: values stay
+    <= 199 + 10 + 12 < 256 (no uint8 wrap), so every patch SUM has an
+    arithmetic-series closed form the SQL oracle reproduces exactly.
+    g/b channels are zero."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "media_type": [], "content": []}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 2 != 0:
+                    continue
+                w, h = 4 + i % 8, 3 + i % 5
+                base = (3 * i) % 200
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                arr = np.zeros((h, w, 3), dtype=np.uint8)
+                arr[..., 0] = (base + xs + 2 * ys).astype(np.uint8)
+                out["doc_id"].append(i)
+                out["media_type"].append("image/ppm")
+                out["content"].append(encode_ppm(arr))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(gen, ASSET_SCHEMA)
+
+
+PATCH_SUMS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sum_tl", LongType()),
+        StructField("sum_tr", LongType()),
+        StructField("sum_bl", LongType()),
+        StructField("sum_br", LongType()),
+    ]
+)
+
+
+def image_patch_sums(assets: DataFrame) -> DataFrame:
+    """REAL decode -> PATCH aggregation: decode each PPM, split the
+    red channel into 2x2 quadrants at (w div 2, h div 2), and emit
+    exact INTEGER pixel sums per quadrant — the patch-feature
+    extraction shape (ViT-style patching, thumbnail pooling) with
+    int64 sums so the closed-form oracle compare is exact, never a
+    float mean."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "width", "height",
+                    "sum_tl", "sum_tr", "sum_bl", "sum_br",
+                )
+            }
+            for doc_id, b in zip(pdf["doc_id"], pdf["content"]):
+                img = decode_ppm(bytes(b))
+                r = img[..., 0].astype(np.int64)
+                h, w = r.shape
+                h2, w2 = h // 2, w // 2
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_tl"].append(int(r[:h2, :w2].sum()))
+                out["sum_tr"].append(int(r[:h2, w2:].sum()))
+                out["sum_bl"].append(int(r[h2:, :w2].sum()))
+                out["sum_br"].append(int(r[h2:, w2:].sum()))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(stats, PATCH_SUMS_SCHEMA)

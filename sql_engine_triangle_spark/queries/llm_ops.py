@@ -3024,3 +3024,53 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "df", "min_doc", "max_doc", "top_docs")
         .orderBy("term")
     )
+
+
+def _patch_sum_sql(xa: str, xb: str, ya: str, yb: str) -> str:
+    """Closed-form integer pixel sum of r(x,y) = base + x + 2y over
+    the half-open patch [xa,xb) x [ya,yb) — one shared definition
+    generates all four quadrant columns so the oracle cannot drift
+    from the decoder's slicing. Arithmetic-series sums are exact:
+    (a + b - 1)(b - a) is always even, so // 2 loses nothing."""
+    nx, ny = f"(({xb}) - ({xa}))", f"(({yb}) - ({ya}))"
+    tx = f"((({xa}) + ({xb}) - 1) * {nx} // 2)"
+    ty = f"((({ya}) + ({yb}) - 1) * {ny} // 2)"
+    return f"CAST({nx} * {ny} * base + {ny} * {tx} + 2 * {nx} * {ty} AS BIGINT)"
+
+
+MM_PATCH_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 8 AS BIGINT) AS w,
+         CAST(3 + doc_id % 5 AS BIGINT) AS h,
+         CAST((3 * doc_id) % 200 AS BIGINT) AS base
+  FROM documents WHERE doc_id % 2 = 0
+),
+q AS (SELECT doc_id, w, h, base, w // 2 AS w2, h // 2 AS h2 FROM dims)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       {_patch_sum_sql('0', 'w2', '0', 'h2')} AS sum_tl,
+       {_patch_sum_sql('w2', 'w', '0', 'h2')} AS sum_tr,
+       {_patch_sum_sql('0', 'w2', 'h2', 'h')} AS sum_bl,
+       {_patch_sum_sql('w2', 'w', 'h2', 'h')} AS sum_br
+FROM q
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_patch_stats", oracle=MM_PATCH_ORACLE, tags=("LLM-mm",))
+def multimodal_patch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode -> PATCH aggregation, externally verified: gradient
+    PPM payloads (red channel base + x + 2y — constant-channel
+    payloads cannot certify patch logic, any sub-region mean equals
+    the global mean) are decoded by the real P6 parser and split into
+    2x2 quadrants whose exact INTEGER pixel sums the oracle
+    reproduces from the arithmetic-series closed form. This certifies
+    the decoder's spatial layout end-to-end (a transposed reshape,
+    swapped strides, or off-by-one patch boundary flips a quadrant
+    sum) — the ViT-patching / thumbnail-pooling shape over
+    mapInPandas Arrow batches."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.synthesize_gradient_assets(docs)
+    return multimodal.image_patch_sums(assets).sortWithinPartitions("doc_id")

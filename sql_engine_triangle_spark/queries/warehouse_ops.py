@@ -1728,3 +1728,82 @@ def j_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "no_false_negatives",
         )
     )
+
+
+WINDOW_FUNNEL_ORACLE = """
+WITH v AS (SELECT user_id, ts AS vt FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts AS ct FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts AS pt FROM events WHERE event_type = 'purchase'),
+l1 AS (SELECT DISTINCT user_id FROM v),
+l2 AS (
+  SELECT DISTINCT v.user_id
+  FROM v JOIN c USING (user_id)
+  WHERE ct > vt AND ct <= vt + INTERVAL 1 HOUR
+),
+l3 AS (
+  SELECT DISTINCT v.user_id
+  FROM v
+  JOIN c USING (user_id)
+  JOIN p USING (user_id)
+  WHERE ct > vt AND ct <= vt + INTERVAL 1 HOUR
+    AND pt > ct AND pt <= vt + INTERVAL 1 HOUR
+)
+SELECT * FROM (
+  SELECT 1 AS funnel_level, CAST((SELECT count(*) FROM l1) AS BIGINT) AS n_users_reaching
+  UNION ALL
+  SELECT 2, CAST((SELECT count(*) FROM l2) AS BIGINT)
+  UNION ALL
+  SELECT 3, CAST((SELECT count(*) FROM l3) AS BIGINT)
+) ORDER BY funnel_level
+"""
+
+
+@register("w_window_funnel", oracle=WINDOW_FUNNEL_ORACLE, tags=("W1", "J1"))
+def w_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-windowFunnel-class ORDERED sequence matching: how
+    many users completed view -> click -> purchase IN THAT ORDER with
+    the whole chain inside one hour of the first step (strict
+    inequalities — exact-timestamp ties do not advance the funnel,
+    pinning the boundary semantics). This differs from
+    pipeline_funnel_conversion, which counts stage membership without
+    order-within-window constraints — the windowFunnel semantic needs
+    the cross-event time predicate. Per-level reach counts are
+    cumulative-style (a level-3 user is also counted at 1 and 2),
+    certified monotone by construction.
+
+    Plan shape: the existence checks ride per-user equi-joins with
+    time residuals — the pairwise work is per-user bounded (the
+    a_frequent_pairs blocking argument); at 100 TB replace the
+    three-way join with a per-view min-next-click as-of fold if
+    per-user event counts grow unbounded (operators/temporal.py).
+    Timestamps are exact micros; all outputs integer counts."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vt")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ct")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pt")
+    )
+    in_hour = F.expr("ct > vt AND ct <= vt + INTERVAL 1 HOUR")
+    chain = F.expr("pt > ct AND pt <= vt + INTERVAL 1 HOUR")
+    l1 = v.select("user_id").distinct()
+    l2 = v.join(c, "user_id").filter(in_hour).select("user_id").distinct()
+    l3 = (
+        v.join(c, "user_id")
+        .filter(in_hour)
+        .join(p, "user_id")
+        .filter(chain)
+        .select("user_id")
+        .distinct()
+    )
+    counts = [
+        df.agg(F.count("*").cast("long").alias("n_users_reaching")).withColumn(
+            "funnel_level", F.lit(i)
+        )
+        for i, df in ((1, l1), (2, l2), (3, l3))
+    ]
+    out = counts[0].unionByName(counts[1]).unionByName(counts[2])
+    return out.select("funnel_level", "n_users_reaching").orderBy("funnel_level")
