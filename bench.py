@@ -154,6 +154,8 @@ EXTRA = [
     "ml_power_iteration",
     "w_window_funnel",
     "multimodal_patch_stats",
+    "a_equidepth_hist",
+    "f_sequence_gaps",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

@@ -1797,8 +1797,15 @@ def ml_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("g") * F.col("vj")).cast("long").alias("w"))
         )
         s = w.agg(F.max(F.abs(F.col("w"))).alias("s"))
-        v = w.join(F.broadcast(s)).select(
-            "i", F.expr("cast((w * 1000) div s as bigint)").alias("v")
+        # localCheckpoint each 64-row round: v_k's plan otherwise
+        # embeds every earlier round, and the per-round BROADCASTS
+        # execute that whole chain again — measured 11.6 s for 8
+        # rounds without the checkpoint vs ~1 s with it (the same
+        # O(rounds²) re-execution the star operator hit in r5).
+        v = (
+            w.join(F.broadcast(s))
+            .select("i", F.expr("cast((w * 1000) div s as bigint)").alias("v"))
+            .localCheckpoint()
         )
     return v.select(
         F.col("i").alias("dim_idx"), F.col("v").alias("v_milli")

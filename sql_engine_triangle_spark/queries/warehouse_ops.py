@@ -1807,3 +1807,150 @@ def w_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = counts[0].unionByName(counts[1]).unionByName(counts[2])
     return out.select("funnel_level", "n_users_reaching").orderBy("funnel_level")
+
+
+EQUIDEPTH_ORACLE = """
+WITH c AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events
+),
+b AS (
+  SELECT CAST(quantile_disc(cents, 0.25) AS BIGINT) AS q1,
+         CAST(quantile_disc(cents, 0.50) AS BIGINT) AS q2,
+         CAST(quantile_disc(cents, 0.75) AS BIGINT) AS q3
+  FROM c
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(cents) AS BIGINT) AS lo_cents,
+       CAST(max(cents) AS BIGINT) AS hi_cents
+FROM (
+  SELECT cents,
+         CASE WHEN cents <= (SELECT q1 FROM b) THEN 1
+              WHEN cents <= (SELECT q2 FROM b) THEN 2
+              WHEN cents <= (SELECT q3 FROM b) THEN 3
+              ELSE 4 END AS bucket
+  FROM c
+)
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register("a_equidepth_hist", oracle=EQUIDEPTH_ORACLE, tags=("A9", "A5"))
+def a_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram — the CBO-statistics / feature-binning
+    counterpart of a_histogram's fixed-WIDTH bins: quartile
+    boundaries from exact DISCRETE percentiles (actual data values,
+    integer cents — the a_percentile_disc machinery), then one
+    bucket-assignment pass with exact per-bucket counts and value
+    ranges. Ties at a boundary all land in the lower bucket on both
+    engines (<= against the same integer boundary), so counts are
+    deterministic even though equi-depth is only approximate under
+    ties. Two passes total: one percentile aggregation broadcast as
+    a 1-row boundary frame, one map-side-combined bucket rollup —
+    at 100 TB swap the exact percentiles for approx_percentile and
+    the shape is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    c = ev.select(cents.alias("cents"))
+    b = c.agg(
+        *[
+            F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY cents)")
+            .cast("long")
+            .alias(a)
+            for p, a in ((0.25, "q1"), (0.50, "q2"), (0.75, "q3"))
+        ]
+    )
+    bucket = (
+        F.when(F.col("cents") <= F.col("q1"), 1)
+        .when(F.col("cents") <= F.col("q2"), 2)
+        .when(F.col("cents") <= F.col("q3"), 3)
+        .otherwise(4)
+    )
+    return (
+        c.join(F.broadcast(b))
+        .select("cents", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SEQUENCE_GAPS_ORACLE = """
+WITH s AS (
+  SELECT DISTINCT event_id AS id FROM events
+  WHERE CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 4)
+             AS INTEGER) % 10 <> 7
+),
+g AS (SELECT id, lead(id) OVER (ORDER BY id) AS nid FROM s)
+SELECT id + 1 AS gap_start,
+       nid - 1 AS gap_end,
+       CAST(nid - id - 1 AS BIGINT) AS n_missing
+FROM g
+WHERE nid > id + 1
+ORDER BY gap_start
+"""
+
+
+@register("f_sequence_gaps", oracle=SEQUENCE_GAPS_ORACLE, tags=("W1", "F14"))
+def f_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-id RANGE detection — the data-integrity scan behind
+    'did ingestion drop anything' (maximal runs of absent ids
+    between the observed min and max; a deterministic md5 drop of
+    ~10% of event_ids makes the fixture non-trivial). The oracle's
+    naive form is a GLOBAL lead — an Exchange SinglePartition at
+    scale — so the engine runs the TWO-PHASE banded variant: lead
+    within id-band partitions finds intra-band gaps, and a second
+    lead over the bounded band-summary frame (one row per present
+    band: min/max id) finds gaps that cross band boundaries,
+    including runs spanning entirely-absent bands. Same discipline
+    as pipeline_pack_sequences' banded prefix sum; the only ordered
+    window over unbounded data is band-partitioned."""
+    from pyspark.sql.window import Window as Wnd
+
+    ev = load_table(spark, sf_dir, "events")
+    bk = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 10
+    )
+    s = (
+        ev.select(F.col("event_id").alias("id"))
+        .filter(bk != 7)
+        .distinct()
+        .withColumn("band", F.expr("id div 1000"))
+    )
+    w_in = Wnd.partitionBy("band").orderBy("id")
+    intra = (
+        s.withColumn("nid", F.lead("id").over(w_in))
+        .filter(F.col("nid") > F.col("id") + 1)
+        .select(
+            (F.col("id") + 1).alias("gap_start"),
+            (F.col("nid") - 1).alias("gap_end"),
+        )
+    )
+    bands = s.groupBy("band").agg(
+        F.min("id").alias("mn"), F.max("id").alias("mx")
+    )
+    w_b = Wnd.orderBy("band")  # bounded: one row per PRESENT band
+    cross = (
+        bands.withColumn("next_mn", F.lead("mn").over(w_b))
+        .filter(F.col("next_mn") > F.col("mx") + 1)
+        .select(
+            (F.col("mx") + 1).alias("gap_start"),
+            (F.col("next_mn") - 1).alias("gap_end"),
+        )
+    )
+    return (
+        intra.unionByName(cross)
+        .select(
+            "gap_start",
+            "gap_end",
+            (F.col("gap_end") - F.col("gap_start") + 1).cast("long").alias("n_missing"),
+        )
+        .orderBy("gap_start")
+    )

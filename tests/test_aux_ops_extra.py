@@ -1,12 +1,17 @@
-"""Pin for j_fuzzy_name_match's composite (brand × length-band)
+"""Pins for j_fuzzy_name_match's composite (brand × first-token)
 blocking vs the brand-only exhaustive baseline (VERDICT r5 #4).
 
-The sorted-neighborhood bound: Levenshtein(a,b) >= |len(a)-len(b)|,
-and |len diff| <= 7 forces band diff <= 1 at band width 8 — so the
-composite-blocked nearest MUST equal the exhaustive nearest wherever
-the exhaustive nearest is within 7 edits, and can never be closer
-than it (candidate subset). The brand-only form stays here as the
-oracle baseline the production blocking is certified against.
+Properties certified: (1) SUBSET — blocked candidates are a subset of
+the brand-only candidates, so the blocked nearest distance can never
+undercut the exhaustive one; (2) SAME-TOKEN EXACTNESS — wherever the
+exhaustive nearest shares the probe's first token, the blocked result
+reports exactly that distance (blocking loses only cross-token
+matches, the documented ER recall tradeoff). The length-band
+sorted-neighborhood variant (distance-bounded exactness) was built
+first and measured vacuous on this fixture — names are 7-12 chars, so
+every same-brand pair sits within one band and the full per-brand
+quadratic returns (16.0M pairs / 15 s of levenshtein at sf0.1 vs
+2.0M / ~2 s with first-token blocking).
 """
 
 from __future__ import annotations
@@ -59,12 +64,50 @@ def test_fuzzy_composite_blocking_vs_exhaustive_baseline(spark):
     # Composite candidates are a subset: never closer than exhaustive.
     for k, d in comp.items():
         assert d >= exact[k], (k, d, exact[k])
-    # The sorted-neighborhood guarantee: exhaustive nearest within 7
-    # edits is always found exactly.
-    near = {k: d for k, d in exact.items() if d <= 7}
-    for k, d in near.items():
-        assert comp.get(k) == d, (k, comp.get(k), d)
-    # Coverage stays meaningful (blocking prunes pairs, not entities):
-    # every entity with any same-(brand, band±1) peer appears; on the
-    # fixture that should be nearly all parts with a same-brand peer.
-    assert len(comp) >= 0.9 * len(exact), (len(comp), len(exact))
+
+
+def _dist(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_same_token_exactness(spark):
+    """Wherever the exhaustive same-brand nearest neighbor shares the
+    probe's first name token, the (brand, first-token)-blocked result
+    must report exactly that distance — the blocking loses only
+    cross-token matches (the documented recall tradeoff), never
+    within-block precision. Verified with a pure-Python Levenshtein
+    so the check is engine-independent."""
+    comp = {
+        r.p_partkey: r.edit_dist
+        for r in registry.get("j_fuzzy_name_match").fn(spark, SF_DIR_SMALL).collect()
+    }
+    rows = (
+        load_table(spark, SF_DIR_SMALL, "part")
+        .select("p_partkey", "p_brand", "p_name")
+        .collect()
+    )
+    by_brand: dict = {}
+    for r in rows:
+        by_brand.setdefault(r.p_brand, []).append((r.p_partkey, r.p_name))
+    n_checked = 0
+    for brand, members in by_brand.items():
+        for k, nm in members:
+            best = None
+            for k2, nm2 in members:
+                if k2 == k:
+                    continue
+                d = _dist(nm, nm2)
+                if best is None or d < best[0] or (d == best[0] and k2 < best[1]):
+                    best = (d, k2, nm2)
+            if best is None:
+                continue
+            if best[2].split(" ")[0] == nm.split(" ")[0]:
+                assert comp.get(k) == best[0], (k, comp.get(k), best)
+                n_checked += 1
+    assert n_checked > 0

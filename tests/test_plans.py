@@ -109,6 +109,8 @@ ALLOWED_NESTED_LOOP = {
     # 1-row broadcast rescale scalar (max|w|) onto the 64-row vector
     # each power-iteration round.
     "ml_power_iteration",
+    # 1-row broadcast quartile-boundary frame onto the bucket pass.
+    "a_equidepth_hist",
 }
 
 
