@@ -156,6 +156,8 @@ EXTRA = [
     "multimodal_patch_stats",
     "a_equidepth_hist",
     "f_sequence_gaps",
+    "emb_pq_codebook",
+    "sim_pq_adc_topk",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

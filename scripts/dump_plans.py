@@ -87,6 +87,8 @@ QUERIES = [
     "a_linear_trend",
     "a_equidepth_hist",
     "f_sequence_gaps",
+    "emb_pq_codebook",
+    "sim_pq_adc_topk",
 ]
 
 

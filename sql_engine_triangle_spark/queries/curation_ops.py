@@ -1810,3 +1810,229 @@ def ml_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(
         F.col("i").alias("dim_idx"), F.col("v").alias("v_milli")
     ).orderBy("dim_idx")
+
+
+def _pq_iter_sql(cent: str, idx: int) -> str:
+    """One unrolled PQ training iteration (per-subspace assign +
+    recenter) — generated from one definition, MATERIALIZED so the
+    chain stays linear (the ml_power_iteration lesson)."""
+    return f"""asg{idx} AS MATERIALIZED (
+  SELECT sub, vec_id, cid FROM (
+    SELECT p.sub, p.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY p.sub, p.vec_id
+             ORDER BY list_sum(list_transform(range(1, 17),
+                       d -> (p.sq[d] - c.sq[d]) * (p.sq[d] - c.sq[d]))), c.cid
+           ) AS rn
+    FROM subs p JOIN {cent} c USING (sub)
+  ) WHERE rn = 1
+),
+cent{idx} AS MATERIALIZED (
+  SELECT sub, cid, list(coord ORDER BY d) AS sq FROM (
+    SELECT a.sub, a.cid, dims.d,
+           CAST(CAST(sum(p.sq[dims.d]) AS BIGINT) // count(*) AS BIGINT) AS coord
+    FROM asg{idx} a
+    JOIN subs p USING (sub, vec_id)
+    CROSS JOIN (SELECT unnest(range(1, 17)) AS d) dims
+    GROUP BY a.sub, a.cid, dims.d
+  ) GROUP BY sub, cid
+)"""
+
+
+PQ_ITERS = 2
+
+# Shared training CTE chain — both PQ oracles (codebook + ADC
+# retrieval) are generated from this one definition, so the twins
+# cannot drift.
+_PQ_TRAIN_CTES = (
+    """pts AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+),
+subs AS MATERIALIZED (
+  SELECT vec_id, s.sub,
+         pts.q[(s.sub * 16 + 1):(s.sub * 16 + 16)] AS sq
+  FROM pts CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) s
+),
+cent0 AS MATERIALIZED (
+  SELECT sub, rn - 1 AS cid, sq FROM (
+    SELECT sub, sq,
+           row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+    FROM subs
+  ) WHERE rn <= 4
+),
+"""
+    + ",\n".join(_pq_iter_sql(f"cent{i}", i + 1) for i in range(PQ_ITERS))
+)
+
+PQ_CODEBOOK_ORACLE = (
+    "\nWITH "
+    + _PQ_TRAIN_CTES
+    + f"""
+SELECT c.sub, c.cid, dims.d - 1 AS dim,
+       CAST(c.sq[dims.d] AS BIGINT) AS coord,
+       CAST(s.n AS BIGINT) AS n_members
+FROM cent{PQ_ITERS} c
+JOIN (SELECT sub, cid, count(*) AS n FROM asg{PQ_ITERS} GROUP BY 1, 2) s
+  USING (sub, cid)
+CROSS JOIN (SELECT unnest(range(1, 17)) AS d) dims
+ORDER BY sub, cid, dim
+"""
+)
+
+
+@register("emb_pq_codebook", oracle=PQ_CODEBOOK_ORACLE, tags=("LLM-sim", "ML"))
+def emb_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT-QUANTIZATION codebook trainer, integer-exact — the
+    vector-compression tier beyond sim_quantized_topk's scalar
+    codes: the 64-dim space splits into 4 subspaces of 16 dims, and
+    each subspace trains its own k=4 codebook with Lloyd iterations
+    (the FAISS PQ recipe — a vector then encodes as 4 code ids,
+    compressing 64 floats to 4 bytes while distances decompose as
+    sums of per-subspace lookup tables). All four subspaces train in
+    ONE plan: the subvector explode makes `sub` an ordinary grouping
+    key, so every window/aggregation of the ml_kmeans_int machinery
+    is keyed (sub, ...) and the subspaces parallelize across tasks —
+    no per-subspace jobs. Micro-unit lift, exact BIGINT squared-L2,
+    truncating-division recenter, lowest-cid tie-break: two
+    iterations bit-identical on both engines, centroids
+    localCheckpoint between rounds. Output: 4x4x16 codebook rows
+    with member counts at any corpus size."""
+    _, cent, asg = _pq_train(spark, sf_dir)
+    sizes = asg.groupBy("sub", "cid").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    return (
+        cent.join(sizes, ["sub", "cid"])
+        .select("sub", "cid", F.posexplode("cq").alias("dim", "coord"), "n_members")
+        .select("sub", "cid", "dim", "coord", "n_members")
+        .orderBy("sub", "cid", "dim")
+    )
+
+
+def _pq_train(spark: SparkSession, sf_dir: str):
+    """Shared PQ trainer (the engine twin of _PQ_TRAIN_CTES): returns
+    (subs, cent, asg) — micro-unit subvectors, final per-subspace
+    codebooks (sub, cid, cq), and final assignments (sub, vec_id,
+    cid, sq)."""
+    from pyspark.sql.window import Window as Wnd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(cast(embedding as array<double>), "
+            "x -> cast(floor(x * 1000000 + 0.5) as bigint))"
+        ).alias("q"),
+    )
+    subs = pts.select(
+        "vec_id",
+        F.posexplode(
+            F.expr("transform(sequence(0, 3), s -> slice(q, s * 16 + 1, 16))")
+        ).alias("sub", "sq"),
+    ).localCheckpoint()
+    w_seed = Wnd.partitionBy("sub").orderBy("vec_id")
+    cent = (
+        subs.withColumn("rn", F.row_number().over(w_seed))
+        .filter(F.col("rn") <= 4)
+        .select("sub", (F.col("rn") - 1).alias("cid"), F.col("sq").alias("cq"))
+    )
+    dist = F.expr(
+        "aggregate(zip_with(sq, cq, (a, b) -> (a - b) * (a - b)), 0L, "
+        "(acc, x) -> acc + x)"
+    )
+    w_pt = Wnd.partitionBy("sub", "vec_id").orderBy("dist", "cid")
+    asg = None
+    for _ in range(PQ_ITERS):
+        asg = (
+            subs.join(F.broadcast(cent), "sub")
+            .withColumn("dist", dist)
+            .withColumn("rn", F.row_number().over(w_pt))
+            .filter(F.col("rn") == 1)
+            .select("sub", "vec_id", "cid", "sq")
+        )
+        cent = (
+            asg.select("sub", "cid", F.posexplode("sq").alias("d", "v"))
+            .groupBy("sub", "cid", "d")
+            .agg(F.expr("sum(v) div count(*)").alias("coord"))
+            .groupBy("sub", "cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(d, coord))), "
+                    "x -> x.coord)"
+                ).alias("cq")
+            )
+            .localCheckpoint()
+        )
+    return subs, cent, asg
+
+
+PQ_ADC_ORACLE = (
+    "\nWITH "
+    + _PQ_TRAIN_CTES
+    + f""",
+qsub AS MATERIALIZED (SELECT sub, sq AS qq FROM subs WHERE vec_id = 0),
+lut AS MATERIALIZED (
+  SELECT c.sub, c.cid,
+         CAST(list_sum(list_transform(range(1, 17),
+              d -> (q.qq[d] - c.sq[d]) * (q.qq[d] - c.sq[d]))) AS BIGINT) AS qdist
+  FROM cent{PQ_ITERS} c JOIN qsub q USING (sub)
+),
+adc AS (
+  SELECT a.vec_id, CAST(sum(l.qdist) AS BIGINT) AS adc_dist
+  FROM asg{PQ_ITERS} a JOIN lut l USING (sub, cid)
+  WHERE a.vec_id <> 0
+  GROUP BY a.vec_id
+)
+SELECT vec_id, adc_dist,
+       CAST(row_number() OVER (ORDER BY adc_dist, vec_id) AS BIGINT) AS rank
+FROM adc
+ORDER BY adc_dist, vec_id
+LIMIT 10
+"""
+)
+
+
+@register("sim_pq_adc_topk", oracle=PQ_ADC_ORACLE, tags=("LLM-sim", "ML"))
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ retrieval by ASYMMETRIC DISTANCE COMPUTATION — the read
+    path of emb_pq_codebook's codebook, completing the compress +
+    retrieve story: every corpus vector is ENCODED as its 4
+    per-subspace code ids (the trained assignment — 4 small ints
+    standing in for 64 floats), the query (vec_id 0) builds a 16-row
+    lookup table of exact BIGINT squared-L2 distances to every
+    centroid, and each vector's ADC distance is the sum of 4 LUT
+    hits — a broadcast join + map-side-combined sum, NO per-pair
+    vector math at query time (the entire point of PQ at 100 TB:
+    query cost is |codes| lookups, memory is 4 bytes/vector).
+    Integer-exact end to end, so the ADC ranking itself
+    hash-matches; ties break by vec_id. Top-10 via
+    TakeOrderedAndProject."""
+    subs, cent, asg = _pq_train(spark, sf_dir)
+    qsub = subs.filter(F.col("vec_id") == 0).select(
+        "sub", F.col("sq").alias("qq")
+    )
+    qdist = F.expr(
+        "aggregate(zip_with(qq, cq, (a, b) -> (a - b) * (a - b)), 0L, "
+        "(acc, x) -> acc + x)"
+    )
+    lut = (
+        cent.join(F.broadcast(qsub), "sub")
+        .select("sub", "cid", qdist.alias("qdist"))
+    )
+    adc = (
+        asg.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(lut), ["sub", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("qdist").cast("long").alias("adc_dist"))
+    )
+    from pyspark.sql.window import Window as Wnd
+
+    ranked = adc.orderBy("adc_dist", "vec_id").limit(10)
+    return ranked.select(
+        "vec_id",
+        "adc_dist",
+        F.row_number().over(Wnd.orderBy("adc_dist", "vec_id")).cast("long").alias("rank"),
+    ).orderBy("adc_dist", "vec_id")
