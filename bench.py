@@ -158,6 +158,7 @@ EXTRA = [
     "f_sequence_gaps",
     "emb_pq_codebook",
     "sim_pq_adc_topk",
+    "sql_entry_window_funnel",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

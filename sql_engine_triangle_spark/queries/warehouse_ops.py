@@ -1954,3 +1954,26 @@ def f_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_start")
     )
+
+
+# One SQL text, both engines: {events} binds to a Spark temp view in
+# the entry and to the DuckDB view in the oracle — the same
+# portable-construct discipline as sql_entry_cte_chain.
+SQL_FUNNEL_TEXT = WINDOW_FUNNEL_ORACLE.replace("FROM events", "FROM {events}")
+
+
+@register(
+    "sql_entry_window_funnel",
+    oracle=SQL_FUNNEL_TEXT.replace("{events}", "events"),
+    tags=("SQL-API", "W1"),
+)
+def sql_entry_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w_window_funnel through the spark.sql() ENTRY POINT — the
+    ordered-sequence funnel as one SQL text that runs verbatim on
+    both engines (CTEs, INTERVAL arithmetic, scalar-subquery counts,
+    UNION ALL — all portable constructs), verifying the SQL-API
+    surface carries the same semantics as the DataFrame form. The
+    planner output is the same as w_window_funnel's (Catalyst
+    compiles both to the identical logical plan)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("funnel_events")
+    return spark.sql(SQL_FUNNEL_TEXT.replace("{events}", "funnel_events"))

@@ -148,11 +148,18 @@ def test_salted_join_empty_sides(spark):
 
 
 def test_partsupp_generator_tiny_supplier_pool(spark):
-    """n_suppliers < 4: offsets collapse but each part still gets 4
-    offer ROWS with suppkeys inside the domain (distinctness needs
-    n_suppliers >= 4, documented)."""
+    """n_suppliers < 4 must raise: the stride offsets collapse mod
+    n_suppliers and (ps_partkey, ps_suppkey) stops being a primary
+    key, so the generator fails loudly instead of silently emitting
+    a non-PK table (ADVICE r5 fix; the 4-offer multiplicity
+    invariant always holds for accepted inputs)."""
+    import pytest as _pytest
+
     from sql_engine_triangle_spark.fixtures.generate import partsupp
 
-    ps = partsupp(spark, 5, 2).toPandas()
+    with _pytest.raises(ValueError, match="n_suppliers"):
+        partsupp(spark, 5, 2)
+    # Smallest accepted pool: PK invariant holds.
+    ps = partsupp(spark, 5, 4).toPandas()
     assert len(ps) == 20
-    assert ps["ps_suppkey"].between(0, 1).all()
+    assert not ps.duplicated(["ps_partkey", "ps_suppkey"]).any()
