@@ -478,3 +478,68 @@ def test_random_date_fn_parity(spark, ddb, unit, days):
     ORDER BY event_id
     """
     assert_frames_match(df.toPandas(), ddb.execute(sql).fetchdf())
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    join_type=st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+    nation_lo=st.integers(min_value=0, max_value=24),
+    nation_hi=st.integers(min_value=0, max_value=24),
+    min_total=st.integers(min_value=0, max_value=300_000),
+)
+def test_random_join_spec_parity(spark, ddb, join_type, nation_lo, nation_hi, min_total):
+    """Random JOIN specs (type × dim filter × fact filter) — the
+    orders⋈customer join family compiled to both engines. Covers the
+    null-extension (left), existence (semi), and absence (anti)
+    semantics the fixed entries exercise only at chosen points; the
+    count/sum aggregate makes row multiplicity errors visible."""
+    lo, hi = sorted((nation_lo, nation_hi))
+    orders = load_table(spark, SF_DIR, "orders").filter(
+        F.col("o_totalprice") >= float(min_total)
+    )
+    cust = load_table(spark, SF_DIR, "customer").filter(
+        F.col("c_nationkey").between(lo, hi)
+    )
+    joined = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, join_type
+    )
+    if join_type in ("left_semi", "left_anti"):
+        df = joined.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n"), F.sum("o_orderkey").alias("sk")
+        )
+    else:
+        df = joined.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").alias("sk"),
+            F.count("c_custkey").alias("n_matched"),
+        )
+    df = df.orderBy("o_orderstatus")
+
+    sql_join = {
+        "inner": "JOIN",
+        "left": "LEFT JOIN",
+        "left_semi": "SEMI JOIN",
+        "left_anti": "ANTI JOIN",
+    }[join_type]
+    extra = (
+        ""
+        if join_type in ("left_semi", "left_anti")
+        else ", count(c_custkey) AS n_matched"
+    )
+    sql = f"""
+    SELECT o_orderstatus, count(*) AS n, sum(o_orderkey) AS sk{extra}
+    FROM (SELECT * FROM orders WHERE o_totalprice >= {min_total}) o
+    {sql_join} (SELECT * FROM customer WHERE c_nationkey BETWEEN {lo} AND {hi}) c
+      ON o.o_custkey = c.c_custkey
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """
+    spark_pdf = df.toPandas()
+    oracle_pdf = ddb.execute(sql).fetchdf()
+    if len(spark_pdf) == 0 and len(oracle_pdf) == 0:
+        return
+    assert_frames_match(spark_pdf, oracle_pdf)
