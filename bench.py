@@ -159,6 +159,10 @@ EXTRA = [
     "emb_pq_codebook",
     "sim_pq_adc_topk",
     "sql_entry_window_funnel",
+    "asof_nearest_attribution",
+    "graph_degree_distribution",
+    "u_multiset_ops",
+    "maint_partition_skew_report",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

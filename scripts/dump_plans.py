@@ -89,6 +89,7 @@ QUERIES = [
     "f_sequence_gaps",
     "emb_pq_codebook",
     "sim_pq_adc_topk",
+    "asof_nearest_attribution",
 ]
 
 

@@ -3074,3 +3074,111 @@ def multimodal_patch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     assets = multimodal.synthesize_gradient_assets(docs)
     return multimodal.image_patch_sums(assets).sortWithinPartitions("doc_id")
+
+
+ASOF_NEAREST_ORACLE = """
+WITH views AS (
+  SELECT user_id, ts, max(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts,
+       CASE WHEN vb.ts IS NOT NULL
+             AND (vf.ts IS NULL
+                  OR epoch_us(p.ts) - epoch_us(vb.ts)
+                     <= epoch_us(vf.ts) - epoch_us(p.ts))
+            THEN vb.view_event_id ELSE vf.view_event_id END AS nearest_view_id,
+       CASE WHEN vb.ts IS NULL AND vf.ts IS NULL THEN NULL
+            WHEN vb.ts IS NOT NULL
+             AND (vf.ts IS NULL
+                  OR epoch_us(p.ts) - epoch_us(vb.ts)
+                     <= epoch_us(vf.ts) - epoch_us(p.ts))
+            THEN 'backward' ELSE 'forward' END AS direction,
+       CASE WHEN vb.ts IS NOT NULL
+             AND (vf.ts IS NULL
+                  OR epoch_us(p.ts) - epoch_us(vb.ts)
+                     <= epoch_us(vf.ts) - epoch_us(p.ts))
+            THEN epoch_us(p.ts) - epoch_us(vb.ts)
+            ELSE epoch_us(vf.ts) - epoch_us(p.ts) END AS gap_us
+FROM purchases p
+ASOF LEFT JOIN views vb ON p.user_id = vb.user_id AND vb.ts <= p.ts
+ASOF LEFT JOIN views vf ON p.user_id = vf.user_id AND vf.ts >= p.ts
+ORDER BY p.event_id
+"""
+
+
+@register("asof_nearest_attribution", oracle=ASOF_NEAREST_ORACLE, tags=("J-asof",))
+def asof_nearest_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIDIRECTIONAL nearest-event join: each purchase attributed to
+    the user's closest view in EITHER direction by absolute time gap
+    (tie -> the earlier, i.e. backward, view) — the feature-store
+    'nearest observation' rule that backward-only as-of cannot
+    express (a view 2 s after the purchase beats one 2 h before).
+    Built as TWO passes of the union-sort-window as-of operator: the
+    backward pass as-is, the forward pass by running the same
+    operator over NEGATED epoch-micros (latest-prior in negated time
+    IS earliest-after in real time — no second operator needed), then
+    a null-safe argmin over the two candidates. Views are pre-deduped
+    to one per (user, ts) (max event_id) so ties are deterministic on
+    both engines; oracle = DuckDB's native chained ASOF LEFT JOINs
+    (<= and >=). Two key shuffles total, no range explosion."""
+    from sql_engine_triangle_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    back = asof_join(
+        purchases,
+        views.select("user_id", "ts", "view_event_id"),
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_payload=["view_event_id", "ts"],
+        tie_col="view_event_id",
+        prefix="b_",
+    )
+    # Forward pass: same operator on negated micros.
+    p_neg = back.withColumn("neg_t", -F.unix_micros(F.col("ts")))
+    v_neg = views.select(
+        "user_id",
+        (-F.unix_micros(F.col("ts"))).alias("neg_t"),
+        F.col("view_event_id").alias("f_view_event_id"),
+        F.unix_micros(F.col("ts")).alias("f_t_us"),
+    )
+    both = asof_join(
+        p_neg,
+        v_neg,
+        on="user_id",
+        left_time="neg_t",
+        right_time="neg_t",
+        right_payload=["f_view_event_id", "f_t_us"],
+        tie_col="f_view_event_id",
+        prefix="f_",
+    )
+    gap_b = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("b_ts"))
+    gap_f = F.col("f_f_t_us") - F.unix_micros(F.col("ts"))
+    pick_b = F.col("b_ts").isNotNull() & (
+        F.col("f_f_t_us").isNull() | (gap_b <= gap_f)
+    )
+    return both.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(pick_b, F.col("b_view_event_id"))
+        .otherwise(F.col("f_f_view_event_id"))
+        .alias("nearest_view_id"),
+        F.when(F.col("b_ts").isNull() & F.col("f_f_t_us").isNull(), F.lit(None))
+        .when(pick_b, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+        F.when(pick_b, gap_b).otherwise(gap_f).alias("gap_us"),
+    ).orderBy("event_id")

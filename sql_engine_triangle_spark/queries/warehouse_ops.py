@@ -1977,3 +1977,166 @@ def sql_entry_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     compiles both to the identical logical plan)."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("funnel_events")
     return spark.sql(SQL_FUNNEL_TEXT.replace("{events}", "funnel_events"))
+
+
+DEGREE_DIST_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+         lead(CAST(json_extract_string(props, '$.k') AS INTEGER))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nk
+  FROM events
+),
+e AS (
+  SELECT DISTINCT k AS src, nk AS dst
+  FROM seq WHERE nk IS NOT NULL AND nk <> k
+),
+deg AS (SELECT src, count(*) AS out_degree FROM e GROUP BY 1)
+SELECT CAST(out_degree AS BIGINT) AS out_degree,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("graph_degree_distribution", oracle=DEGREE_DIST_ORACLE, tags=("graph",))
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree DISTRIBUTION of the navigation graph — the graph
+    observability report behind hub detection and skew planning for
+    the heavier graph kernels (a hot node with degree d fans out d²
+    wedges in triangle counting; this histogram is how you see it
+    coming). Same edge derivation as graph_reachability (per-user
+    lead over the event sequence, distinct directed edges), then two
+    map-side-combined aggregations; output bounded by the number of
+    DISTINCT degrees at any scale. Pure integer counts."""
+    ev = load_table(spark, sf_dir, "events")
+    kcol = F.get_json_object(F.col("props"), "$.k").cast("int")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "ts", "event_id", kcol.alias("k")).withColumn(
+        "nk", F.lead("k").over(w)
+    )
+    e = (
+        seq.filter(F.col("nk").isNotNull() & (F.col("nk") != F.col("k")))
+        .select(F.col("k").alias("src"), F.col("nk").alias("dst"))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("out_degree"))
+    return (
+        deg.groupBy("out_degree")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .select(F.col("out_degree").cast("long").alias("out_degree"), "n_nodes")
+        .orderBy("out_degree")
+    )
+
+
+MULTISET_OPS_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 4)
+              AS INTEGER) % 10 AS bk
+  FROM events
+),
+s1 AS (SELECT event_type FROM b WHERE bk < 6),
+s2 AS (SELECT event_type FROM b WHERE bk >= 4),
+ia AS (SELECT event_type FROM s1 INTERSECT ALL SELECT event_type FROM s2),
+ea AS (SELECT event_type FROM s1 EXCEPT ALL SELECT event_type FROM s2)
+SELECT op, event_type, CAST(n AS BIGINT) AS n FROM (
+  SELECT 'intersect_all' AS op, event_type, count(*) AS n FROM ia GROUP BY 2
+  UNION ALL
+  SELECT 'except_all', event_type, count(*) FROM ea GROUP BY 2
+)
+ORDER BY op, event_type
+"""
+
+
+@register("u_multiset_ops", oracle=MULTISET_OPS_ORACLE, tags=("U1",))
+def u_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET set operations — INTERSECT ALL / EXCEPT ALL complete
+    the §2.7 family beyond the DISTINCT-semantics u_intersect /
+    u_except: per value, intersect-all keeps min(count_a, count_b)
+    copies and except-all keeps max(count_a - count_b, 0) — the bag
+    semantics reconciliation counting needs (how many rows does
+    slice A have that slice B cannot absorb, with multiplicity).
+    The two md5-bucket slices OVERLAP (bk 4-5 in both) so all three
+    regimes appear. Spark intersectAll/exceptAll plan as
+    count-compare aggregations, one exchange each; counts verified
+    per type."""
+    ev = load_table(spark, sf_dir, "events")
+    bk = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 10
+    )
+    b = ev.select("event_type", bk.alias("bk"))
+    s1 = b.filter(F.col("bk") < 6).select("event_type")
+    s2 = b.filter(F.col("bk") >= 4).select("event_type")
+    ia = (
+        s1.intersectAll(s2)
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    ea = (
+        s1.exceptAll(s2)
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    return ia.unionByName(ea).select("op", "event_type", "n").orderBy(
+        "op", "event_type"
+    )
+
+
+PARTITION_SKEW_ORACLE = """
+WITH b AS (
+  SELECT CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 4)
+              AS INTEGER) % 16 AS part_id
+  FROM events
+),
+c AS (SELECT part_id, CAST(count(*) AS BIGINT) AS n_rows FROM b GROUP BY 1),
+t AS (SELECT sum(n_rows) AS total, max(n_rows) AS mx FROM c)
+SELECT part_id, n_rows,
+       CAST((n_rows * 1000) // (SELECT total FROM t) AS BIGINT) AS share_permille,
+       CAST((SELECT (mx * 16000) // total FROM t) AS BIGINT)
+         AS max_skew_permille_of_even
+FROM c
+ORDER BY part_id
+"""
+
+
+@register("maint_partition_skew_report", oracle=PARTITION_SKEW_ORACLE, tags=("S10",))
+def maint_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-SKEW report for a prospective partitioning key:
+    row counts per hash partition (16 md5 buckets of user_id — the
+    same hash-partitioning a shuffle on that key would produce),
+    each bucket's integer-permille share, and the hottest bucket's
+    size as permille OF THE EVEN SHARE (1000 = perfectly even;
+    2000 = the straggler task does 2x the average work — the number
+    that decides whether j_skew_salted's salting is needed BEFORE
+    running the join). One map-side-combined rollup + a broadcast
+    1-row total; all integer arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    part = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 16
+    )
+    c = ev.select(part.alias("part_id")).groupBy("part_id").agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    t = c.agg(
+        F.sum("n_rows").alias("total"), F.max("n_rows").alias("mx")
+    )
+    return (
+        c.join(F.broadcast(t))
+        .select(
+            "part_id",
+            "n_rows",
+            F.expr("(n_rows * 1000) div total").cast("long").alias("share_permille"),
+            F.expr("(mx * 16000) div total")
+            .cast("long")
+            .alias("max_skew_permille_of_even"),
+        )
+        .orderBy("part_id")
+    )

@@ -111,6 +111,8 @@ ALLOWED_NESTED_LOOP = {
     "ml_power_iteration",
     # 1-row broadcast quartile-boundary frame onto the bucket pass.
     "a_equidepth_hist",
+    # 1-row broadcast total/max frame onto the 16-row partition report.
+    "maint_partition_skew_report",
 }
 
 
