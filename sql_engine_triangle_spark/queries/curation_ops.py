@@ -2036,3 +2036,130 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "adc_dist",
         F.row_number().over(Wnd.orderBy("adc_dist", "vec_id")).cast("long").alias("rank"),
     ).orderBy("adc_dist", "vec_id")
+
+
+QUALITY_DUP_CALIBRATION_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, n_chars,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, toks,
+         (1000 * n_chars) // len(toks) AS quality_milli
+  FROM tok WHERE len(toks) >= 10
+),
+shing AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM feat
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shing),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shing),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+drops AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.9
+),
+b AS (
+  SELECT quantile_disc(quality_milli, 0.1) AS b1,
+         quantile_disc(quality_milli, 0.2) AS b2,
+         quantile_disc(quality_milli, 0.3) AS b3,
+         quantile_disc(quality_milli, 0.4) AS b4,
+         quantile_disc(quality_milli, 0.5) AS b5,
+         quantile_disc(quality_milli, 0.6) AS b6,
+         quantile_disc(quality_milli, 0.7) AS b7,
+         quantile_disc(quality_milli, 0.8) AS b8,
+         quantile_disc(quality_milli, 0.9) AS b9
+  FROM feat
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(is_dup) AS BIGINT) AS n_dup,
+       CAST((sum(is_dup) * 1000) // count(*) AS BIGINT) AS dup_permille
+FROM (
+  SELECT CAST(quality_milli > (SELECT b1 FROM b) AS INT)
+       + CAST(quality_milli > (SELECT b2 FROM b) AS INT)
+       + CAST(quality_milli > (SELECT b3 FROM b) AS INT)
+       + CAST(quality_milli > (SELECT b4 FROM b) AS INT)
+       + CAST(quality_milli > (SELECT b5 FROM b) AS INT)
+       + CAST(quality_milli > (SELECT b6 FROM b) AS INT)
+       + CAST(quality_milli > (SELECT b7 FROM b) AS INT)
+       + CAST(quality_milli > (SELECT b8 FROM b) AS INT)
+       + CAST(quality_milli > (SELECT b9 FROM b) AS INT) AS decile,
+       CASE WHEN doc_id IN (SELECT doc_id FROM drops) THEN 1 ELSE 0 END AS is_dup
+  FROM feat
+)
+GROUP BY decile
+ORDER BY decile
+"""
+
+
+@register(
+    "pipeline_quality_dup_calibration",
+    oracle=QUALITY_DUP_CALIBRATION_ORACLE,
+    tags=("LLM-pipeline", "A9"),
+)
+def pipeline_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile × NEAR-DUP-RATE calibration — the report that
+    decides whether quality filtering and deduplication are
+    redundant or complementary on a corpus (if the bottom deciles
+    hold most duplicates, the quality gate already removes them;
+    flat dup rates mean both passes earn their cost). Deciles come
+    from exact discrete quantiles of the gate's quality_milli
+    (integer boundaries broadcast as one row; decile = count of
+    boundaries strictly below, deterministic under ties on both
+    engines); the dup set is the greedy corpus-build drop rule
+    (later side of any >=0.9 pair), generated by the banded
+    MinHash-LSH path while the oracle replays the exact quadratic
+    baseline (equal at 0.9 by the band-miss argument). Output is 10
+    rows with integer-permille dup rates at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    feat = (
+        docs.select("doc_id", "text", "n_chars", toks.alias("toks"))
+        .withColumn("n_tokens", F.size("toks"))
+        .filter(F.col("n_tokens") >= 10)
+        .withColumn("quality_milli", F.expr("(1000 * n_chars) div n_tokens"))
+        .select("doc_id", "text", "quality_milli")
+    )
+    pairs = dedup.minhash_lsh_pairs(feat, threshold=0.9, n=3)
+    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct().withColumn(
+        "is_dup", F.lit(1)
+    )
+    bounds = feat.agg(
+        *[
+            F.expr(
+                f"percentile_disc(0.{i}) WITHIN GROUP (ORDER BY quality_milli)"
+            ).alias(f"b{i}")
+            for i in range(1, 10)
+        ]
+    )
+    decile = sum(
+        F.expr(f"CAST(quality_milli > b{i} AS INT)") for i in range(1, 10)
+    )
+    return (
+        feat.join(drops, "doc_id", "left")
+        .join(F.broadcast(bounds))
+        .select(
+            decile.alias("decile"),
+            F.coalesce(F.col("is_dup"), F.lit(0)).alias("is_dup"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("is_dup").cast("long").alias("n_dup"),
+            F.expr("(sum(is_dup) * 1000) div count(1)")
+            .cast("long")
+            .alias("dup_permille"),
+        )
+        .orderBy("decile")
+    )

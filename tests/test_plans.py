@@ -113,6 +113,8 @@ ALLOWED_NESTED_LOOP = {
     "a_equidepth_hist",
     # 1-row broadcast total/max frame onto the 16-row partition report.
     "maint_partition_skew_report",
+    # 1-row broadcast decile-boundary frame onto the gated corpus.
+    "pipeline_quality_dup_calibration",
 }
 
 
