@@ -164,6 +164,7 @@ EXTRA = [
     "u_multiset_ops",
     "maint_partition_skew_report",
     "pipeline_quality_dup_calibration",
+    "pipeline_token_lorenz",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

@@ -2163,3 +2163,126 @@ def pipeline_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("decile")
     )
+
+
+TOKEN_LORENZ_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, n_chars,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         (1000 * n_chars) // len(toks) AS quality_milli
+  FROM tok WHERE len(toks) >= 10
+),
+b AS (
+  SELECT quantile_disc(quality_milli, 0.1) AS b1,
+         quantile_disc(quality_milli, 0.2) AS b2,
+         quantile_disc(quality_milli, 0.3) AS b3,
+         quantile_disc(quality_milli, 0.4) AS b4,
+         quantile_disc(quality_milli, 0.5) AS b5,
+         quantile_disc(quality_milli, 0.6) AS b6,
+         quantile_disc(quality_milli, 0.7) AS b7,
+         quantile_disc(quality_milli, 0.8) AS b8,
+         quantile_disc(quality_milli, 0.9) AS b9
+  FROM feat
+),
+d AS (
+  SELECT CAST(quality_milli > (SELECT b1 FROM b) AS INT)
+       + CAST(quality_milli > (SELECT b2 FROM b) AS INT)
+       + CAST(quality_milli > (SELECT b3 FROM b) AS INT)
+       + CAST(quality_milli > (SELECT b4 FROM b) AS INT)
+       + CAST(quality_milli > (SELECT b5 FROM b) AS INT)
+       + CAST(quality_milli > (SELECT b6 FROM b) AS INT)
+       + CAST(quality_milli > (SELECT b7 FROM b) AS INT)
+       + CAST(quality_milli > (SELECT b8 FROM b) AS INT)
+       + CAST(quality_milli > (SELECT b9 FROM b) AS INT) AS decile,
+       n_tokens
+  FROM feat
+),
+g AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS tokens
+  FROM d GROUP BY decile
+)
+SELECT decile, n_docs, tokens,
+       CAST(sum(tokens) OVER (ORDER BY decile DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens_from_top,
+       CAST((sum(tokens) OVER (ORDER BY decile DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) * 1000)
+            // (SELECT sum(tokens) FROM g) AS BIGINT)
+         AS cum_share_permille
+FROM g
+ORDER BY decile DESC
+"""
+
+
+@register(
+    "pipeline_token_lorenz", oracle=TOKEN_LORENZ_ORACLE, tags=("LLM-pipeline", "A9")
+)
+def pipeline_token_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token LORENZ curve by quality decile — the 'data diet' report:
+    how much of the corpus's token mass lives in the top-quality
+    documents (if the top three deciles already hold most tokens, an
+    aggressive quality cut is cheap; a flat curve means the budget
+    decision is a real tradeoff — the curve pipeline_token_budget's
+    50% cut should be read against). Decile boundaries are exact
+    discrete quantiles (1-row broadcast, the calibration-report
+    machinery); per-decile token sums are one map-side-combined
+    rollup; the cumulative-from-top share runs on the bounded 10-row
+    frame (an ordered window over DIMENSION-sized data, the
+    documented exception to the no-single-partition-window rule).
+    All integers; shares in exact permille."""
+    from pyspark.sql.window import Window as Wnd
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    feat = (
+        docs.select("doc_id", "n_chars", toks.alias("toks"))
+        .withColumn("n_tokens", F.size("toks"))
+        .filter(F.col("n_tokens") >= 10)
+        .withColumn("quality_milli", F.expr("(1000 * n_chars) div n_tokens"))
+        .select("n_tokens", "quality_milli")
+    )
+    bounds = feat.agg(
+        *[
+            F.expr(
+                f"percentile_disc(0.{i}) WITHIN GROUP (ORDER BY quality_milli)"
+            ).alias(f"b{i}")
+            for i in range(1, 10)
+        ]
+    )
+    decile = sum(
+        F.expr(f"CAST(quality_milli > b{i} AS INT)") for i in range(1, 10)
+    )
+    g = (
+        feat.join(F.broadcast(bounds))
+        .select(decile.alias("decile"), "n_tokens")
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+        )
+    )
+    total = g.agg(F.sum("tokens").alias("_total"))
+    w = Wnd.orderBy(F.desc("decile")).rowsBetween(
+        Wnd.unboundedPreceding, Wnd.currentRow
+    )
+    return (
+        g.join(F.broadcast(total))
+        .withColumn("cum_tokens_from_top", F.sum("tokens").over(w).cast("long"))
+        .select(
+            "decile",
+            "n_docs",
+            "tokens",
+            "cum_tokens_from_top",
+            F.expr("(cum_tokens_from_top * 1000) div _total")
+            .cast("long")
+            .alias("cum_share_permille"),
+        )
+        .orderBy(F.desc("decile"))
+    )

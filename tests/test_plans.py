@@ -115,6 +115,8 @@ ALLOWED_NESTED_LOOP = {
     "maint_partition_skew_report",
     # 1-row broadcast decile-boundary frame onto the gated corpus.
     "pipeline_quality_dup_calibration",
+    # 1-row broadcast boundary + total frames onto the 10-row curve.
+    "pipeline_token_lorenz",
 }
 
 
