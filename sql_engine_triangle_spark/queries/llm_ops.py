@@ -2981,7 +2981,14 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-term arrays at 100 TB (the same bound discipline as
     curation_domain_cap). Output is vocab-sized at any corpus
     scale. Posting ids sort NUMERICALLY (sort_array on the long
-    array before stringifying — lexicographic would rank 10 < 2)."""
+    array before stringifying — lexicographic would rank 10 < 2).
+    The distinct (doc, bigram) frame feeds TWO aggregation
+    consumers (df/min/max stats and the windowed posting sample);
+    Catalyst shares no exchange across different downstream aggs,
+    so the tokenize+explode+distinct subtree is localCheckpointed
+    to execute once (the dedup_minhash_lsh_mid shingle-pass
+    pattern; at cluster scale the same role is played by a
+    persisted shuffle or DISK_ONLY cache of the posting frame)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2998,7 +3005,7 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "transform(sequence(2, size(toks)), i -> concat(toks[i-2], ' ', toks[i-1]))"
             )
         ).alias("term"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     stats = bg.groupBy("term").agg(
         F.count("*").cast("long").alias("df"),
         F.min("doc_id").cast("long").alias("min_doc"),

@@ -1534,7 +1534,7 @@ SELECT event_type, n_days, sx, sy, sxy, sxx,
        CAST(n_days * sxy - sx * sy AS BIGINT) AS slope_num,
        CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den,
        CAST(n_days * sxy - sx * sy AS DOUBLE)
-         / CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope_per_day
+         / CAST(nullif(n_days * sxx - sx * sx, 0) AS DOUBLE) AS slope_per_day
 FROM m
 ORDER BY event_type
 """
@@ -1583,7 +1583,13 @@ def a_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sxx",
         num.cast("long").alias("slope_num"),
         den.cast("long").alias("slope_den"),
-        (num.cast("double") / den.cast("double")).alias("slope_per_day"),
+        # Single-active-day groups have den == 0: a bare division would
+        # throw DIVIDE_BY_ZERO under the driver's bare ANSI session while
+        # the oracle returned NULL — guard BOTH sides identically
+        # (nullif in the SQL above), so such groups yield NULL everywhere.
+        (
+            num.cast("double") / F.nullif(den, F.lit(0)).cast("double")
+        ).alias("slope_per_day"),
     ).orderBy("event_type")
 
 
