@@ -60,6 +60,38 @@ def has_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in executed_plan(df)
 
 
+def _node_col(line: str) -> int:
+    """Column where the node name starts in a plan-tree line — the
+    tree depth proxy (children print strictly further right)."""
+    for i, ch in enumerate(line):
+        if ch not in " :+-|":
+            return i
+    return len(line)
+
+
+def single_partition_subtrees(df: DataFrame) -> list[str]:
+    """For every `Exchange SinglePartition` in the executed plan,
+    return the subtree text BELOW it (its input). The bounded-window
+    policy (CLAUDE.md: 'unless the frame is dimension-sized') is
+    enforceable from these: a single-partition exchange is safe at
+    100 TB only if its input is a bounded intermediate — i.e. the
+    subtree contains an Aggregate (or a limit) between the exchange
+    and any file scan."""
+    lines = executed_plan(df).splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        col = _node_col(line)
+        sub = []
+        for nxt in lines[i + 1 :]:
+            if _node_col(nxt) <= col:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of WholeStageCodegen subtrees (vectorized/pipelined
     execution — §4 rows 9-10). Uses EXPLAIN CODEGEN because the AQE

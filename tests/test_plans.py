@@ -3,6 +3,8 @@ documents (SURVEY.md §4) must appear in our executed plans."""
 
 from __future__ import annotations
 
+import re
+
 from sql_engine_triangle_spark.plans import asserts as pa
 from sql_engine_triangle_spark.queries import registry
 from tests.conftest import SF_DIR
@@ -137,6 +139,40 @@ def test_no_silent_cartesian_joins(spark):
         if hits and name not in ALLOWED_NESTED_LOOP:
             bad[name] = hits
     assert not bad, f"unexpected nested-loop/cartesian plans: {bad}"
+
+
+# Entries allowed to ship an UNBOUNDED (no upstream Aggregate/limit)
+# frame through a single-partition exchange. Empty by policy: every
+# single-partition exchange in every registry plan must sit above a
+# bounded intermediate. Add a name here only with a written argument
+# that the frame is dimension-sized by construction.
+ALLOWED_UNBOUNDED_SINGLE_PARTITION: set[str] = set()
+
+# Node kinds that bound the row count entering a single partition:
+# an aggregation (group-cardinality output), a top-k / limit, or a
+# window-group-limit (k rows per group of a bounded group domain).
+_BOUNDING = re.compile(
+    r"HashAggregate|SortAggregate|ObjectHashAggregate"
+    r"|TakeOrderedAndProject|GlobalLimit|CollectLimit|WindowGroupLimit"
+)
+
+
+def test_single_partition_exchanges_are_bounded(spark):
+    """100 TB guard for the bounded-window policy (VERDICT r6 #4): an
+    `Exchange SinglePartition` funnels its whole input through ONE
+    task, so it is only scale-safe above a bounded intermediate. The
+    policy previously lived in comments (warehouse_ops.py:1362,1939);
+    this asserts it over every registry entry: each single-partition
+    exchange's input subtree must contain a bounding node — so a new
+    entry can't silently put a fact-sized frame through one task."""
+    bad = {}
+    for name in registry.names():
+        df = registry.get(name).fn(spark, SF_DIR)
+        subs = pa.single_partition_subtrees(df)
+        unbounded = [s for s in subs if not _BOUNDING.search(s)]
+        if unbounded and name not in ALLOWED_UNBOUNDED_SINGLE_PARTITION:
+            bad[name] = unbounded[0].splitlines()[:6]
+    assert not bad, f"fact-sized single-partition exchanges: {bad}"
 
 
 def test_domain_cap_window_group_limit(spark):

@@ -1,0 +1,67 @@
+"""Pure-Python reference pin for the corpus-derived greedy subword
+tokenizer (operators/tokenize.py).
+
+The registry sweep already hash-checks text_tokenize_bpe /
+pipeline_token_budget_bpe against their GENERATED DuckDB twins — but
+both engines share the tokenizer's *specification* through the same
+constants, so a spec-level bug (e.g. an off-by-one in the greedy walk
+that both CTE and fold reproduce) would pass the differential check.
+This test re-implements vocab training + greedy longest-match in ~30
+lines of plain Python directly from the written rule and pins the
+Spark output against it word-for-word."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from sql_engine_triangle_spark.catalog import load_table
+from sql_engine_triangle_spark.operators import tokenize
+
+
+def _reference_counts(texts: list[str]) -> dict[str, int]:
+    """Independent implementation of the tokenizer spec: top-K
+    frequency-weighted substrings (len in BPE_SUB_LENS), ties broken
+    on token text; greedy longest-match walk, single-char fallback."""
+    freq = Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            freq[w] += 1
+    occ = Counter()
+    for w, f in freq.items():
+        for s in range(len(w)):
+            for l in tokenize.BPE_SUB_LENS:
+                if s + l <= len(w):
+                    occ[w[s : s + l]] += f
+    vocab = {
+        tok
+        for tok, _ in sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : tokenize.BPE_VOCAB_K
+        ]
+    }
+    out = {}
+    for w in freq:
+        pos, cnt = 0, 0
+        while pos < len(w):
+            step = 1
+            for l in sorted(tokenize.BPE_SUB_LENS, reverse=True):
+                if w[pos : pos + l] in vocab:
+                    step = l
+                    break
+            pos += step
+            cnt += 1
+        out[w] = cnt
+    return out
+
+
+def test_bpe_word_counts_match_python_reference(spark):
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        r["word"]: r["n_bpe"]
+        for r in tokenize.bpe_word_token_counts(docs).collect()
+    }
+    texts = [r["text"] for r in docs.select("text").collect()]
+    want = _reference_counts(texts)
+    assert got == want
+    # The regime is realistic: some words tokenize whole, some split.
+    assert any(v == 1 for v in got.values())
+    assert any(v > 1 for v in got.values())
