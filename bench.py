@@ -173,6 +173,22 @@ EXTRA = [
     "maint_partition_skew_report",
     "pipeline_quality_dup_calibration",
     "pipeline_token_lorenz",
+    # r7: real-tokenizer tier + maximal repeated-passage merge
+    # (pre-baseline rule — benched the same round they enter the
+    # window).
+    "text_tokenize_bpe",
+    "pipeline_token_budget_bpe",
+    "dedup_repeated_passages",
+    # r7: the 10 never-rowed entries rotated in for full rule-1
+    # compliance — bench rows land the same round as their first
+    # driver rows (those not already in the battery above).
+    "tpch_q3_shipping_priority",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q12_late_shipments",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "f_winsorize",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

@@ -90,6 +90,13 @@ QUERIES = [
     "emb_pq_codebook",
     "sim_pq_adc_topk",
     "asof_nearest_attribution",
+    # round-7 additions: real-tokenizer token metering, BPE-metered
+    # budget cut, maximal repeated-passage merge, and the hardest of
+    # the newly-rowed TPC-H shapes (8-relation tree).
+    "text_tokenize_bpe",
+    "pipeline_token_budget_bpe",
+    "dedup_repeated_passages",
+    "tpch_q8_market_share",
 ]
 
 

@@ -78,6 +78,30 @@ def shingle_rows(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     return base.select("doc_id", F.explode(sh).alias("s"))
 
 
+def shingle_pos_rows(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(doc_id, n_toks, pos, s) — one row per shingle OCCURRENCE with
+    its 1-based token position (NOT distinct, unlike shingle_rows):
+    the positional form passage-level operators need. Same
+    materialize-tokens-through-a-barrier trick as shingle_rows (the
+    inlined split re-evaluates per shingle otherwise)."""
+    toks = textops.tokens(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).repartition(
+        "doc_id"
+    )
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(F.col("toks")) - (n - 1), F.lit(1))),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.concat_ws(" ", F.slice(F.col("toks"), i, n)).alias("s"),
+        ),
+    )
+    return base.select(
+        "doc_id", F.size("toks").alias("n_toks"), F.explode(sh).alias("ps")
+    ).select("doc_id", "n_toks", F.col("ps.pos").alias("pos"), F.col("ps.s").alias("s"))
+
+
 def _minhash_min_cols(num_perms: int) -> list:
     """The num_perms min() aggregate columns over an exploded
     (doc_id, s) shingle frame — sig[p] = min over shingles of

@@ -124,76 +124,92 @@ def _ensure_loaded() -> None:
 # stream_tumbling_counts, stream_session_windows, stream_hourly_topk
 # (streaming carried by the stateful flagship stream_closed_sessions).
 _PRIORITY_WINDOW: tuple[str, ...] = (
-    # core flagship (5)
+    # --- r7 rotation: 42 first-ever entries in (FULL rule-1
+    # compliance — the entire r6-built queue, tier 1, the
+    # observability remainder, the r7-built tokenizer/passage tier,
+    # AND the 10 never-rowed entries the pre-sorted queue missed: 7
+    # driver-fixture TPC-H shapes + w_sessionize + w_scd2_history +
+    # f_winsorize — after this window the never-rowed oracle-backed
+    # backlog is ZERO), 8 keepers (rule 2 family minimum). Every
+    # inbound entry pre-verified at three SFs under the bare-session
+    # driver_check before this freeze; displaced entries all hold
+    # green r6-or-earlier rows and stay in the full-registry sweep.
+    # core flagship (5, keepers)
     "q1_agg_by_type",
     "q2_town_month_rollup",
     "q3_yoy_window",
     "q4_top_nations_percentiles",
     "q4_semi_join_form",
-    # literal TPC-H (the three hardest keep the join-tree family)
-    "tpch_q1_pricing_summary",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_idle_customers",
-    # iterative / ML tier (new r6 — integer-exact fixpoints)
-    "graph_pagerank",
-    "ml_kmeans_int",
-    "w_ema_int",
-    # graph kernels (new r6)
-    "graph_triangle_count",
-    "graph_reachability",
-    # exact mergeable distinct tiles (new r6)
-    "a_bitmap_distinct",
-    "a_bitmap_rolling_distinct",
-    # aggregation / window tier (5 new r6 + carried hypertable rep)
-    "a_percentile_disc",
-    "a_weighted_median",
-    "w_interval_coverage",
-    "a_mad_outliers",
-    "a_heavy_hitters",
-    "w_gap_fill_interpolate",
-    # joins / temporal (new r6; j_fuzzy_name_match carries the
-    # composite-blocking ER fix from VERDICT r5 #4)
-    "j_skew_salted",
-    "asof_tolerance_attribution",
-    "j_fuzzy_name_match",
-    # maintenance tier (new r6)
-    "maint_incremental_agg",
-    "maint_snapshot_diff",
-    "maint_table_checksum",
-    # text quality (new r6)
-    "text_gopher_rules",
-    # similarity (1 new + 3 carried)
-    "sim_quantized_topk",
-    "sim_ivf_topk",
-    "sim_hybrid_rrf",
-    "sim_centroid_classify",
-    # Arrow cosine forms (bench-default production forms; bit-equal
-    # JVM twins displaced, equality pinned in tests)
-    "sim_knn_join_arrow",
+    # literal TPC-H (inbound — the 7 driver-fixture shapes that never
+    # had rows; q1/q21/q22's green r5-r6 rows stand and stay swept)
+    "tpch_q3_shipping_priority",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q12_late_shipments",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q18_big_orders",
+    # aggregation tier (inbound)
+    "a_linear_trend",
+    "a_equidepth_hist",
+    "a_autocorr_terms",
+    "a_benford_digits",
+    "a_frequent_pairs",
+    # window tier (inbound; funnel ships with its SQL-API twin; the
+    # sessionize/SCD2/winsorize trio are the never-rowed remainder)
+    "w_window_funnel",
+    "sql_entry_window_funnel",
+    "w_running_distinct",
+    "w_longest_streak",
+    "f_sequence_gaps",
+    "w_sessionize",
+    "w_scd2_history",
+    "f_winsorize",
+    # joins / temporal (inbound)
+    "j_bloom_prefilter",
+    "asof_nearest_attribution",
+    # set ops — completes §2.7 bag semantics (inbound)
+    "u_multiset_ops",
+    "u_union_by_name",
+    # similarity / ANN / iterative (inbound PQ pair shares trainer
+    # CTEs; power iteration completes the integer-fixpoint family)
+    "sim_sparse_cosine_pairs",
+    "emb_pq_codebook",
+    "sim_pq_adc_topk",
+    "ml_power_iteration",
+    # Arrow cosine production form (keeper, rule 3 — one rep; its
+    # bit-equal twins' green r6 rows stand, equality stays pinned)
     "dedup_semantic_arrow",
-    "sim_hard_negatives_arrow",
-    # dedup (carried flagships)
-    "dedup_minhash_lsh_mid",
-    "dedup_incremental",
-    "dedup_keep_best_quality",
-    # observability / explainability tier (new r6)
-    "dedup_drop_witness",
-    "dedup_cluster_size_hist",
-    "pipeline_dataset_card",
-    "pipeline_contamination_report",
-    # pipeline / curation (carried flagships; the r6-built
-    # contamination-aware capstone takes pipeline_decontaminate's slot
-    # — it embeds that entry's stage and was three-SF pre-verified;
-    # the standalone keeps its green r4/r5 rows and stays swept)
+    # graph (inbound observability; ml_power_iteration carries the
+    # iterative family — pagerank/kmeans greens stand)
+    "graph_degree_distribution",
+    # text (inbound; tokenize_bpe is the r7-built real-tokenizer tier)
+    "text_inverted_index",
+    "text_vocab_coverage",
+    "text_tokenize_bpe",
+    # multimodal (inbound spatial certification carries the family —
+    # it drives the same real PPM/WAV decoders as multimodal_decode_
+    # stats, whose green r4-r6 rows stand and stay swept)
+    "multimodal_patch_stats",
+    # maintenance (inbound)
+    "maint_partition_skew_report",
+    # dedup (inbound: the threshold-setting pair histogram + the
+    # r7-built maximal repeated-passage merge; the LSH machinery is
+    # carried by the decontam capstone below — lsh_mid/incremental
+    # greens stand)
+    "dedup_pair_histogram",
+    "dedup_repeated_passages",
+    # pipeline / curation observability (inbound)
+    "pipeline_quality_dup_calibration",
+    "pipeline_token_lorenz",
+    "pipeline_repeat_factors",
+    "pipeline_attribution_split",
+    "pipeline_token_budget_bpe",
+    "curation_domain_concentration",
+    # pipeline capstone (keeper — the most-composed family rep; it
+    # embeds the greedy capstone's stages, whose green rows stand)
     "pipeline_corpus_build_decontam",
-    "pipeline_shard_layout",
-    "pipeline_corpus_build",
-    "pipeline_incremental_admission",
-    "sample_weighted_mix",
-    "pipeline_corpus_build_cc",
-    # multimodal (carried)
-    "multimodal_decode_stats",
-    # streaming (the stateful flagship carries the family)
+    # streaming (keeper: the stateful flagship carries the family)
     "stream_closed_sessions",
 )
 

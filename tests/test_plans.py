@@ -77,6 +77,8 @@ ALLOWED_NESTED_LOOP = {
     # ONE-ROW broadcast of the corpus-total scalar (the token budget)
     # onto the prefix-summed frame — bounded 1 × N by construction.
     "pipeline_token_budget",
+    # same 1-row budget broadcast, metered in BPE tokens.
+    "pipeline_token_budget_bpe",
     # same 1-row budget broadcast PLUS the oracle-grade exact pair
     # stage (swap in LSH pairs for the scale path — see docstring).
     "pipeline_corpus_build",
