@@ -160,6 +160,23 @@ def main() -> None:
         "BENCH_FULL.json now run at most a family-sized battery per JVM, so",
         "round-over-round deltas are meaningful again.",
         "",
+        "Measurement note (r7, prev_common drift check): the mechanical",
+        "delta block (VERDICT r6 #6) flagged one entry past noise:",
+        "pipeline_corpus_build 8.59 s (r6 cohort) -> 10.96 s (r7 cohort).",
+        "Plan is byte-stable (this file, plan_id jitter only), so it was",
+        "re-measured solo per the r6 discipline: fresh idle-machine JVM,",
+        "warmed noop-sink runs, sf0.1 -> min-of-3 9.33 s (spread 9.3-11.6 s",
+        "across consecutive runs in ONE session). 9.33 matches the r5",
+        "judge-solo 9.37 s exactly: the entry is stable, and the r6 8.59 /",
+        "r7 10.96 cohort numbers are opposite draws from the same ~20%",
+        "inter-run variance this 6-stage plan shows (GC timing on the",
+        "shingle explode). Like-for-like over the other 107 shared entries:",
+        "146.1 -> 136.9 s (-6.3%); no other entry REGRESSED past +0.35 s, and",
+        "the dedup_sim-cohort improvements (-0.7 to -1.3 s on five entries)",
+        "track that cohort shrinking by the two trimmed JVM fold twins",
+        "(VERDICT r6 #5) — less per-JVM battery, less GC pressure, the same",
+        "mechanism as the r5 contamination finding, now acting in reverse.",
+        "",
     ]
     for name in QUERIES:
         df = registry.get(name).fn(spark, sf_dir)
