@@ -102,6 +102,48 @@ def shingle_pos_rows(
     ).select("doc_id", "n_toks", F.col("ps.pos").alias("pos"), F.col("ps.s").alias("s"))
 
 
+def repeated_passage_stats(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Maximal repeated passages per document: positional n-gram
+    occurrences repeated ANYWHERE in the corpus (count >= 2, within-
+    doc repeats included — Lee et al. 2022's 'appears more than once'
+    rule), merged into maximal islands of covered token positions
+    (merge when the next gram starts <= previous covered end + 1, so
+    overlapping AND exactly-abutting spans fuse). Returns (doc_id,
+    n_passages, covered_tokens, max_passage_len); docs with no
+    repeated gram are absent. Plan: map-side-combined repeated-gram
+    groupBy + join-back onto the checkpointed positional shingle
+    pass, then the island machinery (running max-of-end + flag sum +
+    per-island agg) on ONE doc_id exchange."""
+    from pyspark.sql.window import Window
+
+    posg = shingle_pos_rows(docs, "doc_id", "text", n).localCheckpoint(eager=False)
+    rep = posg.groupBy("s").agg(F.count("*").alias("cnt")).filter(F.col("cnt") >= 2)
+    cov = posg.join(rep.select("s"), "s").select(
+        "doc_id",
+        "pos",
+        F.least(F.col("pos") + F.lit(n - 1), F.col("n_toks")).alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = cov.withColumn(
+        "new_isl",
+        F.when(F.col("pos") > F.coalesce(prev_max_e, F.lit(-1)) + 1, 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "isl_id",
+        F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    passages = islands.groupBy("doc_id", "isl_id").agg(
+        F.min("pos").alias("p_start"), F.max("e").alias("p_end")
+    )
+    plen = F.col("p_end") - F.col("p_start") + 1
+    return passages.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_passages"),
+        F.sum(plen).cast("long").alias("covered_tokens"),
+        F.max(plen).cast("long").alias("max_passage_len"),
+    )
+
+
 def _minhash_min_cols(num_perms: int) -> list:
     """The num_perms min() aggregate columns over an exploded
     (doc_id, s) shingle frame — sig[p] = min over shingles of

@@ -1448,49 +1448,19 @@ def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc form stays linear in gram occurrences and is what the
     passage-cut stage of a training pipeline consumes.
 
-    Plan shape: ONE positional shingle pass (localCheckpointed — it
-    feeds the repeated-gram aggregation AND the join back, the
-    two-consumers rule), repeated grams via map-side-combined groupBy
-    (HAVING >= 2, singletons never ship as output), join back on the
-    gram key, then the w_interval_coverage island machinery — running
-    max-of-end + island-flag sum + per-island aggregation — all
-    sharing ONE doc_id exchange. Integer-exact throughout; interval
-    ends clamp to doc length."""
-    from pyspark.sql.window import Window
-
+    Plan shape (operators/dedup.py:repeated_passage_stats): ONE
+    positional shingle pass (localCheckpointed — it feeds the
+    repeated-gram aggregation AND the join back, the two-consumers
+    rule), repeated grams via map-side-combined groupBy (HAVING >= 2,
+    singletons never ship as output), join back on the gram key, then
+    the w_interval_coverage island machinery — running max-of-end +
+    island-flag sum + per-island aggregation — all sharing ONE doc_id
+    exchange. Integer-exact throughout; interval ends clamp to doc
+    length. Island-merge boundary semantics (overlap AND exact
+    abutment fuse; a 1-token gap splits) are pinned on crafted
+    corpora in tests/test_llm_ops.py."""
     docs = load_table(spark, sf_dir, "documents")
-    posg = dedup.shingle_pos_rows(docs, "doc_id", "text", 8).localCheckpoint(
-        eager=False
-    )
-    rep = posg.groupBy("s").agg(F.count("*").alias("cnt")).filter(F.col("cnt") >= 2)
-    cov = posg.join(rep.select("s"), "s").select(
-        "doc_id",
-        "pos",
-        F.least(F.col("pos") + F.lit(7), F.col("n_toks")).alias("e"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    flagged = cov.withColumn(
-        "new_isl",
-        F.when(F.col("pos") > F.coalesce(prev_max_e, F.lit(-1)) + 1, 1).otherwise(0),
-    )
-    islands = flagged.withColumn(
-        "isl_id",
-        F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    passages = islands.groupBy("doc_id", "isl_id").agg(
-        F.min("pos").alias("p_start"), F.max("e").alias("p_end")
-    )
-    plen = F.col("p_end") - F.col("p_start") + 1
-    return (
-        passages.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_passages"),
-            F.sum(plen).cast("long").alias("covered_tokens"),
-            F.max(plen).cast("long").alias("max_passage_len"),
-        )
-        .orderBy("doc_id")
-    )
+    return dedup.repeated_passage_stats(docs, n=8).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -319,3 +319,47 @@ def test_decontaminate_shared_grams_are_real(spark):
     for r in rows:
         got = len(grams[r.train_doc] & grams[r.test_doc])
         assert got == r.n_shared and got >= 1
+
+
+def test_repeated_passages_island_merge_semantics(spark):
+    """Pin dedup_repeated_passages' merge rule on crafted corpora:
+    overlapping repeated grams fuse into one maximal passage,
+    EXACTLY-abutting spans fuse too (next start == prev end + 1),
+    a >1-token gap splits islands, and repeat-free docs are absent."""
+    from sql_engine_triangle_spark.operators import dedup as D
+
+    # doc 0 and doc 1 share the 10-token run p1..p10 (3 overlapping
+    # 8-grams -> ONE island of 10); doc 0 and doc 2 share x1..x8
+    # (1 gram, a second island in doc 0, split by a 2-token gap);
+    # doc 3 has no repeated grams.
+    docs = spark.createDataFrame(
+        [
+            (0, "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 f0a f0b x1 x2 x3 x4 x5 x6 x7 x8"),
+            (1, "s1 s2 p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 e1 e2"),
+            (2, "x1 x2 x3 x4 x5 x6 x7 x8 only unique words here zz"),
+            (3, "totally distinct tokens qq ww ee rr tt yy uu ii oo pp"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_passages, r.covered_tokens, r.max_passage_len)
+        for r in D.repeated_passage_stats(docs, n=8).collect()
+    }
+    assert got == {0: (2, 18, 10), 1: (1, 10, 10), 2: (1, 8, 8)}
+
+    # Exact abutment: doc 10 carries g1..g8 at [1,8] and h1..h8 at
+    # [9,16] — the intervening grams (g2..h1 etc.) are unique, but
+    # pos 9 <= 8 + 1 fuses both into ONE 16-token passage.
+    abut = spark.createDataFrame(
+        [
+            (10, "g1 g2 g3 g4 g5 g6 g7 g8 h1 h2 h3 h4 h5 h6 h7 h8"),
+            (11, "g1 g2 g3 g4 g5 g6 g7 g8 u1 u2"),
+            (12, "v1 v2 h1 h2 h3 h4 h5 h6 h7 h8"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_passages, r.covered_tokens, r.max_passage_len)
+        for r in D.repeated_passage_stats(abut, n=8).collect()
+    }
+    assert got == {10: (1, 16, 16), 11: (1, 8, 8), 12: (1, 8, 8)}

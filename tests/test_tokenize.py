@@ -53,6 +53,40 @@ def _reference_counts(texts: list[str]) -> dict[str, int]:
     return out
 
 
+def _run_on_texts(spark, texts: list[str]) -> dict[str, int]:
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return {
+        r["word"]: r["n_bpe"]
+        for r in tokenize.bpe_word_token_counts(docs).collect()
+    }
+
+
+def test_bpe_edge_corpora_match_python_reference(spark):
+    """Spec-compliance pins on crafted corpora: vocab tie-breaking
+    (equal-occ substrings break on token text), UNK single-char
+    fallback (characters no vocab entry covers), words shorter than
+    the minimum subword length, repeated words (frequency weighting),
+    and a word that tokenizes whole vs one forced to split."""
+    corpora = [
+        # ties everywhere: every substring occurs once
+        ["abcdef"],
+        # single-char words (below min subword length 2) -> 1 UNK each
+        ["a b c a b"],
+        # heavy repetition skews the vocab toward one word's substrings
+        ["zzyzx zzyzx zzyzx qwmvt"],
+        # mixed lengths incl. a long rare word forced to split
+        ["the cat sat on the mat", "antidisestablishmentarianism the"],
+        # many distinct words so BPE_VOCAB_K=64 actually truncates
+        [" ".join(f"w{i}xy{i}" for i in range(40))],
+    ]
+    for texts in corpora:
+        got = _run_on_texts(spark, texts)
+        want = _reference_counts(texts)
+        assert got == want, texts
+
+
 def test_bpe_word_counts_match_python_reference(spark):
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     got = {
