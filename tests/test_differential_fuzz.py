@@ -491,12 +491,17 @@ def test_random_date_fn_parity(spark, ddb, unit, days):
     nation_hi=st.integers(min_value=0, max_value=24),
     min_total=st.integers(min_value=0, max_value=300_000),
 )
-def test_random_join_spec_parity(spark, ddb, join_type, nation_lo, nation_hi, min_total):
+def test_random_join_type_parity(spark, ddb, join_type, nation_lo, nation_hi, min_total):
     """Random JOIN specs (type × dim filter × fact filter) — the
     orders⋈customer join family compiled to both engines. Covers the
     null-extension (left), existence (semi), and absence (anti)
     semantics the fixed entries exercise only at chosen points; the
-    count/sum aggregate makes row multiplicity errors visible."""
+    count/sum aggregate makes row multiplicity errors visible.
+
+    (r7 fix: this test previously reused the name
+    test_random_join_spec_parity, SHADOWING the customer-side fuzzer
+    above at module level — pytest collected only this one and the
+    first silently never ran. Renamed so both run.)"""
     lo, hi = sorted((nation_lo, nation_hi))
     orders = load_table(spark, SF_DIR, "orders").filter(
         F.col("o_totalprice") >= float(min_total)
@@ -543,3 +548,91 @@ def test_random_join_spec_parity(spark, ddb, join_type, nation_lo, nation_hi, mi
     if len(spark_pdf) == 0 and len(oracle_pdf) == 0:
         return
     assert_frames_match(spark_pdf, oracle_pdf)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    preceding=st.integers(min_value=0, max_value=500),
+    following=st.integers(min_value=0, max_value=500),
+    agg=st.sampled_from(["sum", "min", "max", "count"]),
+)
+def test_random_range_frame_parity(spark, ddb, preceding, following, agg):
+    """Value-based RANGE frames over the integer event-id axis —
+    unlike ROWS, a RANGE frame's membership is defined by the ORDER
+    key's VALUES (peers at the same key all join the frame; bounds
+    are key offsets). The integer aggregate (sum of l-like ids) makes
+    off-by-one frame-boundary bugs exact mismatches."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("user_id") <= 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("event_id"))
+        .rangeBetween(-preceding, following)
+    )
+    spark_agg = {
+        "sum": F.sum("event_id").over(w),
+        "min": F.min("event_id").over(w),
+        "max": F.max("event_id").over(w),
+        "count": F.count("*").over(w),
+    }[agg]
+    df = ev.select("user_id", "event_id", spark_agg.alias("v")).orderBy(
+        "user_id", "event_id"
+    )
+    sql_fn = {
+        "sum": "sum(event_id) OVER w",
+        "min": "min(event_id) OVER w",
+        "max": "max(event_id) OVER w",
+        "count": "count(*) OVER w",
+    }[agg]
+    sql = f"""
+    SELECT user_id, event_id, {sql_fn} AS v
+    FROM events WHERE user_id <= 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 RANGE BETWEEN {preceding} PRECEDING AND {following} FOLLOWING)
+    ORDER BY user_id, event_id
+    """
+    assert_frames_match(df.toPandas(), ddb.execute(sql).fetchdf())
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    offset=st.integers(min_value=1, max_value=5),
+    default=st.integers(min_value=-100, max_value=100),
+    fn=st.sampled_from(["lag", "lead"]),
+    with_default=st.booleans(),
+)
+def test_random_lag_lead_parity(spark, ddb, offset, default, fn, with_default):
+    """lag/lead × offset × (NULL vs literal default) over the event
+    stream — partition-edge semantics (rows within `offset` of the
+    boundary take the default) must agree across engines."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("user_id") <= 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spark_fn = {"lag": F.lag, "lead": F.lead}[fn]
+    col = (
+        spark_fn("event_id", offset, default)
+        if with_default
+        else spark_fn("event_id", offset)
+    ).over(w)
+    df = ev.select("user_id", "event_id", col.alias("v")).orderBy(
+        "user_id", "event_id"
+    )
+    default_sql = f", {default}" if with_default else ""
+    sql = f"""
+    SELECT user_id, event_id,
+           {fn}(event_id, {offset}{default_sql})
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v
+    FROM events WHERE user_id <= 20
+    ORDER BY user_id, event_id
+    """
+    assert_frames_match(df.toPandas(), ddb.execute(sql).fetchdf())
