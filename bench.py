@@ -189,6 +189,9 @@ EXTRA = [
     "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
     "f_winsorize",
+    # r7: the bucketized range-join scale form, benched next to its
+    # nested-loop twin j_range_bands' family (form equivalence pinned).
+    "j_range_bands_bucketed",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

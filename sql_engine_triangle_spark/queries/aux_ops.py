@@ -831,9 +831,11 @@ ORDER BY band
 def j_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi (range) join of the fact table against a literal
     VALUES band dimension (S9) — broadcast nested-loop with 4 rows on
-    the build side, so the 'range join' is a single scan + band probe
-    (the scalable pattern for banding; for large band tables use a
-    bucketized equi-join on floor(price/width) instead)."""
+    the build side, so the 'range join' is a single scan + band probe.
+    The large-band-table scale path — a bucketized equi-join on
+    floor(price/width) — is implemented as j_range_bands_bucketed
+    (r7), output-identical to this form (pinned) with zero nested
+    loop in its plan."""
     from sql_engine_triangle_spark.sources.ingest import values_frame
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -852,6 +854,73 @@ def j_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(bands),
             (F.col("l_extendedprice") >= F.col("lo"))
             & (F.col("l_extendedprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+        .orderBy("band")
+    )
+
+
+@register("j_range_bands_bucketed", oracle=J_RANGE_ORACLE, tags=("J-range",))
+def j_range_bands_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LARGE-band-table scale path j_range_bands' docstring
+    promises, delivered: the same range join decomposed into a
+    bucketized EQUI-join — zero nested-loop anywhere in the plan
+    (plan-asserted), which is what survives when the band dimension
+    is too big to nested-loop-probe per row.
+
+    Mechanism: pick a bucket width w; each band [lo, hi) explodes to
+    the integer buckets it spans (hi clamped to PRICE_CEILING — a
+    static data-domain bound, 2.4x above the TPC-H extendedprice
+    maximum of qty<=50 x retailprice<~2.1k ~ 105k; at 100 TB the
+    ceiling comes from a broadcast 1-row max instead); each fact row
+    computes bucket = floor(price / w). The join is equi on bucket
+    with the original range predicate as a residual filter — fan-out
+    is bands-per-bucket (here <= 2 at boundaries), never |fact| x
+    |bands|. Same oracle TEXT as j_range_bands: the two forms are
+    proven output-identical (rule-3 equivalence, pinned in
+    tests/test_aux_ops_extra.py)."""
+    from sql_engine_triangle_spark.sources.ingest import values_frame
+
+    w = 8192.0
+    ceiling = 262144.0  # > max l_extendedprice at any fixture SF
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = values_frame(
+        spark,
+        [
+            ("budget", 0.0, 20000.0),
+            ("mid", 20000.0, 60000.0),
+            ("high", 60000.0, 120000.0),
+            ("lux", 120000.0, 1e18),
+        ],
+        "band string, lo double, hi double",
+    )
+    # Explode each band to its bucket ids (hi-exclusive, clamped).
+    exploded = bands.select(
+        "band",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / w).cast("long"),
+                F.floor((F.least(F.col("hi"), F.lit(ceiling)) - 0.01) / w).cast(
+                    "long"
+                ),
+            )
+        ).alias("bucket"),
+    )
+    fact = li.select(
+        "l_extendedprice", F.floor(F.col("l_extendedprice") / w).cast("long").alias("bucket")
+    )
+    return (
+        fact.join(F.broadcast(exploded), "bucket")
+        .filter(
+            (F.col("l_extendedprice") >= F.col("lo"))
+            & (F.col("l_extendedprice") < F.col("hi"))
         )
         .groupBy("band")
         .agg(

@@ -111,3 +111,19 @@ def test_fuzzy_same_token_exactness(spark):
                 assert comp.get(k) == best[0], (k, comp.get(k), best)
                 n_checked += 1
     assert n_checked > 0
+
+
+def test_range_bands_bucketed_equals_nested_loop_form(spark):
+    """Rule-3 form equivalence: the bucketized equi-join range join
+    must produce exactly the nested-loop form's rows, and its plan
+    must contain NO nested loop (the entire point of the
+    decomposition) while joining on the bucket key."""
+    from sql_engine_triangle_spark.plans import asserts as pa
+
+    a = registry.get("j_range_bands").fn(spark, SF_DIR_SMALL)
+    b = registry.get("j_range_bands_bucketed").fn(spark, SF_DIR_SMALL)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    plan = pa.executed_plan(b)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
