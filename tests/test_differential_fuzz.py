@@ -636,3 +636,98 @@ def test_random_lag_lead_parity(spark, ddb, offset, default, fn, with_default):
     ORDER BY user_id, event_id
     """
     assert_frames_match(df.toPandas(), ddb.execute(sql).fetchdf())
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    op=st.sampled_from(["rollup", "cube"]),
+    flag=st.sampled_from(["A", "N", "R"]),
+    qty_hi=st.integers(min_value=5, max_value=50),
+)
+def test_random_rollup_cube_parity(spark, ddb, op, flag, qty_hi):
+    """ROLLUP/CUBE over two keys with random filters — subtotal rows,
+    NULL group markers, and grand totals must agree with DuckDB.
+    Integer-only aggregates keep the comparison exact; coalesce
+    collapses the NULL markers to a printable sentinel identically on
+    both engines (the driver-hash discipline for nullable keys)."""
+    li = load_table(spark, SF_DIR, "lineitem").filter(
+        (F.col("l_returnflag") == flag) & (F.col("l_quantity") <= float(qty_hi))
+    )
+    grouped = li.rollup if op == "rollup" else li.cube
+    df = (
+        grouped("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"), F.sum("l_linenumber").alias("sum_ln"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("ls"),
+            "cnt",
+            "sum_ln",
+        )
+        .orderBy("rf", "ls")
+    )
+    sql = f"""
+    SELECT coalesce(l_returnflag, '<all>') AS rf,
+           coalesce(l_linestatus, '<all>') AS ls,
+           count(*) AS cnt, sum(l_linenumber) AS sum_ln
+    FROM lineitem
+    WHERE l_returnflag = '{flag}' AND l_quantity <= {qty_hi}
+    GROUP BY {op.upper()} (l_returnflag, l_linestatus)
+    ORDER BY rf, ls
+    """
+    spark_pdf = df.toPandas()
+    oracle_pdf = ddb.execute(sql).fetchdf()
+    if len(spark_pdf) == 0 and len(oracle_pdf) == 0:
+        return
+    assert_frames_match(spark_pdf, oracle_pdf)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    flag=st.sampled_from(["A", "N", "R"]),
+    qty_lo=st.integers(min_value=0, max_value=45),
+    disc_hi=st.integers(min_value=0, max_value=10),
+)
+def test_random_decimal_routing_parity(spark, ddb, flag, qty_lo, disc_hi):
+    """The money-product decimal discipline (README 'Oracle parity')
+    under RANDOM predicates: a 2-dp x 2-dp product summed through an
+    exact DECIMAL(18,4) cast must be bit-identical on both engines for
+    any filter — the 4-dp scale makes the cast exact, so no
+    representable-tie rounding divergence can appear regardless of
+    which rows a random predicate selects."""
+    li = load_table(spark, SF_DIR, "lineitem").filter(
+        (F.col("l_returnflag") == flag)
+        & (F.col("l_quantity") >= float(qty_lo))
+        & (F.col("l_discount") <= disc_hi / 100.0)
+    )
+    df = li.groupBy("l_linestatus").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("revenue"),
+        F.count("*").alias("cnt"),
+    ).orderBy("l_linestatus")
+    sql = f"""
+    SELECT l_linestatus,
+           sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+             AS revenue,
+           count(*) AS cnt
+    FROM lineitem
+    WHERE l_returnflag = '{flag}' AND l_quantity >= {qty_lo}
+      AND l_discount <= {disc_hi / 100.0}
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """
+    spark_pdf = df.toPandas()
+    oracle_pdf = ddb.execute(sql).fetchdf()
+    if len(spark_pdf) == 0 and len(oracle_pdf) == 0:
+        return
+    assert_frames_match(spark_pdf, oracle_pdf)
