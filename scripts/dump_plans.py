@@ -97,6 +97,7 @@ QUERIES = [
     "pipeline_token_budget_bpe",
     "dedup_repeated_passages",
     "tpch_q8_market_share",
+    "j_range_bands_bucketed",
 ]
 
 
