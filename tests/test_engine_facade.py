@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from sql_engine_triangle_spark.engine import Engine
@@ -240,3 +242,85 @@ def test_stateful_ema_matches_batch_across_batches(spark, tmp_path):
     )
     assert (got["n_events"] == want["n_events"]).all()
     assert (got["ema_cents"] == want["ema_cents"]).all()
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fracs=st.lists(
+        st.integers(min_value=5, max_value=95), min_size=1, max_size=3, unique=True
+    )
+)
+def test_stateful_ema_chunking_invariance(spark, fracs):
+    """Batch-stream equivalence under ARBITRARY micro-batch chunking:
+    the fixed two-file EMA test generalized — split the purchase
+    stream at RANDOM time quantiles into 2-4 time-contiguous files,
+    consume one per micro-batch, and the final per-user state must
+    equal the batch w_ema_int fold bit-exactly for EVERY split. This
+    is the property that makes the stateful operator deployable: its
+    result cannot depend on where the ingestion happened to cut
+    micro-batches."""
+    import os
+    import shutil
+    import tempfile
+
+    from sql_engine_triangle_spark.catalog import load_table
+    from sql_engine_triangle_spark.queries import registry
+
+    ev = (
+        load_table(spark, SF_DIR_SMALL, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    qs = sorted(f / 100.0 for f in fracs)
+    cuts = [
+        int(c)
+        for c in ev.agg(
+            F.expr(
+                "percentile(unix_micros(ts), array("
+                + ",".join(str(q) for q in qs)
+                + "))"
+            )
+        ).head()[0]
+    ]
+    bounds = [None, *cuts, None]
+    d = tempfile.mkdtemp(prefix="ema_fuzz_")
+    try:
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            part = ev
+            if lo is not None:
+                part = part.filter(F.unix_micros("ts") > lo)
+            if hi is not None:
+                part = part.filter(F.unix_micros("ts") <= hi)
+            part.coalesce(1).write.parquet(os.path.join(d, f"f{i}.parquet"))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d + "/*/")
+        )
+        out = stateful.running_user_ema(stream)
+        name = f"t_ema_fuzz_{'_'.join(map(str, fracs))}"
+        got = (
+            W.run_stream_to_memory(spark, out, name, output_mode="update")
+            .toPandas()
+            .sort_values(["user_id", "n_events"])
+            .groupby("user_id")
+            .tail(1)
+            .set_index("user_id")
+            .sort_index()
+        )
+        want = (
+            registry.get("w_ema_int")
+            .fn(spark, SF_DIR_SMALL)
+            .toPandas()
+            .set_index("user_id")
+            .sort_index()
+        )
+        assert (got["n_events"] == want["n_events"]).all()
+        assert (got["ema_cents"] == want["ema_cents"]).all()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
