@@ -56,10 +56,12 @@ def test_stateful_running_totals_matches_batch(spark):
     )
 
 
-def _batch_closed_sessions(spark, sf_dir):
+def _batch_closed_sessions(spark, sf_dir, include_final=False):
     """Gaps-and-islands batch twin: 30-min-gap sessions per user,
-    EXCLUDING each user's final session (that one only closes via
-    timeout, which an availableNow run does not fire)."""
+    EXCLUDING each user's final session by default (that one only
+    closes via timeout, which an availableNow run may or may not
+    fire); include_final=True returns ALL sessions — the superset a
+    chunked stream's emissions must stay within."""
     from sql_engine_triangle_spark.catalog import load_table
 
     ev = load_table(spark, sf_dir, "events")
@@ -81,11 +83,14 @@ def _batch_closed_sessions(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.sum("value").alias("sum_value"),
     )
+    cols = ["user_id", "session_start_us", "session_end_us", "n_events", "sum_value"]
+    if include_final:
+        return sess.select(*cols)
     last = sess.groupBy("user_id").agg(F.max("_sid").alias("_last_sid"))
     return (
         sess.join(last, "user_id")
         .filter(F.col("_sid") < F.col("_last_sid"))
-        .select("user_id", "session_start_us", "session_end_us", "n_events", "sum_value")
+        .select(*cols)
     )
 
 
@@ -322,5 +327,93 @@ def test_stateful_ema_chunking_invariance(spark, fracs):
         )
         assert (got["n_events"] == want["n_events"]).all()
         assert (got["ema_cents"] == want["ema_cents"]).all()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fracs=st.lists(
+        st.integers(min_value=10, max_value=90), min_size=1, max_size=3, unique=True
+    )
+)
+def test_stateful_sessionizer_chunking_invariance(spark, fracs):
+    """Chunking invariance for the timeout sessionizer: under ANY
+    time-contiguous micro-batch split, every emitted session must
+    equal the batch gaps-and-islands session with the same
+    (user, start) — a session may close by GAP or by TIMEOUT
+    depending on where the watermark lands between batches, but its
+    CONTENT (end, count, sum) must not depend on the chunking — and
+    the emitted set must cover every non-final batch session while
+    never exceeding the full batch session set."""
+    import os
+    import shutil
+    import tempfile
+
+    from sql_engine_triangle_spark.catalog import load_table
+
+    ev = load_table(spark, SF_DIR_SMALL, "events").select("user_id", "ts", "value")
+    qs = sorted(f / 100.0 for f in fracs)
+    cuts = [
+        int(c)
+        for c in ev.agg(
+            F.expr(
+                "percentile(unix_micros(ts), array("
+                + ",".join(str(q) for q in qs)
+                + "))"
+            )
+        ).head()[0]
+    ]
+    bounds = [None, *cuts, None]
+    d = tempfile.mkdtemp(prefix="sess_fuzz_")
+    try:
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            part = ev
+            if lo is not None:
+                part = part.filter(F.unix_micros("ts") > lo)
+            if hi is not None:
+                part = part.filter(F.unix_micros("ts") <= hi)
+            part.coalesce(1).write.parquet(os.path.join(d, f"f{i}.parquet"))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d + "/*/")
+        )
+        out = stateful.sessionize_with_timeout(stream)
+        name = f"t_sess_fuzz_{'_'.join(map(str, fracs))}"
+        got = W.run_stream_to_memory(
+            spark, out, name, output_mode="append"
+        ).toPandas()
+        keycols = ["user_id", "session_start_us"]
+        valcols = ["session_end_us", "n_events"]
+        got_m = got.set_index(keycols).sort_index()
+        assert not got_m.index.has_duplicates  # one emission per session
+        all_s = (
+            _batch_closed_sessions(spark, SF_DIR_SMALL, include_final=True)
+            .toPandas()
+            .set_index(keycols)
+            .sort_index()
+        )
+        closed = (
+            _batch_closed_sessions(spark, SF_DIR_SMALL)
+            .toPandas()
+            .set_index(keycols)
+            .sort_index()
+        )
+        # every emission is a real batch session with identical content
+        assert got_m.index.isin(all_s.index).all()
+        joined = all_s.loc[got_m.index]
+        for c in valcols:
+            assert (got_m[c].values == joined[c].values).all(), c
+        pd.testing.assert_series_equal(
+            got_m["sum_value"], joined["sum_value"], rtol=1e-9, check_names=False
+        )
+        # every non-final batch session must have been emitted
+        assert closed.index.isin(got_m.index).all()
     finally:
         shutil.rmtree(d, ignore_errors=True)
