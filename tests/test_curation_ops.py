@@ -79,8 +79,19 @@ def test_shard_layout_balance_and_positions(spark):
 
 def test_curation_partition_count_independence(spark):
     """Window + join results identical under a different shuffle
-    layout (cluster-resize safety)."""
-    for name in ("dedup_semantic", "sim_knn_join", "pipeline_shard_layout"):
+    layout (cluster-resize safety). The r7 tier is included: the
+    tokenizer's vocab top-K must tie-break deterministically across
+    layouts, the passage merge's islands must not depend on window
+    task boundaries, and the BPE budget's banded prefix sum must not
+    depend on band placement."""
+    for name in (
+        "dedup_semantic",
+        "sim_knn_join",
+        "pipeline_shard_layout",
+        "text_tokenize_bpe",
+        "dedup_repeated_passages",
+        "pipeline_token_budget_bpe",
+    ):
         fn = registry.get(name).fn
         base = fn(spark, SF_DIR_SMALL).toPandas()
         old = spark.conf.get("spark.sql.shuffle.partitions")
