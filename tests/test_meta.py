@@ -32,3 +32,20 @@ def test_no_shadowed_module_level_definitions():
             if dups:
                 bad[str(p.relative_to(ROOT))] = sorted(dups)
     assert not bad, f"module-level name shadowing (later def wins): {bad}"
+
+
+def test_priority_window_contract():
+    """The driver ingests the FIRST 50 queries() entries — pin the
+    window invariants in CI, not just as a runtime warn: exactly 50
+    unique names, every one registered AND oracle-backed (a rows-only
+    entry in the window wastes an external hash-check slot), and
+    all_queries() actually leads with them in order."""
+    from sql_engine_triangle_spark.queries import registry
+
+    w = registry._PRIORITY_WINDOW
+    assert len(w) == 50
+    assert len(set(w)) == 50
+    oracles = registry.all_oracles()
+    missing = [n for n in w if n not in oracles]
+    assert not missing, f"rows-only entries inside the driver window: {missing}"
+    assert list(registry.all_queries())[:50] == list(w)
