@@ -306,6 +306,36 @@ def _run_cohort(cohort: str) -> None:
     print("COHORT_RESULT " + json.dumps(timings))
 
 
+def _run_solo(name: str, n_runs: int = 3) -> None:
+    """Solo drift-reconciliation mode (CLAUDE.md r6/r7 discipline):
+    bench ONE entry in this fresh JVM — warmed noop-sink runs,
+    min-of-n — and print a one-line JSON. Use when the cohort
+    battery's prev_common block flags an entry past noise: a solo
+    number matching the prior round's solo number means battery
+    variance, not a plan regression."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name=f"bench-solo-{name}")
+    from sql_engine_triangle_spark.catalog import TABLES, load_table
+
+    for t in TABLES:
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception:  # noqa: BLE001
+            pass
+    fn = BARE_OPS.get(name) or registry.get(name).fn
+
+    def run() -> None:
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    run()
+    ts = []
+    for _ in range(n_runs):
+        t0 = time.time()
+        run()
+        ts.append(round(time.time() - t0, 3))
+    print(json.dumps({"entry": name, "solo_min": min(ts), "runs": ts, "sf_dir": sf_dir}))
+
+
 def main() -> None:
     assert not set(BARE_OPS) & set(registry.names()), (
         "BARE_OPS keys collide with registry names: "
@@ -313,6 +343,9 @@ def main() -> None:
     )
     if len(sys.argv) >= 3 and sys.argv[1] == "--cohort":
         _run_cohort(sys.argv[2])
+        return
+    if len(sys.argv) >= 3 and sys.argv[1] == "--solo":
+        _run_solo(sys.argv[2])
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
