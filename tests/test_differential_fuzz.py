@@ -731,3 +731,98 @@ def test_random_decimal_routing_parity(spark, ddb, flag, qty_lo, disc_hi):
     if len(spark_pdf) == 0 and len(oracle_pdf) == 0:
         return
     assert_frames_match(spark_pdf, oracle_pdf)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pos=st.integers(min_value=1, max_value=6),
+    ln=st.integers(min_value=1, max_value=6),
+    idx=st.integers(min_value=1, max_value=8),
+)
+def test_random_array_fn_parity(spark, ddb, pos, ln, idx):
+    """Array-function parity on the documented trap axes (CLAUDE.md):
+    Spark slice/element_at are 1-based; Spark's aggregate takes an
+    init while DuckDB's list_reduce does not (matched via the
+    documented slice(v,2,n-1) + element_at(v,1) equivalence). The
+    fuzzer's first run exposed two REAL divergences now encoded as
+    the portable forms: (1) a slice START beyond the array is empty
+    on Spark but NULL on DuckDB — portable code bounds the start
+    (least(pos, n)); tail overflow (start valid, start+len beyond the
+    end) truncates identically on both and stays fuzzed; (2) ANSI
+    element_at THROWS out-of-range — portable code uses
+    try_element_at (NULL, matching DuckDB's subscript)."""
+    part = load_table(spark, SF_DIR, "part").filter(F.col("p_partkey") <= 200)
+    words = F.split("p_name", " ")
+    bpos = F.least(F.lit(pos), F.size(words))
+    df = part.select(
+        "p_partkey",
+        F.size(words).alias("n"),
+        F.concat_ws("|", F.slice(words, bpos, ln)).alias("sl"),
+        F.try_element_at(words, F.lit(idx)).alias("el"),
+        F.aggregate(
+            F.expr("slice(split(p_name, ' '), 2, size(split(p_name, ' ')) - 1)"),
+            F.length(F.element_at(words, 1)).cast("long"),
+            lambda acc, x: acc + F.length(x),
+        ).alias("folded_len"),
+    ).orderBy("p_partkey")
+    sql = f"""
+    WITH t AS (
+      SELECT p_partkey, string_split(p_name, ' ') AS w,
+             least({pos}, len(string_split(p_name, ' '))) AS bp
+      FROM part WHERE p_partkey <= 200
+    )
+    SELECT p_partkey,
+           CAST(len(w) AS INTEGER) AS n,
+           array_to_string(w[bp:bp + {ln} - 1], '|') AS sl,
+           w[{idx}] AS el,
+           CAST(list_reduce(list_transform(w, x -> CAST(length(x) AS BIGINT)),
+                            (a, b) -> a + b) AS BIGINT) AS folded_len
+    FROM t
+    ORDER BY p_partkey
+    """
+    assert_frames_match(df.toPandas(), ddb.execute(sql).fetchdf())
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    agg=st.sampled_from(["avg", "max", "min"]),
+    cmp=st.sampled_from([">", "<"]),
+    statuses=st.lists(st.sampled_from(STATUSES), min_size=1, max_size=3, unique=True),
+)
+def test_random_correlated_scalar_subquery_parity(spark, ddb, agg, cmp, statuses):
+    """Correlated scalar subqueries (each order vs ITS customer-
+    nation's aggregate) — Catalyst decorrelates into an aggregate +
+    join-back; DuckDB executes the correlation natively. Random
+    aggregate x comparison direction x filters; per-nation counts make
+    multiplicity errors visible. avg-on-DECIMAL routes through the
+    same decimal average both engines compute exactly."""
+    load_table(spark, SF_DIR, "orders").createOrReplaceTempView("orders")
+    load_table(spark, SF_DIR, "customer").createOrReplaceTempView("customer")
+    s_list = ", ".join(f"'{s}'" for s in statuses)
+    # ONE SQL text for both engines — the point is plan-strategy
+    # parity: Catalyst decorrelates, DuckDB correlates natively.
+    sql = f"""
+    SELECT c_nationkey, count(*) AS n
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus IN ({s_list})
+      AND o.o_totalprice {cmp} (
+        SELECT {agg}(o2.o_totalprice)
+        FROM orders o2 JOIN customer c2 ON o2.o_custkey = c2.c_custkey
+        WHERE c2.c_nationkey = c.c_nationkey
+      )
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """
+    spark_pdf = spark.sql(sql).toPandas()
+    oracle_pdf = ddb.execute(sql).fetchdf()
+    if len(spark_pdf) == 0 and len(oracle_pdf) == 0:
+        return
+    assert_frames_match(spark_pdf, oracle_pdf)
