@@ -114,12 +114,19 @@ def typed_projection(raw: DataFrame) -> DataFrame:
     """The ELT derived-column projection (S4/P2, README.md:142-175)
     applied to a raw all-strings frame with the reference's column
     shapes: price cast, best-effort date parse, postcode split, enum
-    decodes, boolean derivation."""
+    decodes, boolean derivation.
+
+    try_element_at, not element_at, for the split parts: under ANSI
+    (the Spark 4 / driver default) element_at THROWS on an
+    out-of-range index, so a single space-less postcode would kill a
+    100 TB tolerant-ingest job; try_element_at yields NULL — the
+    bad-row budget's job, not the executor's (latent crash found by
+    the r7 array fuzzer, pinned in tests/test_ingest.py)."""
     return raw.select(
         F.col("price_string").cast("long").alias("price"),
         best_effort_date(F.col("time")).alias("date"),
-        F.element_at(F.split("postcode", " "), 1).alias("postcode1"),
-        F.element_at(F.split("postcode", " "), 2).alias("postcode2"),
+        F.try_element_at(F.split("postcode", " "), F.lit(1)).alias("postcode1"),
+        F.try_element_at(F.split("postcode", " "), F.lit(2)).alias("postcode2"),
         decode_enum(F.col("a"), TYPE_ENUM).alias("type"),
         (F.col("b") == "Y").alias("is_new"),
         decode_enum(F.col("c"), DURATION_ENUM).alias("duration"),

@@ -78,6 +78,26 @@ def test_typed_projection_semantics(spark, csv_path):
     assert rows["5"].type == "X"
 
 
+def test_typed_projection_survives_spaceless_postcode(spark):
+    """Regression (r7 array-fuzzer finding): under ANSI — the Spark 4
+    / driver default — element_at THROWS on an out-of-range index, so
+    a postcode with no space crashed the tolerant-ingest projection.
+    try_element_at must yield NULL instead: malformed rows are the
+    bad-row budget's business, never an executor exception."""
+    raw = spark.createDataFrame(
+        [("100000", "2021-03-15", "SW1A1AA", "T", "Y", "F", "9", "t", "c")],
+        "price_string string, time string, postcode string, a string,"
+        " b string, c string, addr1 string, town string, county string",
+    )
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        r = ingest.typed_projection(raw).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+    assert r.postcode1 == "SW1A1AA" and r.postcode2 is None
+
+
 def test_partitioned_sorted_write_and_pruned_read(spark, csv_path, tmp_path):
     raw = ingest.read_csv_tolerant(spark, csv_path, RAW_COLS)
     typed = ingest.typed_projection(
