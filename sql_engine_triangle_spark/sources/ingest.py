@@ -121,9 +121,11 @@ def typed_projection(raw: DataFrame) -> DataFrame:
     out-of-range index, so a single space-less postcode would kill a
     100 TB tolerant-ingest job; try_element_at yields NULL — the
     bad-row budget's job, not the executor's (latent crash found by
-    the r7 array fuzzer, pinned in tests/test_ingest.py)."""
+    the r7 array fuzzer, pinned in tests/test_ingest.py). Same ANSI
+    discipline for the numeric cast: try_cast yields NULL on a
+    malformed price where a bare cast throws."""
     return raw.select(
-        F.col("price_string").cast("long").alias("price"),
+        F.col("price_string").try_cast("long").alias("price"),
         best_effort_date(F.col("time")).alias("date"),
         F.try_element_at(F.split("postcode", " "), F.lit(1)).alias("postcode1"),
         F.try_element_at(F.split("postcode", " "), F.lit(2)).alias("postcode2"),

@@ -85,17 +85,22 @@ def test_typed_projection_survives_spaceless_postcode(spark):
     try_element_at must yield NULL instead: malformed rows are the
     bad-row budget's business, never an executor exception."""
     raw = spark.createDataFrame(
-        [("100000", "2021-03-15", "SW1A1AA", "T", "Y", "F", "9", "t", "c")],
+        [
+            ("100000", "2021-03-15", "SW1A1AA", "T", "Y", "F", "9", "t", "c"),
+            ("12oops3", "2021-03-15", "SW1A 1AA", "T", "Y", "F", "10", "t", "c"),
+        ],
         "price_string string, time string, postcode string, a string,"
         " b string, c string, addr1 string, town string, county string",
     )
     old = spark.conf.get("spark.sql.ansi.enabled")
     try:
         spark.conf.set("spark.sql.ansi.enabled", "true")
-        r = ingest.typed_projection(raw).collect()[0]
+        rows = {r.addr1: r for r in ingest.typed_projection(raw).collect()}
     finally:
         spark.conf.set("spark.sql.ansi.enabled", old)
-    assert r.postcode1 == "SW1A1AA" and r.postcode2 is None
+    assert rows["9"].postcode1 == "SW1A1AA" and rows["9"].postcode2 is None
+    # malformed price: NULL via try_cast, never an ANSI cast exception
+    assert rows["10"].price is None and rows["10"].postcode2 == "1AA"
 
 
 def test_partitioned_sorted_write_and_pruned_read(spark, csv_path, tmp_path):
