@@ -826,3 +826,41 @@ def test_random_correlated_scalar_subquery_parity(spark, ddb, agg, cmp, statuses
     if len(spark_pdf) == 0 and len(oracle_pdf) == 0:
         return
     assert_frames_match(spark_pdf, oracle_pdf)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    key=st.sampled_from(["k", "missing", "k.nested"]),
+    thr=st.integers(min_value=0, max_value=100),
+)
+def test_random_json_extract_parity(spark, ddb, key, thr):
+    """JSON path extraction parity: a present key, a missing key, and
+    a path through a scalar must yield the same NULL/value behavior —
+    and a numeric filter over the extraction must select identical
+    rows (3VL: NULL extractions never pass the predicate)."""
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("event_id") <= 3000)
+    ex = F.get_json_object("props", f"$.{key}").cast("int")
+    df = (
+        ev.filter(ex > thr)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum(ex).alias("s"))
+        .orderBy("event_type")
+    )
+    sql = f"""
+    SELECT event_type, count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.{key}') AS INTEGER)) AS s
+    FROM events
+    WHERE event_id <= 3000
+      AND CAST(json_extract_string(props, '$.{key}') AS INTEGER) > {thr}
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+    spark_pdf = df.toPandas()
+    oracle_pdf = ddb.execute(sql).fetchdf()
+    if len(spark_pdf) == 0 and len(oracle_pdf) == 0:
+        return
+    assert_frames_match(spark_pdf, oracle_pdf)
