@@ -178,6 +178,18 @@ def main() -> None:
         "(VERDICT r6 #5) — less per-JVM battery, less GC pressure, the same",
         "mechanism as the r5 contamination finding, now acting in reverse.",
         "",
+        "Measurement note (r7 wrap, second battery run): BENCH_FULL.json was",
+        "re-recorded at round end so the committed artifact matches the FINAL",
+        "battery (adds j_range_bands_bucketed + the r7 tier). IDENTICAL code",
+        "to the morning run, +9.7 s like-for-like — dominated by",
+        "pipeline_corpus_build_decontam 12.0 -> 16.1 s in-battery. Solo",
+        "reconciliation (bench.py --solo, fresh JVM, min-of-3): 10.66 s —",
+        "no regression; both capstones show the documented ~20-35% in-battery",
+        "inter-run variance (machine state after hours of JVM churn). The",
+        "capstones' round-over-round signal is their SOLO numbers",
+        "(pipeline_corpus_build 9.33 s, decontam 10.66 s this round), not",
+        "any single battery draw.",
+        "",
     ]
     for name in QUERIES:
         df = registry.get(name).fn(spark, sf_dir)
