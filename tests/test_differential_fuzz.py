@@ -864,3 +864,50 @@ def test_random_json_extract_parity(spark, ddb, key, thr):
     if len(spark_pdf) == 0 and len(oracle_pdf) == 0:
         return
     assert_frames_match(spark_pdf, oracle_pdf)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    flag=st.sampled_from(["A", "N", "R"]),
+    qty=st.integers(min_value=0, max_value=50),
+    use_filter_clause=st.booleans(),
+)
+def test_random_conditional_agg_parity(spark, ddb, flag, qty, use_filter_clause):
+    """Conditional aggregation — the TPC-H Q8/Q12/Q14 CASE-ratio
+    shape fuzzed: sum/count restricted by an inner predicate that is
+    independent of the GROUP BY, expressed both as FILTER (WHERE ...)
+    and as sum(CASE WHEN ...). NULL semantics differ subtly (a
+    never-matching filter gives NULL sum but 0 count) — both engines
+    must agree on every draw, including empty-match groups."""
+    li = load_table(spark, SF_DIR, "lineitem").filter(F.col("l_quantity") <= 50)
+    cond = (F.col("l_returnflag") == flag) & (F.col("l_quantity") >= float(qty))
+    if use_filter_clause:
+        inner_sum = "sum(l_linenumber) FILTER (WHERE l_returnflag = '{f}' AND l_quantity >= {q})"
+        inner_cnt = "count(*) FILTER (WHERE l_returnflag = '{f}' AND l_quantity >= {q})"
+    else:
+        inner_sum = "sum(CASE WHEN l_returnflag = '{f}' AND l_quantity >= {q} THEN l_linenumber END)"
+        inner_cnt = "count(CASE WHEN l_returnflag = '{f}' AND l_quantity >= {q} THEN 1 END)"
+    df = (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(cond, F.col("l_linenumber"))).alias("cond_sum"),
+            F.count(F.when(cond, F.lit(1))).alias("cond_cnt"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_linestatus")
+    )
+    sql = f"""
+    SELECT l_linestatus,
+           {inner_sum.format(f=flag, q=qty)} AS cond_sum,
+           {inner_cnt.format(f=flag, q=qty)} AS cond_cnt,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_quantity <= 50
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """
+    assert_frames_match(df.toPandas(), ddb.execute(sql).fetchdf())
