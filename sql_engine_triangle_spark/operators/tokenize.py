@@ -119,7 +119,12 @@ def bpe_word_token_counts(docs: DataFrame) -> DataFrame:
     # consumed only when the cursor reaches it, advancing by the best
     # match length (default 1 = single-char/UNK token). Interpreted
     # HOF (CLAUDE.md) — acceptable because it runs once per DISTINCT
-    # word, not per occurrence.
+    # word, not per occurrence. The map lookup is try_element_at
+    # (ADVICE r7): positions with no vocab match are ABSENT from `m`
+    # (the UNK fall-through), and while this Spark 4 build returns
+    # NULL for a missing ANSI map key, earlier lines raise
+    # MAP_KEY_DOES_NOT_EXIST — try_ makes NULL-on-missing explicit
+    # and version-robust (same class as the tolerant-ingest fix).
     fold = F.expr(
         """
         aggregate(
@@ -127,7 +132,7 @@ def bpe_word_token_counts(docs: DataFrame) -> DataFrame:
           named_struct('pos', cast(1 as int), 'cnt', cast(0 as int)),
           (st, i) -> if(i = st.pos,
                         named_struct(
-                          'pos', cast(st.pos + coalesce(element_at(m, st.pos), 1)
+                          'pos', cast(st.pos + coalesce(try_element_at(m, st.pos), 1)
                                       as int),
                           'cnt', cast(st.cnt + 1 as int)),
                         st),

@@ -92,6 +92,38 @@ def single_partition_subtrees(df: DataFrame) -> list[str]:
     return out
 
 
+_SCAN_NODE = re.compile(r"FileScan|BatchScan")
+
+
+def single_partition_scan_paths(df: DataFrame) -> list[str]:
+    """For every `Exchange SinglePartition`, the ancestor CHAIN from
+    the exchange down to each file scan in its input (one string per
+    scan, nodes newline-joined). Strengthens the subtree check
+    (ADVICE r7): a join below the exchange with one aggregated branch
+    and one fact-sized branch has a bounding node SOMEWHERE in the
+    subtree, but the fact branch's scan→exchange PATH crosses none —
+    only a per-path walk catches that fact-scale funnel."""
+    lines = executed_plan(df).splitlines()
+    out: list[str] = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        col = _node_col(line)
+        # stack of (depth_col, line) — the ancestor chain inside the
+        # subtree; children print strictly further right.
+        stack: list[tuple[int, str]] = []
+        for nxt in lines[i + 1 :]:
+            c = _node_col(nxt)
+            if c <= col:
+                break
+            while stack and stack[-1][0] >= c:
+                stack.pop()
+            stack.append((c, nxt))
+            if _SCAN_NODE.search(nxt):
+                out.append("\n".join(s for _, s in stack))
+    return out
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of WholeStageCodegen subtrees (vectorized/pipelined
     execution — §4 rows 9-10). Uses EXPLAIN CODEGEN because the AQE

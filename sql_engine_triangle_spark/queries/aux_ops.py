@@ -888,6 +888,15 @@ def j_range_bands_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = 8192.0
     ceiling = 262144.0  # > max l_extendedprice at any fixture SF
+    # Highest bucket any band explodes into. The FACT bucket is
+    # clamped to this (ADVICE r7): a row with price >= ceiling would
+    # otherwise compute a bucket beyond every exploded band bucket
+    # and silently drop from the equi-join, diverging from the BNLJ
+    # twin (which classifies it 'lux'). Clamped, it joins the top
+    # bucket's band rows and the residual range filter still decides
+    # membership exactly — correctness no longer depends on the
+    # static domain bound.
+    max_band_bucket = int((ceiling - 0.01) // w)
     li = load_table(spark, sf_dir, "lineitem")
     bands = values_frame(
         spark,
@@ -900,6 +909,11 @@ def j_range_bands_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band string, lo double, hi double",
     )
     # Explode each band to its bucket ids (hi-exclusive, clamped).
+    # The -0.01 epsilon makes the hi bound exclusive when hi lands
+    # exactly on a bucket multiple; it assumes 2-dp price granularity
+    # AND that no band boundary sits within 0.01 of a bucket multiple
+    # other than exactly on it (true here: boundaries are 20000/60000/
+    # 120000 vs w=8192 multiples) — both noted per ADVICE r7.
     exploded = bands.select(
         "band",
         "lo",
@@ -914,7 +928,11 @@ def j_range_bands_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
     )
     fact = li.select(
-        "l_extendedprice", F.floor(F.col("l_extendedprice") / w).cast("long").alias("bucket")
+        "l_extendedprice",
+        F.least(
+            F.floor(F.col("l_extendedprice") / w).cast("long"),
+            F.lit(max_band_bucket),
+        ).alias("bucket"),
     )
     return (
         fact.join(F.broadcast(exploded), "bucket")

@@ -159,19 +159,33 @@ _BOUNDING = re.compile(
 )
 
 
+# A scan→exchange path is additionally bounded if it rides a
+# broadcast: the broadcast threshold caps what that branch ships.
+_PATH_BOUNDING = re.compile(
+    _BOUNDING.pattern + r"|BroadcastExchange|BroadcastQueryStage"
+)
+
+
 def test_single_partition_exchanges_are_bounded(spark):
     """100 TB guard for the bounded-window policy (VERDICT r6 #4): an
     `Exchange SinglePartition` funnels its whole input through ONE
-    task, so it is only scale-safe above a bounded intermediate. The
-    policy previously lived in comments (warehouse_ops.py:1362,1939);
-    this asserts it over every registry entry: each single-partition
-    exchange's input subtree must contain a bounding node — so a new
-    entry can't silently put a fact-sized frame through one task."""
+    task, so it is only scale-safe above a bounded intermediate. Two
+    checks per exchange (ADVICE r7 strengthened the first into the
+    second): (a) the input subtree contains a bounding node at all,
+    and (b) EVERY file-scan→exchange path crosses a bounding node —
+    a join below the exchange with one aggregated branch and one
+    fact-sized branch passes (a) but funnels fact-scale rows through
+    one task; (b) catches it."""
     bad = {}
     for name in registry.names():
         df = registry.get(name).fn(spark, SF_DIR)
         subs = pa.single_partition_subtrees(df)
         unbounded = [s for s in subs if not _BOUNDING.search(s)]
+        unbounded += [
+            p
+            for p in pa.single_partition_scan_paths(df)
+            if not _PATH_BOUNDING.search(p)
+        ]
         if unbounded and name not in ALLOWED_UNBOUNDED_SINGLE_PARTITION:
             bad[name] = unbounded[0].splitlines()[:6]
     assert not bad, f"fact-sized single-partition exchanges: {bad}"
