@@ -192,6 +192,9 @@ EXTRA = [
     # r7: the bucketized range-join scale form, benched next to its
     # nested-loop twin j_range_bands' family (form equivalence pinned).
     "j_range_bands_bucketed",
+    # r8: mergeable quantile tiles (first bench row the round they
+    # enter the window, per the pre-baseline rule).
+    "a_percentile_partial_rollup",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.
@@ -336,6 +339,25 @@ def _run_solo(name: str, n_runs: int = 3) -> None:
     print(json.dumps({"entry": name, "solo_min": min(ts), "runs": ts, "sf_dir": sf_dir}))
 
 
+# Reconciliation trigger (VERDICT r7 #2): an entry must exceed BOTH
+# bounds to flag — the relative bound alone fires on sub-second noise
+# (a 0.2 s entry drifting 0.1 s), the absolute bound alone fires on
+# slow entries' normal variance (the capstones swing ±1 s at ~5%).
+SOLO_RECONCILE_REL = 0.30
+SOLO_RECONCILE_ABS_SEC = 0.5
+
+
+def _drift_flagged(prev: dict[str, float], cur: dict[str, float]) -> list[str]:
+    """Entries (short names) whose battery time moved past BOTH
+    reconciliation bounds vs the prior committed record."""
+    return [
+        k
+        for k in sorted(set(cur) & set(prev))
+        if abs(cur[k] - prev[k]) > SOLO_RECONCILE_ABS_SEC
+        and abs(cur[k] - prev[k]) > SOLO_RECONCILE_REL * prev[k]
+    ]
+
+
 def main() -> None:
     assert not set(BARE_OPS) & set(registry.names()), (
         "BARE_OPS keys collide with registry names: "
@@ -410,6 +432,49 @@ def main() -> None:
         "cur_total": round(sum(cur_queries[k] for k in common), 3),
         "deltas": {k: round(cur_queries[k] - prev_queries[k], 3) for k in common},
     }
+    # Mechanical solo reconciliation (VERDICT r7 #2): any entry whose
+    # battery delta exceeds BOTH ±30% and 0.5 s absolute gets an
+    # automatic fresh-JVM min-of-3 solo run recorded in the artifact —
+    # the r7 wrap solo-reconciled only hand-flagged entries, and the
+    # judge had to chase a +95% in-battery swing that a solo run
+    # resolved as cohort variance in one command. A solo number near
+    # the prior round's means battery variance (cohort-composition
+    # contamination, CLAUDE.md); a solo number near the new battery
+    # number means a real plan change to root-cause.
+    long_name = {v: k for k, v in short.items()}
+    flagged = _drift_flagged(prev_queries, cur_queries)
+    solo_reconciled: dict[str, dict] = {}
+    for k in flagged:
+        entry = long_name.get(k, k)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--solo", entry],
+            capture_output=True,
+            text=True,
+            cwd=here,
+        )
+        rec: dict = {
+            "prev_battery": prev_queries[k],
+            "cur_battery": cur_queries[k],
+        }
+        try:
+            rec.update(json.loads(proc.stdout.splitlines()[-1]))
+        except Exception:  # noqa: BLE001 - record the failure, don't mask the bench
+            rec["solo_error"] = f"rc={proc.returncode}"
+        solo_reconciled[k] = rec
+        print(f"# solo-reconciled {k}: {rec}", file=sys.stderr)
+    # Cohort composition signature (VERDICT r7 #2): composition
+    # changes explain most in-battery drift (battery-size
+    # contamination works in both directions, CLAUDE.md r7) — make
+    # them visible in the artifact, not just in prose.
+    import hashlib
+
+    cohort_lists = {
+        c: sorted(n for n in timings if _cohort_of(n) == c) for c in cohorts
+    }
+    cohort_sig = {
+        c: hashlib.md5("\n".join(ns).encode()).hexdigest()[:12]
+        for c, ns in cohort_lists.items()
+    }
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -419,7 +484,9 @@ def main() -> None:
         "n_entries": len(timings),
         "failed_cohorts": failed_cohorts,
         "prev_common": prev_common,
-        "cohorts": {c: sorted(n for n in timings if _cohort_of(n) == c) for c in cohorts},
+        "solo_reconciled": solo_reconciled,
+        "cohorts": cohort_lists,
+        "cohort_sig": cohort_sig,
         "isolation": "fresh JVM per cohort (min-of-2 warmed runs per entry)",
     }
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:

@@ -158,7 +158,6 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     # window tier (inbound; funnel ships with its SQL-API twin; the
     # sessionize/SCD2/winsorize trio are the never-rowed remainder)
     "w_window_funnel",
-    "sql_entry_window_funnel",
     "w_running_distinct",
     "w_longest_streak",
     "f_sequence_gaps",
@@ -168,9 +167,19 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     # joins / temporal (inbound)
     "j_bloom_prefilter",
     "asof_nearest_attribution",
+    # --- r8 rotation (steady state, 2-for-2; full record in
+    # COVERAGE.md): the bucketized range-join scale form (the single
+    # r7-freeze backlog item, rule-3 production form of
+    # j_range_bands) and the r8-built mergeable quantile tiles
+    # (VERDICT r7 #4), both three-SF driver_check-verified before
+    # this freeze. Displaced: u_union_by_name (green r7; set ops
+    # stay represented by u_multiset_ops) and
+    # sql_entry_window_funnel (green r7; the funnel family stays
+    # represented by w_window_funnel).
+    "j_range_bands_bucketed",
+    "a_percentile_partial_rollup",
     # set ops — completes §2.7 bag semantics (inbound)
     "u_multiset_ops",
-    "u_union_by_name",
     # similarity / ANN / iterative (inbound PQ pair shares trainer
     # CTEs; power iteration completes the integer-fixpoint family)
     "sim_sparse_cosine_pairs",

@@ -359,6 +359,111 @@ def a_hll_partial_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PCTL_ROLLUP_ORACLE = """
+WITH c AS (
+  SELECT CAST(strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS VARCHAR) AS ym,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+)
+SELECT ym,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(quantile_disc(cents, 0.50) AS BIGINT) AS p50_cents,
+       CAST(quantile_disc(cents, 0.95) AS BIGINT) AS p95_cents,
+       TRUE AS p50_est_ok,
+       TRUE AS p95_est_ok
+FROM c
+GROUP BY ym
+ORDER BY ym
+"""
+
+
+@register("a_percentile_partial_rollup", oracle=PCTL_ROLLUP_ORACLE, tags=("A9", "A10"))
+def a_percentile_partial_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE tiles — the percentile counterpart of
+    a_hll_partial_rollup (VERDICT r7 #4), closing the mergeable-sketch
+    family (HLL distinct tiles, exact bitmap tiles, now quantile
+    tiles): per-DAY KLL sketches (DataSketches via
+    kll_sketch_agg_bigint on integer cents) merged up to months
+    (kll_merge_agg_bigint) without touching raw rows again. Exact
+    percentiles do not decompose over pre-aggregates (a month's p95 is
+    not derivable from day p95s); mergeable sketch state is the
+    standard fix — daily tiles are built once and every coarser rollup
+    (month/quarter/year) derives by merge, the same pre-aggregation
+    reuse discipline as the lab's quantileTDigest marts (BASELINE.md
+    q4 CH row).
+
+    Validation form (the a_hll_partial_rollup pattern): rows carry the
+    EXACT per-month discrete percentiles (oracle-computable on integer
+    cents), plus deterministic ``p50_est_ok``/``p95_est_ok`` booleans
+    certifying the merge-derived estimate. The sketch's estimated
+    quantile VALUE is engine-specific, so certification inverts it:
+    read est = get_quantile(merged, p) (literal p — the rank readout
+    requires a foldable probe, verified), then count the exact
+    inclusive rank of est fact-side and assert the share is within
+    5% + 1/n of p — ALL-INTEGER compare (|100*cnt - 100p*n| <=
+    5n + 100), no float discipline. The 1/n term covers the discrete
+    rank granularity at small months (at sf0.001 a month has ~18
+    orders, where ceil(p*n)/n alone deviates by up to 1/n); 5% is
+    ~3x the KLL k=200 99%-confidence rank error — deterministic given
+    data by the HLL-rollup 6-sigma argument. Measured worst deviation
+    on the fixture: 0.53% at sf0.01/sf0.1.
+
+    Scale shape: tile build is one (ym, day) exchange; the merge is a
+    month-cardinality aggregation over day-cardinality sketch rows;
+    the 12-row estimate frame broadcasts back onto the fact for the
+    exact-rank count, which shares ONE aggregation with the exact
+    twin (no second fact exchange). At 100 TB only the tile build
+    touches raw data — rollups are sketch-sized."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    base = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    daily = base.groupBy("ym", "day").agg(F.kll_sketch_agg_bigint("cents").alias("sk"))
+    monthly = (
+        daily.groupBy("ym")
+        .agg(F.kll_merge_agg_bigint("sk").alias("msk"))
+        .select(
+            "ym",
+            F.kll_sketch_get_quantile_bigint("msk", F.lit(0.5)).alias("est50"),
+            F.kll_sketch_get_quantile_bigint("msk", F.lit(0.95)).alias("est95"),
+        )
+    )
+    agg = (
+        base.join(F.broadcast(monthly), "ym")
+        .groupBy("ym")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY cents)")
+            .cast("long")
+            .alias("p50_cents"),
+            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)")
+            .cast("long")
+            .alias("p95_cents"),
+            F.sum((F.col("cents") <= F.col("est50")).cast("long")).alias("c50"),
+            F.sum((F.col("cents") <= F.col("est95")).cast("long")).alias("c95"),
+        )
+    )
+    return agg.select(
+        "ym",
+        "n",
+        "p50_cents",
+        "p95_cents",
+        (F.abs(100 * F.col("c50") - 50 * F.col("n")) <= 5 * F.col("n") + 100).alias(
+            "p50_est_ok"
+        ),
+        (F.abs(100 * F.col("c95") - 95 * F.col("n")) <= 5 * F.col("n") + 100).alias(
+            "p95_est_ok"
+        ),
+    ).orderBy("ym")
+
+
 TWA_ORACLE = """
 WITH seg AS (
   SELECT user_id,

@@ -45,3 +45,17 @@ def test_headline_and_extra_have_no_duplicates():
     names = bench.HEADLINE + bench.EXTRA
     dupes = {n for n in names if names.count(n) > 1}
     assert not dupes, dupes
+
+
+def test_drift_flagging_requires_both_bounds():
+    """Solo reconciliation (VERDICT r7 #2) fires only past BOTH the
+    ±30% relative and 0.5 s absolute bounds: sub-second noise and
+    slow-entry percentage variance must not trigger JVM spins."""
+    bench = _load_bench()
+    prev = {"fast": 0.2, "slow": 10.0, "real": 4.85, "gone": 1.0}
+    cur = {"fast": 0.45, "slow": 11.0, "real": 9.46, "new": 2.0}
+    # fast: +0.25 s = +125% but under the absolute bound -> no flag.
+    # slow: +1.0 s but +10% relative -> no flag.
+    # real: +4.61 s, +95% -> flag (the r7 dedup_cluster_size_hist case).
+    # gone/new: not common -> never flagged.
+    assert bench._drift_flagged(prev, cur) == ["real"]
