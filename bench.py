@@ -195,6 +195,9 @@ EXTRA = [
     # r8: mergeable quantile tiles (first bench row the round they
     # enter the window, per the pre-baseline rule).
     "a_percentile_partial_rollup",
+    # r8: true iterative pair-merge BPE trainer (VERDICT r7 #5),
+    # benched next to the one-pass wordpiece trainer it extends.
+    "text_bpe_train_merges",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

@@ -197,6 +197,175 @@ def partsupp(spark: SparkSession, n_parts: int, n_suppliers: int, seed: int = 42
     )
 
 
+# ---------------------------------------------------------------------------
+# Scale-stress corpora (VERDICT r7 #1): synthetic documents/embeddings
+# matching the driver testdata's SCHEMA and measured distributional
+# shape (TESTDATA is read-only and tops out at sf0.1 = 17 MB; these
+# generate the same shape at 10x/30x so time-vs-data scaling
+# exponents can be MEASURED instead of argued from plan shape).
+# Distribution facts measured on /root/testdata/sf0.1 (scripts
+# committed in scripts/scale_stress.py's calibration): 31-word
+# closed vocab, doc length ~U(10,100) words (avg 54), lang en 41% /
+# zh,es,fr,de ~15% each, 20 uniform sources, ~9% of docs are
+# engineered near-dups sharing long spans with a base doc (8 exact
+# text-dup groups at 5000 docs); embeddings are dim-64 L2-normalized
+# vectors with NO label-cluster structure (within-label and
+# cross-label cosine distributions are identical, ~N(0, 1/64);
+# P(cos >= 0.45) ~ 1e-4) and 10 uniform labels.
+
+# The driver corpus's exact vocabulary (sorted), so tokenizer /
+# shingle / bigram behavior is directly comparable.
+DOC_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+DOC_LANGS = ["en", "zh", "es", "fr", "de"]
+DOC_LANG_W = [0.41, 0.56, 0.71, 0.86, 1.0]
+
+
+def documents(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    dup_rate: float = 0.10,
+    base_frac: float = 0.6,
+    vocab_size: int | None = None,
+) -> DataFrame:
+    """documents-shaped corpus (doc_id, text, lang, source, n_chars).
+
+    Near-dup structure: ``dup_rate`` of docs with id >= n_base copy a
+    base doc (id hashed into the first ``base_frac`` of ids — the
+    base pool scales WITH the corpus, so dup-cluster sizes stay O(1)
+    as n grows, which is the property that keeps LSH buckets bounded
+    at any scale). Dups are TRUNCATED prefix copies (length factor
+    ~U(0.92, 0.99)) plus a 3% exact-copy share — calibrated against
+    the testdata's own dedup_pair_histogram: the driver corpus's
+    near-dup pairs concentrate in the J∈[0.9,1.0) 3-gram-Jaccard
+    decile (241 of 256 pairs at sf0.1) with few exact groups (8),
+    which scattered word substitution cannot reproduce (one
+    substituted word already drops 3-gram J to ~0.89) but prefix
+    truncation does (J = (L'−2)/(L−2)).
+
+    ``vocab_size=None`` uses the testdata's CLOSED 31-word vocab
+    (matched distribution). Pass an explicit size for the OPEN-vocab
+    variant (words w0..w{V-1}): with a closed vocab, relative-df-
+    capped operators (sim_sparse_cosine_pairs) see every term's df
+    grow ∝ n — posting self-joins go quadratic as a DATA property;
+    an open vocab sized per Heaps' law (V ∝ n^0.6) is how natural
+    corpora behave and what the df-cap bound assumes."""
+    df = spark.range(n_docs)
+    did = F.col("id")
+    n_base = max(1, int(n_docs * base_frac))
+
+    def u(salt: int) -> Column:
+        return (
+            F.pmod(F.xxhash64(did, F.lit(seed + salt)), F.lit(1_000_000)) + 0.5
+        ) / 1_000_000.0
+
+    is_dup = (u(1) < dup_rate) & (did >= F.lit(n_base))
+    src = F.when(
+        is_dup, F.pmod(F.xxhash64(did, F.lit(seed + 2)), F.lit(n_base))
+    ).otherwise(did)
+    lu = (
+        F.pmod(F.xxhash64(src, F.lit(seed + 3)), F.lit(1_000_000)) + 0.5
+    ) / 1_000_000.0
+    src_words = F.lit(10) + F.floor(lu * 91)
+    # Truncation factor: 1.0 for originals and the 3% exact-copy
+    # share; ~U(0.92, 0.99) for near-dups (see docstring).
+    trunc = (
+        F.when(~is_dup | (u(4) < 0.03), F.lit(1.0))
+        .otherwise(F.lit(0.92) + 0.07 * u(10))
+    )
+    n_words = F.greatest(F.lit(10), F.floor(src_words * trunc)).cast("int")
+    if vocab_size is None:
+        # Body words are uniform over the 30 COMMON vocab words; the
+        # 31st ('dup') is a trailing MARKER appended to near-dup docs
+        # only — measured on the driver corpus (250 docs carry 'dup',
+        # always exactly once, always the last word), and
+        # load-bearing: the marker bigrams ('<word> dup', df ~10) are
+        # most of what survives a relative df-cap, so without this
+        # structure sim_sparse_cosine_pairs' kept-term set degenerates
+        # to the binomial tail of common bigrams and the pair yield
+        # explodes 1000x (measured 43907 and 287943 vs the real 36
+        # under two wrong marker placements).
+        common = [w for w in DOC_VOCAB if w != "dup"]
+        varr = F.array(*[F.lit(w) for w in common])
+        nv = len(common)
+
+        def word_at(key: Column, i: Column, salt: int) -> Column:
+            return F.element_at(
+                varr,
+                (F.pmod(F.xxhash64(key, i, F.lit(seed + salt)), F.lit(nv)) + 1).cast(
+                    "int"
+                ),
+            )
+
+    else:
+        # Open vocab: word identity derived directly from the hash —
+        # no literal array (vocab_size can be thousands). Zipf-ish
+        # skew via pow on the uniform, matching the closed vocab's
+        # non-uniform empirical mass.
+        def word_at(key: Column, i: Column, salt: int) -> Column:
+            uu = (
+                F.pmod(F.xxhash64(key, i, F.lit(seed + salt)), F.lit(1_000_000))
+                + 0.5
+            ) / 1_000_000.0
+            return F.concat(
+                F.lit("w"), F.floor(F.pow(uu, 1.5) * vocab_size).cast("string")
+            )
+
+    # Word i comes from the SOURCE doc — dups share the base prefix —
+    # and near-dups get the trailing 'dup' marker (see above; in the
+    # open-vocab variant the marker is the same literal so the
+    # df-capped structure carries over).
+    words = F.transform(
+        F.sequence(F.lit(1), n_words), lambda i: word_at(src, i, 5)
+    )
+    text = F.array_join(words, " ")
+    text = F.when(is_dup, F.concat(text, F.lit(" dup"))).otherwise(text)
+    return df.select(
+        did.alias("doc_id"),
+        text.alias("text"),
+        _pick(u(8), DOC_LANGS, DOC_LANG_W).alias("lang"),
+        F.concat(F.lit("src"), F.floor(u(9) * 20).cast("int").cast("string")).alias(
+            "source"
+        ),
+        F.length(text).cast("long").alias("n_chars"),
+    )
+
+
+def embeddings(
+    spark: SparkSession, n_vecs: int, dim: int = 64, seed: int = 42
+) -> DataFrame:
+    """embeddings-shaped corpus (vec_id, embedding float[], label):
+    iid-gaussian components (Box-Muller from two hash uniforms),
+    L2-normalized — which is exactly what the testdata is (no label
+    clustering; pairwise cosine ~N(0, 1/dim), so P(cos >= 0.45) at
+    dim=64 is ~1.6e-4, reproducing the testdata's near-dup yield
+    without any engineered planting). Labels uniform 0..9."""
+    df = spark.range(n_vecs)
+    vid = F.col("id")
+
+    def comp(i: Column) -> Column:
+        u1 = (
+            F.pmod(F.xxhash64(vid, i, F.lit(seed + 20)), F.lit(1_000_000)) + 0.5
+        ) / 1_000_000.0
+        u2 = (
+            F.pmod(F.xxhash64(vid, i, F.lit(seed + 21)), F.lit(1_000_000)) + 0.5
+        ) / 1_000_000.0
+        return F.sqrt(-2.0 * F.log(u1)) * F.cos(2.0 * 3.141592653589793 * u2)
+
+    raw = F.transform(F.sequence(F.lit(1), F.lit(dim)), comp)
+    nrm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
+    return df.select(
+        vid.alias("vec_id"),
+        F.transform(raw, lambda x: (x / nrm).cast("float")).alias("embedding"),
+        F.pmod(F.xxhash64(vid, F.lit(seed + 22)), F.lit(10)).cast("int").alias("label"),
+    )
+
+
 def compute_probes(df: DataFrame, date_col: str, distinct_cols: list[str]) -> dict:
     """Ground-truth probes (FIXTURES.md §5, clickhouse/queries.sql):
     row count, date range, distinct cardinalities — one aggregate pass."""
