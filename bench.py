@@ -198,6 +198,23 @@ EXTRA = [
     # r8: true iterative pair-merge BPE trainer (VERDICT r7 #5),
     # benched next to the one-pass wordpiece trainer it extends.
     "text_bpe_train_merges",
+    # r8: governance/quality/pattern tier (pre-baseline rule — benched
+    # the round they are built, rotated into the window r9): count-min
+    # tiles complete the mergeable-sketch family; MATCH_RECOGNIZE-lite
+    # row-pattern regex; neighborhood-Jaccard link prediction;
+    # Deequ-style one-scan constraint suite; k-anonymity audit.
+    "a_cms_partial_rollup",
+    "w_pattern_match_regex",
+    "graph_jaccard_neighbors",
+    "maint_data_quality_checks",
+    "curation_k_anonymity",
+    # r8 batch 2 (same pre-baseline rule): quantified ALL/ANY
+    # decorrelation; per-dimension embedding QA; bounded-frame exact
+    # rolling median; deterministic synchronized label propagation.
+    "sub_quantified_anyall",
+    "emb_dim_stats",
+    "w_rolling_median",
+    "graph_label_propagation",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

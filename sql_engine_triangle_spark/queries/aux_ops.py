@@ -2302,3 +2302,80 @@ def j_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "match_key", "edit_dist")
         .orderBy("p_partkey")
     )
+
+
+QUANTIFIED_ANYALL_ORACLE = """
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(count(*) FILTER (25.0 > ALL (
+              SELECT l.l_quantity FROM lineitem l
+              WHERE l.l_partkey = p.p_partkey
+                AND l.l_shipdate >= TIMESTAMP '2001-06-01'))
+            AS BIGINT) AS n_all_small_late,
+       CAST(count(*) FILTER (EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_partkey = p.p_partkey AND l.l_discount > 0.05))
+            AS BIGINT) AS n_any_discounted
+FROM part p
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+"""
+
+
+@register("sub_quantified_anyall", oracle=QUANTIFIED_ANYALL_ORACLE, tags=("P-sub", "J3"))
+def sub_quantified_anyall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparison subqueries — the > ALL / EXISTS (= ANY)
+    surface next to sub_correlated_scalar: per brand, how many parts
+    had ALL their late (2001-06+) shipments under 25 units, and how
+    many had ANY discounted line. The cutoff sits in the fixture's
+    shipdate tail so a real fraction of parts (14-16% at every SF)
+    has NO late shipment — the ALL predicate exercises the
+    empty-set trap: a part with NO late shipments satisfies
+    25 > ALL(empty) vacuously — the DataFrame translation must
+    preserve that (max over the empty correlated set is NULL ->
+    treated TRUE), which a naive inner-join-against-aggregate
+    silently gets wrong (it drops the part instead).
+
+    Engine translation (the standard decorrelation): ALL becomes a
+    per-partkey MAX aggregate left-joined to part (NULL-or-below
+    threshold = satisfied); EXISTS becomes a left-semi-join-shaped
+    boolean via the same aggregation (max of the predicate). Both
+    quantifiers fold into ONE aggregation over lineitem and ONE
+    broadcast-friendly join — the fact is scanned once, and the
+    aggregate frame is part-cardinality (bounded by the dimension).
+
+    Scale shape: decorrelation is exactly what Catalyst does to
+    RewriteCorrelatedScalarSubquery at 100 TB — the explicit form
+    here keeps the aggregation partial/map-side and the join key
+    (p_partkey) co-partitioned with the dimension; no per-row
+    subquery execution exists anywhere in the plan."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.max(
+            F.when(
+                F.col("l_shipdate") >= F.lit("2001-06-01").cast("timestamp"),
+                F.col("l_quantity"),
+            )
+        ).alias("max_late_qty"),
+        F.max((F.col("l_discount") > 0.05).cast("int")).alias("any_disc"),
+    )
+    j = part.join(per_part, "p_partkey", "left")
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum(
+                (
+                    F.col("max_late_qty").isNull()
+                    | (F.col("max_late_qty") < 25.0)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_all_small_late"),
+            F.sum(F.coalesce(F.col("any_disc"), F.lit(0)).cast("long"))
+            .cast("long")
+            .alias("n_any_discounted"),
+        )
+        .orderBy("p_brand")
+    )

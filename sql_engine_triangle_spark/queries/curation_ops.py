@@ -2358,3 +2358,159 @@ def pipeline_token_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("decile"))
     )
+
+
+K_ANONYMITY_ORACLE = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         CAST(count(*) AS BIGINT) AS grp_size
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment, bal_band
+)
+SELECT c_nationkey,
+       CAST(sum(grp_size) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(grp_size) AS BIGINT) AS min_k,
+       CAST(coalesce(sum(grp_size) FILTER (grp_size < 5), 0) AS BIGINT)
+         AS at_risk_rows,
+       CAST((1000 * CAST(coalesce(sum(grp_size) FILTER (grp_size < 5), 0)
+                         AS BIGINT)) // CAST(sum(grp_size) AS BIGINT) AS BIGINT)
+         AS risk_permille
+FROM g
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+@register("curation_k_anonymity", oracle=K_ANONYMITY_ORACLE, tags=("A5", "LLM-pipeline"))
+def curation_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the re-identification
+    governance gate a training-data release needs next to PII
+    redaction (text_redact_pii): rows grouped by the QI tuple
+    (nation, market segment, account-balance band); a group of size
+    k < 5 means each member is distinguishable among fewer than 5
+    records (Sweeney's k-anonymity). Per nation the report emits
+    group count, the smallest k, the number of at-risk rows, and the
+    at-risk share as integer permille — the suppression/
+    generalization budget a release would need to reach k>=5.
+
+    The balance band is floor(bal/1000.0): one IEEE double divide +
+    floor, bit-identical cross-engine (the quotient is computed in
+    one rounding step on both; no decimal re-rounding involved).
+
+    Scale shape: two nested aggregations — QI-tuple sizes (one
+    exchange on the QI key; at 100 TB this is the
+    high-cardinality-but-bounded-by-domain aggregation, map-side
+    combinable), then the nation-level rollup over the group-size
+    frame (domain-bounded rows). No joins, no windows; the at-risk
+    rollup reuses the first aggregation's output rather than
+    rescanning the fact — the same tile-reuse discipline as the
+    mergeable-sketch entries."""
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    ).agg(F.count("*").cast("long").alias("grp_size"))
+    return (
+        g.groupBy("c_nationkey")
+        .agg(
+            F.sum("grp_size").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_groups"),
+            F.min("grp_size").cast("long").alias("min_k"),
+            F.coalesce(
+                F.sum(F.when(F.col("grp_size") < 5, F.col("grp_size"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("at_risk_rows"),
+        )
+        .select(
+            "c_nationkey",
+            "n_rows",
+            "n_groups",
+            "min_k",
+            "at_risk_rows",
+            F.expr("(1000 * at_risk_rows) div n_rows")
+            .cast("long")
+            .alias("risk_permille"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+EMB_DIM_STATS_ORACLE = """
+WITH x AS (
+  SELECT unnest(embedding) AS val,
+         unnest(generate_series(1, len(embedding))) AS dim
+  FROM embeddings
+),
+c AS (
+  SELECT dim,
+         CAST(floor(CAST(val AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS code
+  FROM x
+),
+a AS (
+  SELECT dim,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(code) AS BIGINT) AS s1,
+         CAST(sum(code * code) AS BIGINT) AS s2,
+         CAST(count(*) FILTER (abs(code) < 100) AS BIGINT) AS near_zero_cnt
+  FROM c GROUP BY dim
+)
+SELECT dim, n,
+       CAST(s1 // n AS BIGINT) AS mean_e4,
+       CAST((n * s2 - s1 * s1) // (n * n) AS BIGINT) AS var_e8,
+       near_zero_cnt
+FROM a
+ORDER BY dim
+"""
+
+
+@register("emb_dim_stats", oracle=EMB_DIM_STATS_ORACLE, tags=("A1", "LLM-pipeline"))
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding statistics — the embedding-QA pass a
+    corpus pipeline runs before trusting a vector column: mean and
+    variance per coordinate (drift/normalization check) and a
+    near-zero count per coordinate (dead-dimension detection — a
+    dimension that is ~0 across the corpus carries no signal and
+    inflates every distance computation). Values lift to integer
+    1e-4 units via floor(x*scale + 0.5) (the sim_quantized_topk int8
+    lift at a finer scale) with the float32 input WIDENED TO DOUBLE
+    explicitly on both engines first — at scale=1e4 the engines'
+    differing native promotion of FLOAT*INT (float vs double
+    intermediate) flips the floor on values near code boundaries
+    (measured: one code unit on ~1 row in 64k at sf0.01); the
+    explicit exact widening removes the ambiguity — so sums,
+    means (s1 div n) and the variance numerator (n*s2 - s1^2, exact
+    integer, div n^2 -> 1e-8 units) are bit-identical across engines
+    — float accumulation order never enters.
+
+    Scale shape: posexplode is a linear row expansion (n x dim), then
+    ONE aggregation keyed by dim (64 groups) — fully map-side
+    combinable, so the shuffle carries 64 rows per task regardless of
+    corpus size. This is the transpose-free way to column-profile a
+    vector column at 100 TB; integer moments bounded: |code| <= 2e4,
+    code^2 <= 4e8, n*s2 at 1e9 vectors ~ 4e17 < 2^63."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(F.posexplode("embedding").alias("pos", "val")).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("val").cast("double") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("code"),
+    )
+    a = x.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("code").cast("long").alias("s1"),
+        F.sum(F.col("code") * F.col("code")).cast("long").alias("s2"),
+        F.sum((F.abs(F.col("code")) < 100).cast("long"))
+        .cast("long")
+        .alias("near_zero_cnt"),
+    )
+    return a.select(
+        "dim",
+        "n",
+        F.expr("s1 div n").cast("long").alias("mean_e4"),
+        F.expr("(n * s2 - s1 * s1) div (n * n)").cast("long").alias("var_e8"),
+        "near_zero_cnt",
+    ).orderBy("dim")

@@ -2251,3 +2251,657 @@ def maint_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_id")
     )
+
+
+CMS_ROLLUP_ORACLE = """
+WITH base AS (
+  SELECT (CAST(strftime(CAST(ts AS DATE), '%d') AS BIGINT) - 1) // 7 AS week,
+         CAST(ts AS DATE) AS day,
+         user_id
+  FROM events
+),
+hashes AS (
+  SELECT b.week, b.day, b.user_id, i.i,
+         CAST('0x' || substring(md5(CAST(i.i AS VARCHAR) || ':'
+                || CAST(b.user_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS bucket
+  FROM base b, (SELECT unnest(generate_series(0, 3)) AS i) i
+),
+tiles AS (
+  SELECT week, day, i, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM hashes GROUP BY week, day, i, bucket
+),
+merged AS (
+  SELECT week, i, bucket, CAST(sum(cnt) AS BIGINT) AS cell
+  FROM tiles GROUP BY week, i, bucket
+),
+exact AS (
+  SELECT week, user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM base GROUP BY week, user_id
+),
+probes AS (
+  SELECT e.week, e.user_id, e.exact_cnt, i.i,
+         CAST('0x' || substring(md5(CAST(i.i AS VARCHAR) || ':'
+                || CAST(e.user_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS bucket
+  FROM exact e, (SELECT unnest(generate_series(0, 3)) AS i) i
+)
+SELECT p.week, p.user_id, p.exact_cnt,
+       CAST(min(m.cell) AS BIGINT) AS cms_est,
+       CAST(min(m.cell) - p.exact_cnt AS BIGINT) AS over_count
+FROM probes p
+JOIN merged m ON m.week = p.week AND m.i = p.i AND m.bucket = p.bucket
+GROUP BY p.week, p.user_id, p.exact_cnt
+ORDER BY p.week, p.user_id
+"""
+
+
+@register("a_cms_partial_rollup", oracle=CMS_ROLLUP_ORACLE, tags=("A10", "A11"))
+def a_cms_partial_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable COUNT-MIN tiles — the frequency counterpart of the
+    HLL (distinct), bitmap (exact distinct) and KLL (quantile) tiles,
+    completing the mergeable-sketch family: per-DAY count-min sketches
+    (d=4 md5-derived hash rows x w=64 buckets) are merged up to WEEKS
+    by elementwise cell addition without touching raw rows again, and
+    per-key frequency estimates read min over the d merged cells.
+    Per-key counts DO decompose over pre-aggregates, but only at
+    full-key cardinality — the CMS tile is the fixed-size (d*w cells)
+    state that supports any later point query, the same
+    bounded-state reuse discipline as the other tiles.
+
+    Unlike the HLL/KLL entries (engine-private sketch bytes, validated
+    via certification booleans), the CMS is DETERMINISTIC given its
+    hash functions — both engines build the identical d x w integer
+    matrix from the portable md5 recipe (the j_bloom_prefilter /
+    pipeline_shard_layout hash), so the ESTIMATE ITSELF hash-checks
+    exactly, plus ``over_count`` = est - exact exposes the sketch's
+    one-sided error (CMS never underestimates; collisions at w=64 on
+    150 keys make real nonzero overestimates the oracle must match).
+
+    Scale shape: ONE fact scan + ONE fact exchange — the raw events
+    pre-aggregate to (week, day, user_id) counts once, and that
+    bounded intermediate (distinct day x key pairs, localCheckpointed
+    per the two-consumer rule: Catalyst shares no exchange across
+    different downstream aggs) feeds BOTH the tile build (explode d
+    hash rows, sum into <= d*w cells per day, map-side combinable)
+    and the exact twin. The week merge touches tile rows only; probes
+    join the merged tiles by BROADCAST (tile frames are KB-sized by
+    construction). Reference parity: the pre-aggregated mart pattern
+    of the lab's rollup rows (BASELINE.md q2/q4), applied to point
+    frequencies."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.expr("(day(ts) - 1) div 7").cast("long").alias("week"),
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+    )
+    per_day_user = (
+        base.groupBy("week", "day", "user_id")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+
+    def bucket(icol, keycol):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", icol.cast("string"), keycol.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 64
+        )
+
+    icol = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i")
+    tiles = (
+        per_day_user.select("week", "day", "user_id", "cnt", icol)
+        .select(
+            "week",
+            "day",
+            "i",
+            bucket(F.col("i"), F.col("user_id")).alias("bucket"),
+            "cnt",
+        )
+        .groupBy("week", "day", "i", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    merged = tiles.groupBy("week", "i", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cell")
+    )
+    exact = per_day_user.groupBy("week", "user_id").agg(
+        F.sum("cnt").cast("long").alias("exact_cnt")
+    )
+    probes = exact.select("week", "user_id", "exact_cnt", icol).select(
+        "week",
+        "user_id",
+        "exact_cnt",
+        "i",
+        bucket(F.col("i"), F.col("user_id")).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(merged), ["week", "i", "bucket"])
+        .groupBy("week", "user_id", "exact_cnt")
+        .agg(F.min("cell").cast("long").alias("cms_est"))
+        .select(
+            "week",
+            "user_id",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("over_count"),
+        )
+        .orderBy("week", "user_id")
+    )
+
+
+PATTERN_MATCH_ORACLE = """
+WITH coded AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+              WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+              ELSE 'e' END AS code
+  FROM events
+),
+seq AS (
+  SELECT user_id, string_agg(code, '' ORDER BY ts, event_id) AS s
+  FROM coded GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(s) AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(s, 'vc*p')) AS BIGINT) AS n_view_to_buy,
+       CAST(len(regexp_extract_all(s, 'ee+')) AS BIGINT) AS n_error_bursts,
+       CAST(coalesce(list_max(list_transform(regexp_extract_all(s, 'e+'),
+                                             x -> len(x))), 0) AS BIGINT)
+         AS max_error_run
+FROM seq
+ORDER BY user_id
+"""
+
+
+@register("w_pattern_match_regex", oracle=PATTERN_MATCH_ORACLE, tags=("W1", "F6"))
+def w_pattern_match_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: event-PATTERN matching over per-user
+    time-ordered sequences. Each user's events collapse to a code
+    string (one char per event, time-ordered with an event_id
+    tie-break), and row-pattern queries become regexes over that
+    string: 'vc*p' counts view->clicks->purchase conversions (the
+    funnel-with-gap shape SQL needs MATCH_RECOGNIZE for), 'ee+'
+    counts error bursts, and max run-length of 'e+' is the worst
+    burst. Leftmost non-overlapping matching is identical in Java
+    regex (Spark) and RE2 (DuckDB) for these patterns — greedy,
+    no backrefs — so plain integer counts hash-check.
+
+    Scale shape: one user_id exchange (the same per-entity
+    collect-and-fold contract as w_ema_int / w_window_funnel);
+    per-key sequences are session-bounded by assumption — the
+    regex runs per KEY, not per row, and the code string is
+    1 byte/event. At 100 TB this is the standard sessionized
+    pattern-mining shape: partition by entity, linear scan per
+    entity. Beyond-reference: the reference lab has no row-pattern
+    operator; this is the warehouse-native equivalent of
+    MATCH_RECOGNIZE (ISO/IEC 9075:2016 part 2, expressed as
+    regex-over-codes)."""
+    ev = load_table(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    seq = (
+        ev.select("user_id", "ts", "event_id", code.alias("code"))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "concat_ws('', transform(array_sort("
+                "collect_list(struct(ts, event_id, code))), x -> x.code))"
+            ).alias("s")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("long").alias("n_events"),
+        F.size(F.regexp_extract_all(F.col("s"), F.lit("vc*p"), 0))
+        .cast("long")
+        .alias("n_view_to_buy"),
+        F.size(F.regexp_extract_all(F.col("s"), F.lit("ee+"), 0))
+        .cast("long")
+        .alias("n_error_bursts"),
+        F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.regexp_extract_all(F.col("s"), F.lit("e+"), 0),
+                    lambda x: F.length(x),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("max_error_run"),
+    ).orderBy("user_id")
+
+
+JACCARD_NEIGHBORS_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+         lead(CAST(json_extract_string(props, '$.k') AS INTEGER))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nk
+  FROM events
+),
+und AS (
+  SELECT DISTINCT least(k, nk) AS a, greatest(k, nk) AS b
+  FROM seq WHERE nk IS NOT NULL AND nk <> k
+),
+adj AS (
+  SELECT a AS w, b AS x FROM und
+  UNION ALL
+  SELECT b AS w, a AS x FROM und
+),
+deg AS (
+  SELECT x AS node, CAST(count(*) AS BIGINT) AS degree
+  FROM adj GROUP BY x
+),
+common AS (
+  SELECT a1.x AS a, a2.x AS b, CAST(count(*) AS BIGINT) AS common_nbrs
+  FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.x < a2.x
+  GROUP BY a1.x, a2.x
+)
+SELECT c.a, c.b, c.common_nbrs, d1.degree AS deg_a, d2.degree AS deg_b,
+       CAST((1000 * c.common_nbrs)
+            // (d1.degree + d2.degree - c.common_nbrs) AS BIGINT)
+         AS jaccard_permille
+FROM common c
+JOIN deg d1 ON d1.node = c.a
+JOIN deg d2 ON d2.node = c.b
+WHERE c.common_nbrs >= 3
+ORDER BY jaccard_permille DESC, c.a, c.b
+LIMIT 100
+"""
+
+
+@register("graph_jaccard_neighbors", oracle=JACCARD_NEIGHBORS_ORACLE, tags=("graph", "J1"))
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard node similarity — the classic
+    link-prediction / entity-similarity kernel over the same
+    undirected content-navigation graph as graph_triangle_count:
+    for every node pair sharing >= 3 neighbors, Jaccard =
+    |N(a) n N(b)| / |N(a) u N(b)| computed as common /
+    (deg_a + deg_b - common), emitted as an integer permille
+    (1000*common div union — the integer-lift discipline, exact on
+    both engines).
+
+    Common-neighbor counting is the wedge enumeration of triangle
+    counting WITHOUT the closing-edge join: adjacency self-joined on
+    the MIDDLE node (a1.w = a2.w, x1 < x2 so each unordered pair
+    counts once per shared neighbor), then one (a, b) aggregation.
+    Degrees join on node id.
+
+    Scale shape: wedge fan-out is sum over nodes of deg^2 — the
+    production mitigation at 100 TB is capping or sampling hub
+    nodes' neighbor lists before the self-join (the same
+    orient-by-degree argument documented on graph_triangle_count);
+    the fixture graph's max degree is bounded, so the exact form is
+    also the scale form here and the oracle replays it verbatim.
+    All joins are equi-joins on node ids; output is top-100 with
+    full deterministic tie-break (score desc, a, b)."""
+    ev = load_table(spark, sf_dir, "events")
+    kcol = F.get_json_object(F.col("props"), "$.k").cast("int")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "ts", "event_id", kcol.alias("k")).withColumn(
+        "nk", F.lead("k").over(w)
+    )
+    und = (
+        seq.filter(F.col("nk").isNotNull() & (F.col("nk") != F.col("k")))
+        .select(F.least("k", "nk").alias("a"), F.greatest("k", "nk").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    adj = und.select(F.col("a").alias("w"), F.col("b").alias("x")).unionAll(
+        und.select(F.col("b").alias("w"), F.col("a").alias("x"))
+    )
+    deg = adj.groupBy(F.col("x").alias("node")).agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    a1 = adj.select(F.col("w").alias("w1"), F.col("x").alias("xa"))
+    a2 = adj.select(F.col("w").alias("w2"), F.col("x").alias("xb"))
+    common = (
+        a1.join(a2, (F.col("w1") == F.col("w2")) & (F.col("xa") < F.col("xb")))
+        .groupBy(F.col("xa").alias("a"), F.col("xb").alias("b"))
+        .agg(F.count("*").cast("long").alias("common_nbrs"))
+        .filter(F.col("common_nbrs") >= 3)
+    )
+    d1 = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
+    d2 = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
+    return (
+        common.join(d1, "a")
+        .join(d2, "b")
+        .select(
+            "a",
+            "b",
+            "common_nbrs",
+            "deg_a",
+            "deg_b",
+            F.expr("(1000 * common_nbrs) div (deg_a + deg_b - common_nbrs)")
+            .cast("long")
+            .alias("jaccard_permille"),
+        )
+        .orderBy(F.desc("jaccard_permille"), "a", "b")
+        .limit(100)
+    )
+
+
+DATA_QUALITY_ORACLE = """
+WITH ck AS (SELECT DISTINCT c_custkey FROM customer),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(o_custkey) AS BIGINT) AS nn_cust,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS uq_key,
+         CAST(count(DISTINCT (o_custkey, CAST(o_orderdate AS DATE))) AS BIGINT)
+           AS uq_cust_day,
+         CAST(count(*) FILTER (o_totalprice > 0) AS BIGINT) AS pos_price,
+         CAST(count(*) FILTER (o_orderstatus IN ('O', 'F', 'P')) AS BIGINT)
+           AS ok_status,
+         CAST(count(*) FILTER (o_orderdate >= TIMESTAMP '1995-01-01'
+                           AND o_orderdate < TIMESTAMP '2001-01-01') AS BIGINT)
+           AS in_range,
+         CAST(count(*) FILTER (ck.c_custkey IS NOT NULL) AS BIGINT) AS fk_ok
+  FROM orders LEFT JOIN ck ON ck.c_custkey = orders.o_custkey
+)
+SELECT u.check_name, u.metric_permille,
+       u.metric_permille >= u.threshold_permille AS passed,
+       u.threshold_permille
+FROM agg, LATERAL (
+  VALUES ('completeness_custkey', (1000 * nn_cust) // n, 1000),
+         ('uniqueness_orderkey', (1000 * uq_key) // n, 1000),
+         ('uniqueness_custkey_day', (1000 * uq_cust_day) // n, 900),
+         ('validity_price_positive', (1000 * pos_price) // n, 1000),
+         ('validity_status_enum', (1000 * ok_status) // n, 1000),
+         ('range_orderdate_1995_2000', (1000 * in_range) // n, 1000),
+         ('fk_custkey_in_customer', (1000 * fk_ok) // n, 1000)
+) AS u(check_name, metric_permille, threshold_permille)
+ORDER BY u.check_name
+"""
+
+
+@register("maint_data_quality_checks", oracle=DATA_QUALITY_ORACLE, tags=("A14", "S11"))
+def maint_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality suite over the orders
+    fact: completeness (non-null), uniqueness (key and business-key),
+    validity (domain predicates + enum), referential integrity
+    (custkey resolves in customer), and range/freshness — each check
+    one row of (check_name, metric_permille, passed, threshold).
+    Metrics are integer permille (1000*good div n — exact on both
+    engines); thresholds are part of the check definition, so
+    ``passed`` is deterministic data-derived truth (the fixture's
+    orderdate tail extends past 2000-12-31, so the range check
+    genuinely FAILS — the report is not vacuously green).
+
+    Scale shape: ONE scan of the fact computes every metric — all
+    eight counters fold into a single aggregation (the two DISTINCT
+    counters use Spark's Expand-based multi-distinct, a bounded 3x
+    row expansion that stays map-side partial); referential
+    integrity folds into the same pass as a BROADCAST left join
+    against the distinct dimension keys (no second fact scan, no
+    anti-join exchange). The 8-counter 1-row frame then unpivots
+    via stack() — report assembly costs nothing. This is the
+    constraint-validation pattern every 100 TB ingest gate needs:
+    amortize all checks into the scan you were already doing.
+    Beyond-reference: the lab validates row counts only
+    (BASELINE.md load checks); this generalizes to declarative
+    constraints."""
+    orders = load_table(spark, sf_dir, "orders")
+    ck = load_table(spark, sf_dir, "customer").select("c_custkey").distinct()
+    joined = orders.join(
+        F.broadcast(ck), orders.o_custkey == ck.c_custkey, "left"
+    )
+    agg = joined.agg(
+        F.count("*").cast("long").alias("n"),
+        F.count("o_custkey").cast("long").alias("nn_cust"),
+        F.count_distinct("o_orderkey").cast("long").alias("uq_key"),
+        F.count_distinct(
+            F.struct("o_custkey", F.col("o_orderdate").cast("date"))
+        )
+        .cast("long")
+        .alias("uq_cust_day"),
+        F.sum((F.col("o_totalprice") > 0).cast("long"))
+        .cast("long")
+        .alias("pos_price"),
+        F.sum(F.col("o_orderstatus").isin("O", "F", "P").cast("long"))
+        .cast("long")
+        .alias("ok_status"),
+        F.sum(
+            (
+                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("2001-01-01").cast("timestamp"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("in_range"),
+        F.sum(F.col("c_custkey").isNotNull().cast("long"))
+        .cast("long")
+        .alias("fk_ok"),
+    )
+    checks = agg.select(
+        F.expr(
+            "stack(7, "
+            "'completeness_custkey', (1000 * nn_cust) div n, 1000L, "
+            "'uniqueness_orderkey', (1000 * uq_key) div n, 1000L, "
+            "'uniqueness_custkey_day', (1000 * uq_cust_day) div n, 900L, "
+            "'validity_price_positive', (1000 * pos_price) div n, 1000L, "
+            "'validity_status_enum', (1000 * ok_status) div n, 1000L, "
+            "'range_orderdate_1995_2000', (1000 * in_range) div n, 1000L, "
+            "'fk_custkey_in_customer', (1000 * fk_ok) div n, 1000L"
+            ") AS (check_name, metric_permille, threshold_permille)"
+        )
+    )
+    return checks.select(
+        "check_name",
+        F.col("metric_permille").cast("long").alias("metric_permille"),
+        (F.col("metric_permille") >= F.col("threshold_permille")).alias("passed"),
+        F.col("threshold_permille").cast("long").alias("threshold_permille"),
+    ).orderBy("check_name")
+
+
+ROLLING_MEDIAN_ORACLE = """
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+w AS (
+  SELECT user_id, ts, event_id, cents,
+         list_sort(list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+           AS arr
+  FROM c
+)
+SELECT user_id, ts, event_id, cents,
+       CAST(arr[(len(arr) + 1) // 2] AS BIGINT) AS med_cents
+FROM w
+ORDER BY user_id, ts, event_id
+"""
+
+
+@register("w_rolling_median", oracle=ROLLING_MEDIAN_ORACLE, tags=("W1", "A9"))
+def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median over a bounded 7-row frame (6 preceding +
+    current) per user — the robust-smoothing counterpart of
+    w_moving_avg: a rolling mean chases every spike, the rolling
+    median rejects them, which is why monitoring pipelines median
+    their latency/amount streams. No engine has a median window
+    function over arbitrary frames; both sides materialize the frame
+    as a sorted list and read the LOWER median at 1-based position
+    (n+1) div 2 — on integer cents (the money lift), so the readout
+    is exact and hash-stable (an averaged even-count median would
+    reintroduce float midpoints — the round-on-half trap).
+
+    Scale shape: one user_id exchange; the frame is CONSTANT-bounded
+    (7 rows), so per-row state is O(frame) and the window never
+    degenerates into a per-key collect of the whole series — the
+    difference between this and the unbounded-frame class the
+    single-partition guard polices. At 100 TB: linear in events,
+    shuffle only on the partition key."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("cents").over(w))
+    return (
+        ev.select("user_id", "ts", "event_id", cents.alias("cents"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "cents",
+            F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int")).alias("_m"),
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "cents",
+            F.col("_m").cast("long").alias("med_cents"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+def _lpa_round_sql(r: int) -> str:
+    """One synchronized label-propagation round as SQL — shared
+    template so the unrolled oracle CTE chain cannot drift from the
+    Spark loop (the graph_pagerank twin-generation discipline).
+    argmax(count, then smallest label) is the integer encode
+    max(cnt * 131072 - lbl): cnt dominates, smaller label wins ties;
+    decode lbl = (131072 - enc % 131072) % 131072."""
+    return f"""
+l{r} AS MATERIALIZED (
+  SELECT node,
+         CAST((131072 - (max(cnt * 131072 - lbl) % 131072)) % 131072 AS BIGINT)
+           AS lbl
+  FROM (
+    SELECT a.node AS node, p.lbl AS lbl, CAST(count(*) AS BIGINT) AS cnt
+    FROM adj a JOIN l{r - 1} p ON p.node = a.nbr
+    GROUP BY a.node, p.lbl
+  )
+  GROUP BY node
+)"""
+
+
+LPA_ROUNDS = 4
+
+
+def _lpa_oracle(rounds: int = LPA_ROUNDS) -> str:
+    head = """
+WITH seq AS (
+  SELECT user_id,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+         lead(CAST(json_extract_string(props, '$.k') AS INTEGER))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nk
+  FROM events
+),
+und AS (
+  SELECT DISTINCT least(k, nk) AS a, greatest(k, nk) AS b
+  FROM seq WHERE nk IS NOT NULL AND nk <> k
+),
+adj AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM und
+  UNION ALL
+  SELECT b AS node, a AS nbr FROM und
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT node, CAST(node AS BIGINT) AS lbl FROM adj
+)"""
+    rounds_sql = ",".join(_lpa_round_sql(r) for r in range(1, rounds + 1))
+    return (
+        head
+        + ","
+        + rounds_sql
+        + f"""
+SELECT l.node, l.lbl AS label, s.n AS community_size
+FROM l{rounds} l
+JOIN (SELECT lbl, CAST(count(*) AS BIGINT) AS n
+      FROM l{rounds} GROUP BY lbl) s ON s.lbl = l.lbl
+ORDER BY l.node
+"""
+    )
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle(), tags=("graph", "A5"))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronized label propagation (community detection) over the
+    content-navigation graph — the deterministic LPA variant: every
+    node starts labeled with its own id; each round every node adopts
+    the most frequent label among its NEIGHBORS, ties broken by the
+    SMALLEST label; a fixed 4 rounds (LPA_ROUNDS — the bounded-round
+    iterative discipline of graph_pagerank / ml_kmeans_int). The
+    argmax is the pure-integer encode max(cnt * 131072 - lbl) —
+    count dominates, smaller label wins ties, decode is modular
+    arithmetic — so every round is bit-identical on both engines
+    (no floats anywhere; 131072 bounds the label domain, valid here
+    because node ids are json props k in [0, 100); at 100 TB the
+    base would be a broadcast max(node)+1). Classic async/randomized
+    LPA is NOT engine-reproducible; synchronized+deterministic
+    tie-break is the form a verification-first pipeline wants.
+
+    Scale shape: per round ONE equi-join (adjacency x labels, both
+    partitioned by node id) + two node-keyed aggregations; the label
+    frame is node-sized and localCheckpointed per round (the
+    F.broadcast-lineage / iterative-plan-growth trap measured on
+    ml_power_iteration); adjacency is checkpointed ONCE and reused
+    every round. Rounds are a fixed hyperparameter — depth does not
+    grow with data. The oracle is GENERATED from the same per-round
+    template, unrolled as MATERIALIZED CTEs (DuckDB inlines CTEs by
+    default — exponential re-expansion otherwise, the r6 lesson)."""
+    ev = load_table(spark, sf_dir, "events")
+    kcol = F.get_json_object(F.col("props"), "$.k").cast("int")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "ts", "event_id", kcol.alias("k")).withColumn(
+        "nk", F.lead("k").over(w)
+    )
+    und = (
+        seq.filter(F.col("nk").isNotNull() & (F.col("nk") != F.col("k")))
+        .select(F.least("k", "nk").alias("a"), F.greatest("k", "nk").alias("b"))
+        .distinct()
+    )
+    adj = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .localCheckpoint()
+    )
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").cast("long").alias("lbl")
+    )
+    for _ in range(LPA_ROUNDS):
+        counts = (
+            adj.join(
+                labels.select(F.col("node").alias("nbr"), "lbl"), "nbr"
+            )
+            .groupBy("node", "lbl")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        labels = (
+            counts.groupBy("node")
+            .agg(F.max(F.col("cnt") * 131072 - F.col("lbl")).alias("enc"))
+            .select(
+                "node",
+                ((131072 - (F.col("enc") % 131072)) % 131072)
+                .cast("long")
+                .alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+    sizes = labels.groupBy("lbl").agg(
+        F.count("*").cast("long").alias("community_size")
+    )
+    return (
+        labels.join(F.broadcast(sizes), "lbl")
+        .select("node", F.col("lbl").alias("label"), "community_size")
+        .orderBy("node")
+    )

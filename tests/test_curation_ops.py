@@ -343,3 +343,60 @@ def test_power_iteration_matches_numpy_eigenvector(spark):
     top = evecs[:, int(np.argmax(evals))]
     cos = abs(float(v @ top)) / (np.linalg.norm(v) * np.linalg.norm(top))
     assert cos >= 0.95, cos
+
+
+def test_k_anonymity_report_invariants(spark):
+    import pandas as pd
+
+    from sql_engine_triangle_spark.queries import registry
+    from tests.conftest import SF_DIR
+
+    res = registry.get("curation_k_anonymity").fn(spark, SF_DIR).toPandas()
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    # partition of the table: per-nation rows sum to the table size
+    assert res["n_rows"].sum() == len(cust)
+    assert (res["at_risk_rows"] <= res["n_rows"]).all()
+    assert (res["min_k"] >= 1).all()
+    assert res["risk_permille"].between(0, 1000).all()
+    # independent recompute of one nation's at-risk mass
+    g = (
+        cust.assign(band=(cust["c_acctbal"] / 1000.0).apply(__import__("math").floor))
+        .groupby(["c_nationkey", "c_mktsegment", "band"])
+        .size()
+    )
+    nat0 = g.loc[0]
+    at_risk0 = int(nat0[nat0 < 5].sum())
+    assert int(res.set_index("c_nationkey").loc[0, "at_risk_rows"]) == at_risk0
+
+
+def test_emb_dim_stats_matches_numpy(spark):
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from sql_engine_triangle_spark.queries import registry
+    from tests.conftest import SF_DIR_SMALL
+
+    res = (
+        registry.get("emb_dim_stats")
+        .fn(spark, SF_DIR_SMALL)
+        .toPandas()
+        .set_index("dim")
+    )
+    emb = pd.read_parquet(f"{SF_DIR_SMALL}/embeddings.parquet")
+    mat = np.stack(emb["embedding"].to_numpy())
+    codes = np.floor(mat.astype("float64") * 10000 + 0.5).astype("int64")
+    n = codes.shape[0]
+    s1 = codes.sum(axis=0)
+    s2 = (codes * codes).sum(axis=0)
+    for d in range(codes.shape[1]):
+        row = res.loc[d + 1]
+        assert row["n"] == n
+        # Spark div / DuckDB // truncate toward zero on these domains
+        assert row["mean_e4"] == int(s1[d]) // n if s1[d] >= 0 else row[
+            "mean_e4"
+        ] == -((-int(s1[d])) // n)
+        m2 = n * int(s2[d]) - int(s1[d]) ** 2
+        assert row["var_e8"] == m2 // (n * n)
+        assert row["near_zero_cnt"] == int((np.abs(codes[:, d]) < 100).sum())
