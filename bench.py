@@ -199,7 +199,7 @@ EXTRA = [
     # benched next to the one-pass wordpiece trainer it extends.
     "text_bpe_train_merges",
     # r8: governance/quality/pattern tier (pre-baseline rule — benched
-    # the round they are built, rotated into the window r9): count-min
+    # AND rotated into the window the round they are built): count-min
     # tiles complete the mergeable-sketch family; MATCH_RECOGNIZE-lite
     # row-pattern regex; neighborhood-Jaccard link prediction;
     # Deequ-style one-scan constraint suite; k-anonymity audit.

@@ -140,21 +140,30 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "q3_yoy_window",
     "q4_top_nations_percentiles",
     "q4_semi_join_form",
-    # literal TPC-H (inbound — the 7 driver-fixture shapes that never
-    # had rows; q1/q21/q22's green r5-r6 rows stand and stay swept)
-    "tpch_q3_shipping_priority",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q12_late_shipments",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q18_big_orders",
-    # aggregation tier (inbound)
-    "a_linear_trend",
+    # --- r8 rotation, batch tier (steady state, 10-for-10; full
+    # record in COVERAGE.md): the nine r8-built entries plus the
+    # pair-merge BPE trainer, every one three-SF bare-session
+    # strict-verified before this freeze. Displaced (all hold green
+    # r7 rows and stay in the full-registry sweep): the 7 TPC-H
+    # shapes (tpch_q3/q8/q10/q12/q14/q15/q18 — tpch_q18 carries
+    # P10/A13 which stay represented by p_having_topk history) and
+    # a_linear_trend / a_benford_digits / a_frequent_pairs (the
+    # observability family stays represented by a_equidepth_hist,
+    # a_autocorr_terms, graph_degree_distribution,
+    # maint_partition_skew_report).
+    "sub_quantified_anyall",
+    "a_cms_partial_rollup",
+    "curation_k_anonymity",
+    "emb_dim_stats",
+    "w_pattern_match_regex",
+    "w_rolling_median",
+    "graph_jaccard_neighbors",
+    "graph_label_propagation",
+    "maint_data_quality_checks",
+    "text_bpe_train_merges",
+    # aggregation tier (r7 inbound, retained)
     "a_equidepth_hist",
     "a_autocorr_terms",
-    "a_benford_digits",
-    "a_frequent_pairs",
     # window tier (inbound; funnel ships with its SQL-API twin; the
     # sessionize/SCD2/winsorize trio are the never-rowed remainder)
     "w_window_funnel",
