@@ -215,6 +215,10 @@ EXTRA = [
     "emb_dim_stats",
     "w_rolling_median",
     "graph_label_propagation",
+    # r8 batch 3: exact mid-rank ROC-AUC (rank arithmetic on the
+    # score histogram) and the month-of-year seasonal index.
+    "ml_auc_exact",
+    "a_seasonal_index",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

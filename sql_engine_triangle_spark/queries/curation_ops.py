@@ -2514,3 +2514,122 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n * s2 - s1 * s1) div (n * n)").cast("long").alias("var_e8"),
         "near_zero_cnt",
     ).orderBy("dim")
+
+
+AUC_EXACT_ORACLE = """
+WITH base AS (
+  SELECT (CAST(strftime(CAST(ts AS DATE), '%d') AS BIGINT) - 1) // 7 AS week,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events WHERE event_type IN ('purchase', 'view')
+),
+s AS (
+  SELECT week, cents, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(pos) AS BIGINT) AS cnt_pos
+  FROM base GROUP BY week, cents
+),
+r AS (
+  SELECT week, cnt, cnt_pos,
+         CAST(sum(cnt) OVER (PARTITION BY week ORDER BY cents) AS BIGINT) - cnt
+           AS r0
+  FROM s
+),
+a AS (
+  SELECT week,
+         CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(cnt_pos) AS BIGINT) AS npos,
+         CAST(sum(cnt_pos * (2 * r0 + cnt + 1)) AS BIGINT) AS s2pos
+  FROM r GROUP BY week
+)
+SELECT week, n, npos, CAST(n - npos AS BIGINT) AS nneg,
+       CAST(s2pos - npos * (npos + 1) AS BIGINT) AS u2,
+       CAST((1000 * (s2pos - npos * (npos + 1)))
+            // (2 * npos * (n - npos)) AS BIGINT) AS auc_permille
+FROM a
+WHERE npos > 0 AND n - npos > 0
+ORDER BY week
+"""
+
+
+@register("ml_auc_exact", oracle=AUC_EXACT_ORACLE, tags=("A9", "LLM-pipeline"))
+def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC via the Mann-Whitney rank-sum identity — the
+    model-evaluation metric a data pipeline computes when scoring a
+    classifier (here: does the event's monetary value separate
+    purchases from views, per week). AUC = U / (npos * nneg) with
+    U = S_pos - npos(npos+1)/2, where S_pos is the sum of MID-RANKS
+    of the positives — the tie-correct form: a block of tied scores
+    spanning ranks [r0+1, r0+cnt] contributes the average rank
+    r0 + (cnt+1)/2 to each member. Everything is computed DOUBLED
+    (2*avg_rank = 2*r0 + cnt + 1 is always an integer), so the whole
+    statistic stays in exact integer arithmetic: u2 = 2U and
+    auc_permille = (1000 * u2) div (2 * npos * nneg) hash-check
+    bit-identically — no float ranks, no approximate AUC.
+
+    Scores are integer cents (the money lift); the sort key is
+    therefore exact on both engines and mid-ranks are well-defined.
+    Degenerate weeks (no positives or no negatives) are filtered —
+    AUC is undefined there, and the integer division would trap.
+
+    Scale shape: ONE aggregation compresses the fact to per-(week,
+    score) counts — ranks are then computed on the COMPRESSED frame
+    (bounded by distinct scores, not rows) with a week-partitioned
+    running sum (no single-partition exchange), and one final
+    week-keyed rollup. This is how exact AUC is computed at 100 TB:
+    rank arithmetic on the score histogram, never a global sort of
+    raw rows. Beyond-reference: the lab has no model-eval operator;
+    this is the evaluation counterpart of the calibration entry
+    (pipeline_quality_dup_calibration)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    base = ev.select(
+        F.expr("(day(ts) - 1) div 7").cast("long").alias("week"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    )
+    s = base.groupBy("week", "cents").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("pos").cast("long").alias("cnt_pos"),
+    )
+    w = (
+        Window.partitionBy("week")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = s.select(
+        "week",
+        "cnt",
+        "cnt_pos",
+        (F.sum("cnt").over(w) - F.col("cnt")).cast("long").alias("r0"),
+    )
+    a = r.groupBy("week").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("cnt_pos").cast("long").alias("npos"),
+        F.sum(F.col("cnt_pos") * (2 * F.col("r0") + F.col("cnt") + 1))
+        .cast("long")
+        .alias("s2pos"),
+    )
+    return (
+        a.filter((F.col("npos") > 0) & (F.col("n") - F.col("npos") > 0))
+        .select(
+            "week",
+            "n",
+            "npos",
+            (F.col("n") - F.col("npos")).cast("long").alias("nneg"),
+            (F.col("s2pos") - F.col("npos") * (F.col("npos") + 1))
+            .cast("long")
+            .alias("u2"),
+        )
+        .select(
+            "week",
+            "n",
+            "npos",
+            "nneg",
+            "u2",
+            F.expr("(1000 * u2) div (2 * npos * nneg)")
+            .cast("long")
+            .alias("auc_permille"),
+        )
+        .orderBy("week")
+    )

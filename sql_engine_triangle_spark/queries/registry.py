@@ -161,15 +161,22 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "graph_label_propagation",
     "maint_data_quality_checks",
     "text_bpe_train_merges",
+    # --- r8 rotation, late tier (2-for-2, same pre-freeze session):
+    # exact mid-rank ROC-AUC and the month-of-year seasonal index,
+    # both three-SF bare-session strict-verified at rotation time.
+    # Displaced (green r7 rows, stay in the sweep): a_autocorr_terms
+    # (observability keeps a_equidepth_hist in-window) and
+    # f_sequence_gaps (the window family keeps
+    # w_window_funnel/w_sessionize/w_scd2_history in-window).
+    "ml_auc_exact",
+    "a_seasonal_index",
     # aggregation tier (r7 inbound, retained)
     "a_equidepth_hist",
-    "a_autocorr_terms",
     # window tier (inbound; funnel ships with its SQL-API twin; the
     # sessionize/SCD2/winsorize trio are the never-rowed remainder)
     "w_window_funnel",
     "w_running_distinct",
     "w_longest_streak",
-    "f_sequence_gaps",
     "w_sessionize",
     "w_scd2_history",
     "f_winsorize",

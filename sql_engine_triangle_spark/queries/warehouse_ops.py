@@ -2905,3 +2905,88 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("lbl").alias("label"), "community_size")
         .orderBy("node")
     )
+
+
+SEASONAL_INDEX_ORACLE = """
+WITH m AS (
+  SELECT CAST(strftime(CAST(o_orderdate AS DATE), '%m') AS BIGINT) AS month,
+         CAST(strftime(CAST(o_orderdate AS DATE), '%Y') AS BIGINT) AS yr,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+per AS (
+  SELECT month,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(count(DISTINCT yr) AS BIGINT) AS n_periods,
+         CAST(sum(cents) AS BIGINT) AS total_cents
+  FROM m GROUP BY month
+),
+tot AS (
+  SELECT CAST(sum(total_cents) AS BIGINT) AS g_total,
+         CAST(sum(n_periods) AS BIGINT) AS g_periods
+  FROM per
+)
+SELECT month, n_orders, n_periods, total_cents,
+       CAST((1000 * total_cents * g_periods)
+            // (n_periods * g_total) AS BIGINT) AS seasonal_permille
+FROM per, tot
+ORDER BY month
+"""
+
+
+@register("a_seasonal_index", oracle=SEASONAL_INDEX_ORACLE, tags=("A5", "F2"))
+def a_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year SEASONAL INDEX over order revenue — the
+    classical multiplicative seasonal decomposition a demand/revenue
+    warehouse publishes (index > 1000 permille = above-trend month):
+    index_m = (mean monthly revenue of calendar month m across years)
+    / (mean monthly revenue across ALL observed year-months). Both
+    means are ratios of integer totals, so the index is the exact
+    integer expression (1000 * total_m * g_periods) div
+    (n_periods_m * g_total) — no float averaging, hash-identical
+    across engines. n_periods counts the distinct YEARS in which the
+    calendar month is observed, so partial first/last years don't
+    bias the index (the fixture spans 1995-01..2001-08: months 1-8
+    have 7 periods, 9-12 have 6).
+
+    Overflow bound: 1000 * total_cents(month) * g_periods at sf0.1
+    is ~3e11 * 1000 * 80 = 2.4e16 << 2^63; at 1000x data the lift
+    still fits (2.4e19 would not — at that scale drop to per-year
+    pre-division or 128-bit decimal, noted here for the audit).
+
+    Scale shape: ONE fact scan -> month-keyed aggregation (12 groups,
+    map-side combinable; the distinct-years counter is an Expand at
+    12x12 domain cost, trivially bounded); the grand total is a
+    1-ROW frame broadcast back onto the 12-row month frame
+    (allowlisted 1xN pattern, a_heavy_hitters mold). Report assembly
+    is domain-sized end-to-end after the first aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.select(
+        F.month("o_orderdate").cast("long").alias("month"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    per = m.groupBy("month").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.count_distinct("yr").cast("long").alias("n_periods"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    tot = per.agg(
+        F.sum("total_cents").cast("long").alias("g_total"),
+        F.sum("n_periods").cast("long").alias("g_periods"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "month",
+            "n_orders",
+            "n_periods",
+            "total_cents",
+            F.expr("(1000 * total_cents * g_periods) div (n_periods * g_total)")
+            .cast("long")
+            .alias("seasonal_permille"),
+        )
+        .orderBy("month")
+    )

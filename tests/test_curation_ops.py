@@ -400,3 +400,36 @@ def test_emb_dim_stats_matches_numpy(spark):
         m2 = n * int(s2[d]) - int(s1[d]) ** 2
         assert row["var_e8"] == m2 // (n * n)
         assert row["near_zero_cnt"] == int((np.abs(codes[:, d]) < 100).sum())
+
+
+def test_auc_exact_matches_python_midrank(spark):
+    import numpy as np
+    import pandas as pd
+
+    from sql_engine_triangle_spark.queries import registry
+    from tests.conftest import SF_DIR_SMALL
+
+    res = (
+        registry.get("ml_auc_exact")
+        .fn(spark, SF_DIR_SMALL)
+        .toPandas()
+        .set_index("week")
+    )
+    ev = pd.read_parquet(f"{SF_DIR_SMALL}/events.parquet")
+    ev = ev[ev["event_type"].isin(["purchase", "view"])].copy()
+    ev["week"] = (ev["ts"].dt.day - 1) // 7
+    ev["cents"] = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype("int64")
+    ev["pos"] = (ev["event_type"] == "purchase").astype(int)
+    for wk, g in ev.groupby("week"):
+        # independent mid-rank Mann-Whitney (scipy-free)
+        ranks = pd.Series(g["cents"]).rank(method="average")
+        npos = int(g["pos"].sum())
+        nneg = len(g) - npos
+        s_pos = float(ranks[g["pos"] == 1].sum())
+        u = s_pos - npos * (npos + 1) / 2
+        row = res.loc[wk]
+        assert row["npos"] == npos and row["nneg"] == nneg
+        assert row["u2"] == int(round(2 * u))
+        assert row["auc_permille"] == int(1000 * 2 * u) // (2 * npos * nneg)
+    # mid-rank path must actually be exercised: ties exist
+    assert ev.groupby(["week", "cents"]).size().max() > 1

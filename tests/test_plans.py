@@ -87,6 +87,9 @@ ALLOWED_NESTED_LOOP = {
     "tpch_q22_idle_customers",
     # 1-row broadcast of the corpus token total onto the term counts.
     "a_heavy_hitters",
+    # 1-row broadcast of the grand-total frame onto the 12-row
+    # month frame (same 1xN bounded pattern).
+    "a_seasonal_index",
     # k-row (k=8) broadcast centroid frame onto the points each Lloyd
     # iteration — bounded k x N by construction.
     "ml_kmeans_int",

@@ -284,3 +284,39 @@ def test_quantified_anyall_empty_set_semantics(spark):
     )
     got = res.set_index("p_brand").loc[brand, "n_all_small_late"]
     assert int(got) == n_all_small
+
+
+def test_seasonal_index_invariants(spark):
+    import numpy as np
+    import pandas as pd
+
+    res = (
+        registry.get("a_seasonal_index")
+        .fn(spark, SF_DIR_SMALL)
+        .toPandas()
+        .set_index("month")
+    )
+    orders = pd.read_parquet(f"{SF_DIR_SMALL}/orders.parquet")
+    assert res["n_orders"].sum() == len(orders)
+    assert sorted(res.index) == list(range(1, 13))
+    # independent recompute of one month's index
+    od = orders.copy()
+    od["month"] = od["o_orderdate"].dt.month
+    od["yr"] = od["o_orderdate"].dt.year
+    od["cents"] = np.floor(od["o_totalprice"].to_numpy() * 100 + 0.5).astype(
+        "int64"
+    )
+    per = od.groupby("month").agg(
+        n_periods=("yr", "nunique"), total=("cents", "sum")
+    )
+    g_total, g_periods = int(per["total"].sum()), int(per["n_periods"].sum())
+    for m in (1, 12):
+        want = (1000 * int(per.loc[m, "total"]) * g_periods) // (
+            int(per.loc[m, "n_periods"]) * g_total
+        )
+        assert int(res.loc[m, "seasonal_permille"]) == want
+    # partial-year awareness: fixture spans 1995-01..2001-08
+    assert (res.loc[1:8, "n_periods"] > res.loc[9:12, "n_periods"].max() - 2).all()
+    # weighted mean of indices reconstructs ~1000 permille
+    w_mean = (res["seasonal_permille"] * res["n_periods"]).sum() / g_periods
+    assert abs(w_mean - 1000) <= 2
