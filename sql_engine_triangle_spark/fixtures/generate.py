@@ -376,3 +376,54 @@ def compute_probes(df: DataFrame, date_col: str, distinct_cols: list[str]) -> di
     ] + [F.countDistinct(c).alias(f"n_{c}") for c in distinct_cols]
     row = df.agg(*aggs).head()
     return row.asDict()
+
+
+def events_like(
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 42,
+    k_domain: int = 100,
+) -> DataFrame:
+    """events-shaped corpus matching the driver testdata's events
+    schema (event_id, ts, user_id, event_type, value, props) and its
+    cross-SF scaling law, measured on the fixture itself: USER COUNT
+    scales with n at a constant ~66 events/user (sf0.01: 150 users /
+    10k rows; sf0.1: 1500 / 100k — per-user load is the invariant),
+    ts uniform over one month (2024-01), event_type uniform over the
+    5 fixture types, value ~ Exp(mean 50) rounded to cents (fixture
+    quantiles p25/p50/p75/p90/p99 = 14.7/34.7/69/114/228 match the
+    exponential to <2%), props = {"k": K}.
+
+    ``k_domain`` controls the content-graph regime the graph entries
+    derive edges from. The fixture's own domain is CLOSED (k uniform
+    in [0,100) at every SF), so the transition graph saturates toward
+    the complete graph on 100 nodes as n grows — wedge/label work is
+    then domain-bounded, not data-bounded. Pass a scaled domain
+    (k_domain ~ n/25) for the NATURAL-graph counterpoint where node
+    count grows with data and average degree stays ~constant (~50):
+    that is the regime the wedge fan-out bound sum(deg^2) assumes,
+    and the openvocab-style second measurement for data-shape-
+    sensitive graph operators (CLAUDE.md r8 lesson: measure both)."""
+    df = spark.range(n_rows).withColumn("_s", F.xxhash64("id", F.lit(seed + 7)))
+    s = F.col("_s")
+    n_users = max(1, n_rows // 66)
+    ts = F.lit("2024-01-01 00:00:00").cast("timestamp") + F.make_interval(
+        secs=F.floor(_u(s, 1) * (30 * 86400 - 60))
+    )
+    value = (
+        F.round(-F.lit(50.0) * F.log(F.lit(1.0) - _u(s, 2)) + F.lit(0.005), 2)
+    )
+    return df.select(
+        F.col("id").alias("event_id"),
+        ts.alias("ts"),
+        F.floor(_u(s, 3) * n_users).cast("long").alias("user_id"),
+        _pick(_u(s, 4), ["view", "click", "purchase", "signup", "error"]).alias(
+            "event_type"
+        ),
+        F.greatest(value, F.lit(0.01)).alias("value"),
+        F.concat(
+            F.lit('{"k": '),
+            F.floor(_u(s, 5) * k_domain).cast("long").cast("string"),
+            F.lit("}"),
+        ).alias("props"),
+    )
