@@ -98,6 +98,23 @@ QUERIES = [
     "dedup_repeated_passages",
     "tpch_q8_market_share",
     "j_range_bands_bucketed",
+    # round-8 additions: mergeable quantile/count-min tiles, pair-merge
+    # BPE trainer, MATCH_RECOGNIZE-lite, wedge Jaccard, synchronized
+    # LPA, one-scan quality suite, quantified-subquery decorrelation,
+    # exact mid-rank AUC, seasonal index, per-dimension embedding QA
+    "a_percentile_partial_rollup",
+    "a_cms_partial_rollup",
+    "text_bpe_train_merges",
+    "w_pattern_match_regex",
+    "graph_jaccard_neighbors",
+    "graph_label_propagation",
+    "maint_data_quality_checks",
+    "sub_quantified_anyall",
+    "ml_auc_exact",
+    "a_seasonal_index",
+    "emb_dim_stats",
+    "w_rolling_median",
+    "curation_k_anonymity",
 ]
 
 
@@ -189,6 +206,21 @@ def main() -> None:
         "capstones' round-over-round signal is their SOLO numbers",
         "(pipeline_corpus_build 9.33 s, decontam 10.66 s this round), not",
         "any single battery draw.",
+        "",
+        "Measurement note (r8, session-level elevation): the r8 batteries",
+        "ran UNIFORMLY ~15-25% above the r7 records across unrelated,",
+        "code-untouched entries — q1's single-row-group scan floor read",
+        "0.434 (r7) -> 0.550 in-battery / 0.573 solo min-of-3; the r7",
+        "judge-solo dedup_cluster_size_hist 4.81 -> 5.59 solo min-of-3 —",
+        "with ZERO plan changes for those entries (this file regenerated",
+        "this round; pre-r8 sections byte-stable). The elevation is",
+        "host/ambient for this session, the same mechanism as the r8",
+        "scale-stress lesson (first sweep 4-12x slow near JVM teardown;",
+        "run-1 20-40% above run-2 across the board). Two full batteries",
+        "were run (184.1 s then 166.7 s on identical code); the committed",
+        "BENCH_FULL.json is the quieter second, its prev_common block",
+        "compares against the first, and the round-over-round signal",
+        "remains the solo numbers above, not cross-session battery draws.",
         "",
     ]
     for name in QUERIES:
