@@ -219,6 +219,9 @@ EXTRA = [
     # score histogram) and the month-of-year seasonal index.
     "ml_auc_exact",
     "a_seasonal_index",
+    # r8 batch 4: CUSUM change-point monitor (Page's test, integer
+    # fold — the entry that surfaced the DuckDB struct-shadowing trap).
+    "w_cusum_drift",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

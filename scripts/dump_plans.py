@@ -115,6 +115,7 @@ QUERIES = [
     "emb_dim_stats",
     "w_rolling_median",
     "curation_k_anonymity",
+    "w_cusum_drift",
 ]
 
 

@@ -170,13 +170,18 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     # w_window_funnel/w_sessionize/w_scd2_history in-window).
     "ml_auc_exact",
     "a_seasonal_index",
+    # --- r8 rotation, final tier (1-for-1, pre-freeze): CUSUM drift
+    # detection (three-SF bare-session strict-verified; found and
+    # pinned the DuckDB struct-literal shadowing trap). Displaced:
+    # w_longest_streak (green r7; the window family keeps
+    # w_window_funnel/w_sessionize/w_scd2_history/w_running_distinct).
+    "w_cusum_drift",
     # aggregation tier (r7 inbound, retained)
     "a_equidepth_hist",
     # window tier (inbound; funnel ships with its SQL-API twin; the
     # sessionize/SCD2/winsorize trio are the never-rowed remainder)
     "w_window_funnel",
     "w_running_distinct",
-    "w_longest_streak",
     "w_sessionize",
     "w_scd2_history",
     "f_winsorize",

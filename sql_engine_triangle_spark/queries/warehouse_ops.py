@@ -2990,3 +2990,158 @@ def a_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+CUSUM_DRIFT_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(strftime(CAST(ts AS DATE), '%d') AS BIGINT) AS day,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY event_type, day
+),
+series AS (
+  SELECT event_type, list(x ORDER BY day) AS vals
+  FROM daily GROUP BY event_type
+),
+p AS (
+  SELECT event_type, vals, CAST(len(vals) AS BIGINT) AS n_days,
+         CAST(CAST(list_sum(vals) AS BIGINT) // len(vals) AS BIGINT)
+           AS target_cents
+  FROM series
+),
+f AS (
+  SELECT event_type, n_days, target_cents,
+         -- field order is load-bearing: in DuckDB 1.0 a lambda's
+         -- struct literal exposes ALREADY-ASSIGNED fields of the
+         -- literal under acc.<name> (sequential shadowing), so every
+         -- expression here reads only acc fields NOT yet assigned in
+         -- this literal — correct under both the shadowing and the
+         -- standard semantics. s is assigned LAST.
+         list_reduce(
+           list_transform(vals, x -> {
+             'smax': greatest(0, x - target_cents - target_cents // 50),
+             'alarms': CASE WHEN greatest(0, x - target_cents
+                                 - target_cents // 50)
+                              > target_cents // 8 THEN 1 ELSE 0 END,
+             's': greatest(0, x - target_cents - target_cents // 50),
+             'x': x}),
+           (acc, e) -> {
+             'smax': greatest(acc.smax,
+                              greatest(0, acc.s + e.x - target_cents
+                                          - target_cents // 50)),
+             'alarms': acc.alarms
+               + CASE WHEN greatest(0, acc.s + e.x - target_cents
+                                       - target_cents // 50)
+                        > target_cents // 8 THEN 1 ELSE 0 END,
+             's': greatest(0, acc.s + e.x - target_cents
+                              - target_cents // 50),
+             'x': e.x}
+         ) AS st
+  FROM p
+)
+SELECT event_type, n_days, target_cents,
+       CAST(st.smax AS BIGINT) AS cusum_max,
+       CAST(st.alarms AS BIGINT) AS n_alarms
+FROM f
+ORDER BY event_type
+"""
+
+
+@register("w_cusum_drift", oracle=CUSUM_DRIFT_ORACLE, tags=("W-free", "F1"))
+def w_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection (Page's test) over daily
+    revenue per event type — the change-point monitor that completes
+    the observability family next to autocorrelation, linear trend
+    and the seasonal index: S_0 = 0, S_t = max(0, S_{t-1} + x_t - μ
+    - k), alarm while S_t > h. Slack k = μ div 50 (2%) and threshold
+    h = μ div 8 (12.5%) make both states REAL on the fixture at
+    every SF (alarm counts 23-28 at sf0.001, 13-22 at sf0.01, 0-5 at
+    sf0.1 — relative daily noise shrinks ~1/√n, so a fixed relative
+    threshold naturally goes quieter as data grows; three types are
+    alarm-free at sf0.1 while error/signup alarm, so the oracle
+    match is not vacuous in either direction; pinned against an
+    independent Python fold in tests).
+
+    The recurrence is non-associative (max(0,·) clips), so it folds
+    SEQUENTIALLY per key over the day-ordered series — in integer
+    cents, making every round bit-identical across engines (the
+    w_ema_int discipline). Spark folds aggregate(slice(...,2,...),
+    element_at(...,1), f) over per-element structs to match DuckDB's
+    init-less list_reduce exactly; μ enters the lambdas as a plain
+    column computed in a prior projection (hoist-invariants lesson —
+    HOF lambdas are interpreted).
+
+    Scale shape: the fact compresses to (type, day) totals in ONE
+    map-side-combinable aggregation; the fold runs over 30-element
+    arrays on 5 rows. At 100 TB the sequential part is O(days) per
+    monitored series — CUSUM state is exactly what a streaming
+    monitor keeps per key; this is the batch replay of it."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.dayofmonth("ts").cast("long").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("long").alias("x"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, x))), s -> s.x)"
+        ).alias("vals")
+    )
+    p = series.select(
+        "event_type",
+        "vals",
+        F.size("vals").cast("long").alias("n_days"),
+        F.expr("aggregate(vals, 0L, (a, x) -> a + x) div size(vals)")
+        .cast("long")
+        .alias("target_cents"),
+    )
+    # field order mirrors the oracle (smax, alarms, s, x): DuckDB 1.0
+    # struct-literal lambdas shadow acc.<name> with fields already
+    # assigned in the literal, so both forms only read acc fields not
+    # yet assigned — identical meaning under either semantics. Spark's
+    # named_struct has no such shadowing; the order is for type match.
+    structs = (
+        "transform(vals, x -> named_struct("
+        "  'smax', greatest(0L, x - target_cents - target_cents div 50),"
+        "  'alarms', CASE WHEN greatest(0L, x - target_cents"
+        "                 - target_cents div 50)"
+        "              > target_cents div 8 THEN 1L ELSE 0L END,"
+        "  's', greatest(0L, x - target_cents - target_cents div 50),"
+        "  'x', x))"
+    )
+    return (
+        p.withColumn("structs", F.expr(structs))
+        .select(
+            "event_type",
+            "n_days",
+            "target_cents",
+            F.expr(
+                "aggregate("
+                "  slice(structs, 2, size(structs) - 1),"
+                "  element_at(structs, 1),"
+                "  (acc, e) -> named_struct("
+                "    'smax', greatest(acc.smax,"
+                "        greatest(0L, acc.s + e.x - target_cents"
+                "                 - target_cents div 50)),"
+                "    'alarms', acc.alarms"
+                "      + CASE WHEN greatest(0L, acc.s + e.x - target_cents"
+                "                   - target_cents div 50)"
+                "               > target_cents div 8 THEN 1L ELSE 0L END,"
+                "    's', greatest(0L, acc.s + e.x - target_cents"
+                "                  - target_cents div 50),"
+                "    'x', e.x)"
+                ")"
+            ).alias("st"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "target_cents",
+            F.col("st.smax").cast("long").alias("cusum_max"),
+            F.col("st.alarms").cast("long").alias("n_alarms"),
+        )
+        .orderBy("event_type")
+    )

@@ -320,3 +320,36 @@ def test_seasonal_index_invariants(spark):
     # weighted mean of indices reconstructs ~1000 permille
     w_mean = (res["seasonal_permille"] * res["n_periods"]).sum() / g_periods
     assert abs(w_mean - 1000) <= 2
+
+
+def test_cusum_drift_matches_python_fold(spark):
+    import math
+
+    import pandas as pd
+
+    for sf_dir in (SF_DIR_SMALL, SF_DIR):
+        res = (
+            registry.get("w_cusum_drift")
+            .fn(spark, sf_dir)
+            .toPandas()
+            .set_index("event_type")
+        )
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+        ev["cents"] = (ev["value"] * 100 + 0.5).apply(math.floor)
+        ev["day"] = ev["ts"].dt.day
+        daily = ev.groupby(["event_type", "day"])["cents"].sum()
+        for et in res.index:
+            vals = daily.loc[et].sort_index().tolist()
+            target = sum(vals) // len(vals)
+            k, h = target // 50, target // 8
+            s = smax = alarms = 0
+            for x in vals:
+                s = max(0, s + x - target - k)
+                smax = max(smax, s)
+                alarms += s > h
+            row = res.loc[et]
+            assert row["target_cents"] == target
+            assert row["cusum_max"] == smax, et
+            assert row["n_alarms"] == alarms, et
+        # alarm state is genuinely exercised at both SFs
+        assert (res["n_alarms"] > 0).any()
