@@ -911,3 +911,196 @@ def test_random_conditional_agg_parity(spark, ddb, flag, qty, use_filter_clause)
     ORDER BY l_linestatus
     """
     assert_frames_match(df.toPandas(), ddb.execute(sql).fetchdf())
+
+
+# --- struct-fold fuzzer (r8): random sequential integer folds with
+# 2-field struct state, compiled to Spark aggregate(...named_struct...)
+# AND DuckDB list_reduce(...{...}...), plus an independent Python fold.
+# Pins the portable fold discipline that the w_cusum_drift trap
+# motivated: DuckDB 1.0 struct-literal lambdas SHADOW acc.<name> with
+# fields already assigned in the same literal, so portable programs
+# assign the recursive field LAST and read only pristine acc fields —
+# this fuzzer generates programs obeying that rule and asserts all
+# three implementations agree bit-for-bit.
+
+def _tdiv(x: int, d: int) -> int:
+    """Truncate-toward-zero division — Spark div == DuckDB // (both
+    verified incl. negatives; Python // floors, hence this helper)."""
+    q = abs(x) // d
+    return q if (x >= 0) == (d >= 0) else -q
+
+
+# (spark/duck template, python fn) per recursive-field variant.
+# Templates reference A (acc.a), B (acc.b), X (e.x) and constants.
+_FOLD_A = {
+    0: (
+        "greatest(0{L}, {A} + {X} - {C})",
+        lambda a, b, x, c, p, d, t: max(0, a + x - c),
+    ),
+    1: (
+        "({P}{L} * {A} + ({Q}{L}) * {X}) {DIV} 10",
+        lambda a, b, x, c, p, d, t: _tdiv(p * a + (10 - p) * x, 10),
+    ),
+    2: ("greatest({A}, {X})", lambda a, b, x, c, p, d, t: max(a, x)),
+    3: ("{A} + {X} {DIV} {D}", lambda a, b, x, c, p, d, t: a + _tdiv(x, d)),
+}
+_INIT_A = {
+    0: ("greatest(0{L}, x - {C})", lambda x, c, p, d, t: max(0, x - c)),
+    1: ("(({Q}{L}) * x) {DIV} 10", lambda x, c, p, d, t: _tdiv((10 - p) * x, 10)),
+    2: ("x", lambda x, c, p, d, t: x),
+    3: ("x {DIV} {D}", lambda x, c, p, d, t: _tdiv(x, d)),
+}
+_FOLD_B = {
+    0: (
+        "{B} + (CASE WHEN {A} > {T} THEN 1{L} ELSE 0{L} END)",
+        lambda a, b, x, c, p, d, t: b + (1 if a > t else 0),
+    ),
+    1: (
+        "greatest({B}, {A} + {X})",
+        lambda a, b, x, c, p, d, t: max(b, a + x),
+    ),
+    2: ("{B} + {X} {DIV} {D}", lambda a, b, x, c, p, d, t: b + _tdiv(x, d)),
+    3: ("least({B}, {X})", lambda a, b, x, c, p, d, t: min(b, x)),
+}
+_INIT_B = {
+    0: ("(CASE WHEN {A0} > {T} THEN 1{L} ELSE 0{L} END)",
+        lambda a0, x, c, p, d, t: 1 if a0 > t else 0),
+    1: ("{A0}", lambda a0, x, c, p, d, t: a0),
+    2: ("x {DIV} {D}", lambda a0, x, c, p, d, t: _tdiv(x, d)),
+    3: ("x", lambda a0, x, c, p, d, t: x),
+}
+
+
+def _render(tpl: str, dialect: str, consts: dict, a0_expr: str | None = None) -> str:
+    # Spark needs L-suffixed BIGINT literals and `div`; DuckDB reads
+    # bare integers as BIGINT-compatible and uses `//`.
+    sub = {
+        "A": "acc.a",
+        "B": "acc.b",
+        "X": "e.x",
+        "L": "L" if dialect == "spark" else "",
+        "DIV": "div" if dialect == "spark" else "//",
+        "C": consts["c"],
+        "P": consts["p"],
+        "Q": 10 - consts["p"],
+        "D": consts["d"],
+        "T": consts["t"],
+    }
+    if a0_expr is not None:
+        sub["A0"] = a0_expr
+    return tpl.format(**sub)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    va=st.integers(min_value=0, max_value=3),
+    vb=st.integers(min_value=0, max_value=3),
+    c=st.sampled_from([1000, 3000, 5000]),
+    p=st.sampled_from([2, 5, 8]),
+    d=st.sampled_from([2, 3, 4]),
+    t=st.sampled_from([2000, 6000]),
+)
+def test_random_struct_fold_parity(spark, ddb, va, vb, c, p, d, t):
+    import math
+
+    consts = {"c": c, "p": p, "d": d, "t": t}
+    fa_tpl, fa_py = _FOLD_A[va]
+    ia_tpl, ia_py = _INIT_A[va]
+    fb_tpl, fb_py = _FOLD_B[vb]
+    ib_tpl, ib_py = _INIT_B[vb]
+
+    # ---- Spark: b first, recursive a LAST (the portable order).
+    ia_s = _render(ia_tpl, "spark", consts)
+    ib_s = _render(ib_tpl, "spark", consts, a0_expr=f"({ia_s})")
+    fa_s = _render(fa_tpl, "spark", consts)
+    fb_s = _render(fb_tpl, "spark", consts)
+    sdf = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("x"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(ts, event_id, x))), "
+                "s -> s.x)"
+            ).alias("vals")
+        )
+        .withColumn(
+            "structs",
+            F.expr(
+                f"transform(vals, x -> named_struct('b', CAST(({ib_s}) AS BIGINT),"
+                f" 'a', CAST(({ia_s}) AS BIGINT), 'x', x))"
+            ),
+        )
+        .select(
+            "user_id",
+            F.expr(
+                "aggregate("
+                "  slice(structs, 2, size(structs) - 1),"
+                "  element_at(structs, 1),"
+                f"  (acc, e) -> named_struct('b', CAST(({fb_s}) AS BIGINT),"
+                f" 'a', CAST(({fa_s}) AS BIGINT), 'x', e.x))"
+            ).alias("st"),
+        )
+        .select(
+            "user_id",
+            F.col("st.a").cast("long").alias("a"),
+            F.col("st.b").cast("long").alias("b"),
+        )
+        .orderBy("user_id")
+    )
+    got = sdf.toPandas()
+
+    # ---- DuckDB: same program, same field order.
+    ia_q = _render(ia_tpl, "duck", consts)
+    ib_q = _render(ib_tpl, "duck", consts, a0_expr=f"({ia_q})")
+    fa_q = _render(fa_tpl, "duck", consts)
+    fb_q = _render(fb_tpl, "duck", consts)
+    sql = f"""
+    WITH c AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+      FROM events WHERE event_type = 'purchase'
+    ),
+    series AS (
+      SELECT user_id, list(x ORDER BY ts, event_id) AS vals
+      FROM c GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(st.a AS BIGINT) AS a, CAST(st.b AS BIGINT) AS b
+    FROM (
+      SELECT user_id, list_reduce(
+        list_transform(vals, x -> {{'b': CAST(({ib_q}) AS BIGINT),
+                                    'a': CAST(({ia_q}) AS BIGINT), 'x': x}}),
+        (acc, e) -> {{'b': {fb_q}, 'a': {fa_q}, 'x': e.x}}) AS st
+      FROM series
+    )
+    ORDER BY user_id
+    """
+    want = ddb.execute(sql).fetchdf()
+    assert_frames_match(got, want)
+
+    # ---- independent Python fold.
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev = ev[ev["event_type"] == "purchase"].copy()
+    ev["x"] = (ev["value"] * 100 + 0.5).apply(math.floor).astype("int64")
+    res = got.set_index("user_id")
+    for uid, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        xs = g["x"].tolist()
+        a = ia_py(xs[0], c, p, d, t)
+        b = ib_py(a, xs[0], c, p, d, t)
+        for x in xs[1:]:
+            nb = fb_py(a, b, x, c, p, d, t)  # reads pristine a
+            a = fa_py(a, b, x, c, p, d, t)
+            b = nb
+        assert int(res.loc[uid, "a"]) == a, (uid, va, vb, consts)
+        assert int(res.loc[uid, "b"]) == b, (uid, va, vb, consts)
