@@ -217,11 +217,15 @@ def main() -> None:
         "this round; pre-r8 sections byte-stable). The elevation is",
         "host/ambient for this session, the same mechanism as the r8",
         "scale-stress lesson (first sweep 4-12x slow near JVM teardown;",
-        "run-1 20-40% above run-2 across the board). Two full batteries",
-        "were run (184.1 s then 166.7 s on identical code); the committed",
-        "BENCH_FULL.json is the quieter second, its prev_common block",
-        "compares against the first, and the round-over-round signal",
-        "remains the solo numbers above, not cross-session battery draws.",
+        "run-1 20-40% above run-2 across the board). Three full batteries",
+        "were run (184.1 / 166.7 / 193.1 s — the third adds only the",
+        "0.4 s w_cusum_drift, so the 184->167->193 swing on otherwise",
+        "IDENTICAL code bounds this session's ambient variance at ~±8%",
+        "around a ~178 s mean). The committed BENCH_FULL.json is the",
+        "final battery (matching the shipped entry set), its",
+        "solo_reconciled block re-measured every >30% cohort delta, and",
+        "the round-over-round signal remains the solo numbers above, not",
+        "cross-session battery draws.",
         "",
     ]
     for name in QUERIES:
