@@ -19,6 +19,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -241,6 +242,100 @@ def running_user_ema(events: DataFrame) -> DataFrame:
             _ema_update,
             outputStructType=EMA_OUTPUT_SCHEMA,
             stateStructType=EMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+CUSUM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_days_closed", LongType()),
+        StructField("s", LongType()),
+        StructField("cusum_max", LongType()),
+        StructField("n_alarms", LongType()),
+    ]
+)
+
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("cur_day", LongType()),
+        StructField("day_cents", LongType()),
+        StructField("n_days_closed", LongType()),
+        StructField("s", LongType()),
+        StructField("cusum_max", LongType()),
+        StructField("n_alarms", LongType()),
+    ]
+)
+
+
+def running_cusum_monitor(
+    events: DataFrame, targets: dict[str, int]
+) -> DataFrame:
+    """Streaming twin of ``w_cusum_drift``: one-sided CUSUM (Page's
+    test) per event type over DAILY revenue totals, with a FIXED
+    per-type reference target μ0 (slack μ0 div 50, threshold μ0
+    div 8 — the batch entry's constants). The batch form derives μ
+    from the whole series; a live monitor cannot, so μ0 is the
+    supplied reference (trained on history) — exactly how CUSUM is
+    deployed. State per type: the OPEN day's accumulator plus the
+    fold state (s, smax, alarms) over CLOSED days; a day closes when
+    a later day's first event arrives (the in-order micro-batch
+    contract of running_user_ema), so after the final batch the
+    state equals the batch CUSUM fold over all closed days
+    bit-exactly — pinned under arbitrary chunking in
+    tests/test_engine_facade.py. At 100 TB: state is six longs per
+    monitored series in the state store, the streaming counterpart
+    of the batch entry's per-series O(days) argument."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        (event_type,) = key
+        target = int(targets.get(event_type, 0))
+        slack, thresh = target // 50, target // 8
+        if state.exists:
+            cur_day, day_cents, n_closed, s, smax, alarms = state.get
+        else:
+            cur_day, day_cents, n_closed, s, smax, alarms = (-1, 0, 0, 0, 0, 0)
+        ev = pd.concat(list(pdfs), ignore_index=True)
+        ev = ev.assign(_us=ev["ts"].astype("int64") // 1000).sort_values(
+            ["_us", "event_id"]
+        )
+        cents = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype("int64")
+        days = ev["ts"].dt.day.to_numpy()
+        for day, c in zip(days, cents):
+            day = int(day)
+            if cur_day == -1:
+                cur_day, day_cents = day, 0
+            elif day != cur_day:
+                s = max(0, s + day_cents - target - slack)
+                smax = max(smax, s)
+                alarms += 1 if s > thresh else 0
+                n_closed += 1
+                cur_day, day_cents = day, 0
+            day_cents += int(c)
+        state.update((cur_day, day_cents, n_closed, s, smax, alarms))
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "n_days_closed": [n_closed],
+                "s": [s],
+                "cusum_max": [smax],
+                "n_alarms": [alarms],
+            }
+        )
+
+    return (
+        events.select("event_type", "ts", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CUSUM_OUTPUT_SCHEMA,
+            stateStructType=CUSUM_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -417,3 +417,167 @@ def test_stateful_sessionizer_chunking_invariance(spark, fracs):
         assert closed.index.isin(got_m.index).all()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stateful_cusum_matches_batch_across_batches(spark, tmp_path):
+    """Streaming CUSUM monitor == an independent Python CUSUM fold
+    over CLOSED days, with the stream split into two time-ordered
+    files consumed one per micro-batch — the six-long state must
+    carry the clipped recursion across the batch boundary exactly.
+    Targets are the batch-derived per-type means (reference trained
+    on history, then monitored with FIXED μ0 — the deployment
+    shape)."""
+    import math
+    import os
+
+    import pandas as pd
+
+    from sql_engine_triangle_spark.catalog import load_table
+
+    ev = load_table(spark, SF_DIR_SMALL, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    pdf = pd.read_parquet(f"{SF_DIR_SMALL}/events.parquet")
+    pdf["cents"] = (pdf["value"] * 100 + 0.5).apply(math.floor)
+    pdf["day"] = pdf["ts"].dt.day
+    daily = pdf.groupby(["event_type", "day"])["cents"].sum()
+    targets = {
+        et: int(daily.loc[et].sum()) // len(daily.loc[et])
+        for et in pdf["event_type"].unique()
+    }
+
+    cut = ev.agg(F.expr("percentile(unix_micros(ts), 0.5)")).head()[0]
+    d = str(tmp_path / "cusum_stream")
+    os.makedirs(d)
+    ev.filter(F.unix_micros("ts") <= cut).coalesce(1).write.parquet(
+        os.path.join(d, "f1.parquet")
+    )
+    ev.filter(F.unix_micros("ts") > cut).coalesce(1).write.parquet(
+        os.path.join(d, "f2.parquet")
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*/")
+    )
+    out = stateful.running_cusum_monitor(stream, targets)
+    got = (
+        W.run_stream_to_memory(spark, out, "t_cusum", output_mode="update")
+        .toPandas()
+        .sort_values(["event_type", "n_days_closed"])
+        .groupby("event_type")
+        .tail(1)
+        .set_index("event_type")
+        .sort_index()
+    )
+    # independent reference: fold over all days EXCEPT the last open
+    # one, in day order, per type
+    for et in sorted(targets):
+        vals = daily.loc[et].sort_index().tolist()[:-1]
+        target = targets[et]
+        k, h = target // 50, target // 8
+        s = smax = alarms = 0
+        for x in vals:
+            s = max(0, s + x - target - k)
+            smax = max(smax, s)
+            alarms += s > h
+        row = got.loc[et]
+        assert row["n_days_closed"] == len(vals), et
+        assert row["s"] == s, et
+        assert row["cusum_max"] == smax, et
+        assert row["n_alarms"] == alarms, et
+    # alarm machinery genuinely exercised
+    assert (got["n_alarms"] > 0).any()
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fracs=st.lists(
+        st.integers(min_value=5, max_value=95), min_size=1, max_size=3, unique=True
+    )
+)
+def test_stateful_cusum_chunking_invariance(spark, fracs):
+    """Batch-stream equivalence for the CUSUM monitor under ARBITRARY
+    micro-batch chunking: split the events stream at random time
+    quantiles into 2-4 time-contiguous files and the final per-type
+    state must equal the Python closed-day fold for EVERY split —
+    including splits that cut a day in half, which exercises the
+    open-day accumulator carrying across batches."""
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from sql_engine_triangle_spark.catalog import load_table
+
+    ev = load_table(spark, SF_DIR_SMALL, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    pdf = pd.read_parquet(f"{SF_DIR_SMALL}/events.parquet")
+    pdf["cents"] = (pdf["value"] * 100 + 0.5).apply(math.floor)
+    pdf["day"] = pdf["ts"].dt.day
+    daily = pdf.groupby(["event_type", "day"])["cents"].sum()
+    targets = {
+        et: int(daily.loc[et].sum()) // len(daily.loc[et])
+        for et in pdf["event_type"].unique()
+    }
+    qs = sorted(f / 100.0 for f in fracs)
+    cuts = [
+        int(c)
+        for c in ev.agg(
+            F.expr(
+                "percentile(unix_micros(ts), array("
+                + ",".join(str(q) for q in qs)
+                + "))"
+            )
+        ).head()[0]
+    ]
+    bounds = [None, *cuts, None]
+    d = tempfile.mkdtemp(prefix="cusum_fuzz_")
+    try:
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            part = ev
+            if lo is not None:
+                part = part.filter(F.unix_micros("ts") > lo)
+            if hi is not None:
+                part = part.filter(F.unix_micros("ts") <= hi)
+            part.coalesce(1).write.parquet(os.path.join(d, f"f{i}.parquet"))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d + "/*/")
+        )
+        out = stateful.running_cusum_monitor(stream, targets)
+        name = f"t_cusum_fuzz_{'_'.join(map(str, fracs))}"
+        got = (
+            W.run_stream_to_memory(spark, out, name, output_mode="update")
+            .toPandas()
+            .sort_values(["event_type", "n_days_closed"])
+            .groupby("event_type")
+            .tail(1)
+            .set_index("event_type")
+            .sort_index()
+        )
+        for et in sorted(targets):
+            vals = daily.loc[et].sort_index().tolist()[:-1]
+            target = targets[et]
+            k, h = target // 50, target // 8
+            s = smax = alarms = 0
+            for x in vals:
+                s = max(0, s + x - target - k)
+                smax = max(smax, s)
+                alarms += s > h
+            row = got.loc[et]
+            assert row["n_days_closed"] == len(vals), (et, fracs)
+            assert row["s"] == s, (et, fracs)
+            assert row["cusum_max"] == smax, (et, fracs)
+            assert row["n_alarms"] == alarms, (et, fracs)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
