@@ -116,6 +116,11 @@ QUERIES = [
     "w_rolling_median",
     "curation_k_anonymity",
     "w_cusum_drift",
+    # round-9 additions: BM25 retrieval scoring (index USE) and the
+    # perceptual-hash image dedup (banded Hamming pairing over the
+    # Arrow dHash path).
+    "text_bm25_topk",
+    "dedup_image_phash",
 ]
 
 

@@ -64,7 +64,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DATA_ROOT = os.path.join(HERE, ".scale_data")
-BASE_ROWS = {"documents": 5000, "embeddings": 2000, "events": 100_000}  # sf0.1-equivalents
+BASE_ROWS = {
+    "documents": 5000,
+    "embeddings": 2000,
+    "events": 100_000,
+    "part": 20_000,
+}  # sf0.1-equivalents
 
 # entry -> (scales, note). Scales are multiples of the sf0.1 row
 # counts; exponents are fit on log(time) vs log(scale).
@@ -97,6 +102,19 @@ ENTRIES: dict[str, tuple[list[int], str]] = {
         "relative df-cap on a CLOSED 31-word vocab: kept-term df grows "
         "~n, posting self-join quadratic AS A DATA PROPERTY; see the "
         "__openvocab variant for the natural-vocabulary measurement.",
+    ),
+    # r9 tier (VERDICT r8 #4): the next-heaviest bench entries.
+    "text_bpe_train_merges": (
+        DEFAULT_SCALES,
+        "12 bounded merge rounds, each a distinct-word-frame agg + "
+        "1-row argmax collect: the ROUND COUNT (hyperparameter), not "
+        "data volume, should dominate — expect near-flat.",
+    ),
+    "dedup_drop_witness": (DEFAULT_SCALES, ""),
+    "pipeline_incremental_admission": (
+        DEFAULT_SCALES,
+        "three batch-sequential asymmetric LSH probes over one signed "
+        "frame; banded candidates bound every stage.",
     ),
 }
 # Open-vocab variant (documents only, Heaps-law vocab growth) for the
@@ -135,6 +153,33 @@ EVENTS_ENTRIES = {
     "ml_auc_exact": (DEFAULT_SCALES, ""),
 }
 
+# Part-fact variants (r9, VERDICT r8 #4): j_fuzzy_name_match's cost
+# is the blocked pairwise levenshtein, and the block key's
+# cardinality is a NAME-VOCABULARY property — fixed 200 blocks under
+# the fixture's closed 8x8 name law (per-block size ∝ n, block join
+# quadratic as a data property, the sim_sparse/lsh_mid regime), vs
+# first-token vocab ∝ n on natural catalogs (per-block size constant
+# ~100, linear). Measured on BOTH, same discipline as __openvocab.
+PART_ENTRIES = {
+    "j_fuzzy_name_match": (
+        [1, 2, 4, 10],
+        "closed 64-name vocabulary: fixed 200 (brand, first-token) "
+        "blocks, per-block size ∝ n -> blocked pair count ∝ n² BY "
+        "CONSTRUCTION (2.0M at 1x -> 200M at 10x); reduced scales, "
+        "the sim_sparse_cosine_pairs convention — at 1x-4x the scan "
+        "floor still hides the quadratic (tail 0.97), the 4->10 tail "
+        "exposes it; see __opennames for the natural-catalog "
+        "measurement.",
+    ),
+}
+PARTOK_ENTRIES = {
+    "j_fuzzy_name_match": (
+        DEFAULT_SCALES,
+        "open first-token vocabulary sized ∝ n (constant ~100-part "
+        "blocks, the natural-catalog regime): pair count ∝ n.",
+    ),
+}
+
 OPENK_ENTRIES = {
     "graph_jaccard_neighbors": (
         DEFAULT_SCALES,
@@ -155,7 +200,22 @@ VARIANTS: dict[str, tuple[dict, str, list[str]]] = {
     "ov": (OPENVOCAB_ENTRIES, "__openvocab", ["documents"]),
     "ev": (EVENTS_ENTRIES, "", ["events"]),
     "evok": (OPENK_ENTRIES, "__openk", ["events"]),
+    "pt": (PART_ENTRIES, "", ["part"]),
+    "ptok": (PARTOK_ENTRIES, "__opennames", ["part"]),
 }
+
+# Variants sharing a SCALING.json suffix ('x'/'ev'/'pt' all use '')
+# would silently overwrite each other's records if an entry were
+# scheduled in two of them (ADVICE r8) — same-suffix plans must stay
+# name-disjoint, asserted at load rather than left to review.
+_by_suffix: dict[str, set[str]] = {}
+for _v, (_plan, _suffix, _) in VARIANTS.items():
+    overlap = _by_suffix.setdefault(_suffix, set()) & set(_plan)
+    assert not overlap, (
+        f"variant {_v!r} reuses SCALING.json suffix {_suffix!r} for "
+        f"entries already recorded under it: {sorted(overlap)}"
+    )
+    _by_suffix[_suffix] |= set(_plan)
 
 
 def _dir_for(scale: int, variant: str = "x") -> str:
@@ -186,6 +246,15 @@ def _gen_corpora() -> None:
             spark = get_spark(app_name="scale-stress-gen")
         if variant == "ev":
             dfs = {"events": G.events_like(spark, BASE_ROWS["events"] * scale)}
+        elif variant == "pt":
+            dfs = {"part": G.part_like(spark, BASE_ROWS["part"] * scale)}
+        elif variant == "ptok":
+            # natural-catalog regime: first-token vocab ∝ n so the
+            # (brand, first-token) block occupancy stays ~100 parts
+            # (25 brands x V tokens blocks; V = n/2500 reproduces the
+            # fixture's own 8 tokens at 1x).
+            n = BASE_ROWS["part"] * scale
+            dfs = {"part": G.part_like(spark, n, adj_vocab=max(8, n // 2500))}
         elif variant == "evok":
             # natural-graph regime: node domain ∝ n so avg degree
             # stays ~constant (V = 2T/d with T≈n transitions, d≈50);
@@ -223,9 +292,10 @@ def _gen_corpora() -> None:
         print(f"# generated {d}", file=sys.stderr)
 
 
-def _run_scale(scale: int, variant: str) -> None:
+def _run_scale(scale: int, variant: str, only: set[str] | None = None) -> None:
     """Child mode: run every entry scheduled at this scale in this
-    fresh JVM; print one RESULT line (bench.py cohort protocol)."""
+    fresh JVM (optionally filtered to ``only`` — the --redo-entries
+    path); print one RESULT line (bench.py cohort protocol)."""
     from sql_engine_triangle_spark.queries import registry
     from sql_engine_triangle_spark.session import get_spark
 
@@ -233,6 +303,8 @@ def _run_scale(scale: int, variant: str) -> None:
     spark = get_spark(app_name=f"scale-stress-{variant}{scale}")
     plan, _, tables = VARIANTS[variant]
     names = [n for n, (scales, _) in plan.items() if scale in scales]
+    if only is not None:
+        names = [n for n in names if n in only]
     from sql_engine_triangle_spark.catalog import load_table
 
     for t in tables:
@@ -275,7 +347,84 @@ def _fit_exponent(pts: list[tuple[int, float]]) -> dict:
     return {"exponent_fit": round(slope, 3), "exponent_tail": round(tail, 3)}
 
 
+# (variant, entry, t10 ceiling sec) triples timed by the pytest
+# measured-scaling guard (tests/test_scaling.py) via --guard-run, one
+# fresh JVM per scale (VERDICT r8 #1: in-suite shared-JVM timing
+# inflated the 10x point ~6x and flaked the guard red). The LSH entry
+# is guarded on the NATURAL-vocab corpus — its closed-vocab behavior
+# is a documented data property, not a plan-regression signal.
+# ml_auc_exact covers the events-fact corpus family (VERDICT r8 #8).
+#
+# TWO assertions per entry, because one is not enough (measured while
+# building the r9 selfcheck): the exponent bound catches regressions
+# whose extra work grows superlinearly AND dominates at both scales,
+# but a CHEAP quadratic stage (narrow-row join fan-out) is diluted by
+# the 1x scan/JVM floor — the uncapped Σdf² shingle join measured
+# exponent ~1.3 at 1x→10x, under the 1.6 bound — while its t10 alone
+# (~28 s quiet, scripts/guard_selfcheck.py) blows any sane ceiling.
+# Ceilings are ~5-7x the quiet-machine fresh-JVM t10 (calibrated r9:
+# 8.3 / 1.5 / 10.3 / 1.0 s;
+# re-run `--guard-run 10` solo to recalibrate); heavy quadratics that
+# exceed even the child timeout (1800 s) fail the fixture outright —
+# the third backstop.
+GUARD_JOBS: list[tuple[str, str, float]] = [
+    ("ov", "dedup_minhash_lsh_mid", 40.0),
+    ("x", "text_tokenize_bpe", 10.0),
+    ("x", "pipeline_corpus_build", 60.0),
+    ("ev", "ml_auc_exact", 8.0),
+]
+GUARD_SCALES = [1, 10]
+
+
+def _guard_run(scale: int) -> None:
+    """Guard child mode: in THIS fresh JVM, generate any missing
+    corpora the guard jobs need at ``scale``, then time each guarded
+    (variant, entry) — warmed noop-sink min-of-2, the harness
+    protocol. Prints one GUARD_RESULT line keyed 'variant:entry'."""
+    from sql_engine_triangle_spark.catalog import load_table
+    from sql_engine_triangle_spark.fixtures import generate as G
+    from sql_engine_triangle_spark.queries import registry
+    from sql_engine_triangle_spark.session import get_spark
+
+    spark = get_spark(app_name=f"scale-guard-{scale}")
+    out: dict[str, dict] = {}
+    for variant, name, _ceiling in GUARD_JOBS:
+        d = _dir_for(scale, variant)
+        tables = VARIANTS[variant][2]
+        for t in tables:
+            p = os.path.join(d, f"{t}.parquet")
+            if not os.path.exists(os.path.join(p, "_SUCCESS")):
+                n = BASE_ROWS[t] * scale
+                if variant == "ov":
+                    df = G.documents(spark, n, vocab_size=max(31, int(round((n * 52 / 5) ** 0.5))))
+                elif variant == "ev":
+                    df = G.events_like(spark, n)
+                else:
+                    df = getattr(G, t)(spark, n)
+                df.repartition(32).write.mode("overwrite").parquet(p)
+                print(f"# guard generated {p}", file=sys.stderr)
+        for t in tables:
+            load_table(spark, d, t).count()
+        fn = registry.get(name).fn
+
+        def run() -> None:
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+
+        run()  # warm
+        ts = []
+        for _ in range(2):
+            t0 = time.time()
+            run()
+            ts.append(time.time() - t0)
+        out[f"{variant}:{name}"] = round(min(ts), 3)
+        print(f"# guard {variant}{scale} {name}: {min(ts):.2f}s", file=sys.stderr)
+    print("GUARD_RESULT " + json.dumps(out))
+
+
 def main() -> None:
+    if "--guard-run" in sys.argv:
+        _guard_run(int(sys.argv[sys.argv.index("--guard-run") + 1]))
+        return
     if "--run-scale" in sys.argv:
         i = sys.argv.index("--run-scale")
         variant = "x"
@@ -283,7 +432,10 @@ def main() -> None:
             variant = sys.argv[sys.argv.index("--variant") + 1]
         elif "--open-vocab" in sys.argv:  # back-compat
             variant = "ov"
-        _run_scale(int(sys.argv[i + 1]), variant)
+        only = None
+        if "--entries" in sys.argv:
+            only = set(sys.argv[sys.argv.index("--entries") + 1].split(","))
+        _run_scale(int(sys.argv[i + 1]), variant, only)
         return
 
     _gen_corpora()
@@ -305,6 +457,14 @@ def main() -> None:
     redo: set[str] = set()
     if "--redo" in sys.argv:
         redo = set(sys.argv[sys.argv.index("--redo") + 1].split(","))
+    # --redo-entries re-measures ONLY the named entries inside every
+    # job that schedules them (fresh JVM per job as always), merging
+    # into the cache — so a single code-touched operator can be
+    # re-measured without repeating the 30+ min full sweep (r9: the
+    # df-capped dedup_minhash_lsh_mid).
+    redo_entries: set[str] = set()
+    if "--redo-entries" in sys.argv:
+        redo_entries = set(sys.argv[sys.argv.index("--redo-entries") + 1].split(","))
 
     results: dict[tuple[int, str], dict] = {}
     jobs = [
@@ -316,11 +476,21 @@ def main() -> None:
         key = variant + str(scale)
         plan = VARIANTS[variant][0]
         wanted = {n for n, (scales, _) in plan.items() if scale in scales}
-        if key in cache and key not in redo and wanted <= set(cache[key]):
+        retime = wanted & redo_entries
+        have = set(cache.get(key, {}))
+        if (
+            key in cache
+            and key not in redo
+            and wanted <= have
+            and not retime
+        ):
             results[(scale, variant)] = cache[key]
             continue
         cmd = [sys.executable, os.path.abspath(__file__), "--run-scale",
                str(scale), "--variant", variant]
+        if key not in redo and wanted <= have | retime and retime:
+            # entry-scoped re-measure: the rest of the job stays cached
+            cmd += ["--entries", ",".join(sorted(retime))]
         proc = subprocess.run(cmd, capture_output=True, text=True, cwd=HERE)
         sys.stderr.write(proc.stderr)
         lines = [
@@ -331,8 +501,10 @@ def main() -> None:
                   file=sys.stderr)
             sys.stderr.write(proc.stdout[-2000:])
             continue
-        results[(scale, variant)] = json.loads(lines[-1][len("SCALE_RESULT "):])
-        cache[key] = results[(scale, variant)]
+        got = json.loads(lines[-1][len("SCALE_RESULT "):])
+        merged = {**cache.get(key, {}), **got}
+        results[(scale, variant)] = merged
+        cache[key] = merged
         with open(cache_path, "w") as f:
             json.dump(cache, f, indent=1, sort_keys=True)
 

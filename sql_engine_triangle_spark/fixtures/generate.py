@@ -366,6 +366,56 @@ def embeddings(
     )
 
 
+# The driver fixture's exact part-name vocabulary (8 adjectives x
+# 8 nouns = 64 names, 7-12 chars), measured at every SF.
+PART_ADJS = ["blue", "cold", "hot", "large", "new", "old", "red", "small"]
+PART_NOUNS = ["anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget"]
+
+
+def part_like(
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 42,
+    adj_vocab: int | None = None,
+) -> DataFrame:
+    """part-shaped corpus (full fixture schema) matching the driver
+    testdata's name law: p_name = '<adj> <noun>' from the fixture's
+    own 8x8 closed vocabulary, p_brand uniform over Brand#1..25
+    (measured: 25 brands x 8 first tokens = 200 blocks at every SF,
+    near-uniform occupancy, names 7-12 chars). Under that law the
+    (brand, first-token) block key of j_fuzzy_name_match has FIXED
+    cardinality, so per-block size grows ∝ n and the blocked pair
+    join is quadratic AS A DATA PROPERTY — the closed-vocab regime.
+
+    ``adj_vocab=V`` switches the first token to an open vocabulary
+    (a0000..a{V-1}, 5 chars — inside the fixture's 4-5 char adjective
+    band): size V ∝ n to hold per-block occupancy constant, the
+    natural-catalog regime where entity-name vocabulary grows with
+    the catalog (the openvocab counterpoint discipline)."""
+    df = spark.range(n_rows).withColumn("_s", F.xxhash64("id", F.lit(seed + 30)))
+    s = F.col("_s")
+    if adj_vocab is None:
+        adj = _pick(_u(s, 1), PART_ADJS)
+    else:
+        adj = F.concat(
+            F.lit("a"),
+            F.lpad(F.floor(_u(s, 1) * adj_vocab).cast("int").cast("string"), 4, "0"),
+        )
+    name = F.concat(adj, F.lit(" "), _pick(_u(s, 2), PART_NOUNS))
+    return df.select(
+        F.col("id").alias("p_partkey"),
+        name.alias("p_name"),
+        F.concat(
+            F.lit("Brand#"), (F.floor(_u(s, 3) * 25).cast("int") + 1).cast("string")
+        ).alias("p_brand"),
+        _pick(_u(s, 4), ["STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY", "PROMO"]).alias(
+            "p_type"
+        ),
+        (F.floor(_u(s, 5) * 50).cast("int") + 1).alias("p_size"),
+        F.round(_u(s, 6) * 999.0 + 1.0, 2).alias("p_retailprice"),
+    )
+
+
 def compute_probes(df: DataFrame, date_col: str, distinct_cols: list[str]) -> dict:
     """Ground-truth probes (FIXTURES.md §5, clickhouse/queries.sql):
     row count, date range, distinct cardinalities — one aggregate pass."""

@@ -417,6 +417,124 @@ def synthesize_gradient_assets(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(gen, ASSET_SCHEMA)
 
 
+def synthesize_texture_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic TEXTURE PPM payloads for every doc_id — the
+    perceptual-hash companion to synthesize_gradient_assets (whose
+    monotone gradient makes every dHash comparison bit identical, so
+    it cannot certify hash logic). Each image is a 36x28 P6 whose red
+    channel is constant on 4x4 blocks; block (x, y) of 9x7 carries
+
+        g1 = g % 251, g2 = (g div 251) % 251
+        u  = ((g1 + 2)·(31x + 57y + 11) + g2·(57x + 31y + 3)) % 251
+        cell(x, y) = (u·u + u) % 251
+
+    a hash-like texture keyed by the doc's GROUP g = doc_id div 16.
+    The law's SHAPE is load-bearing, learned the hard way twice:
+    (a) an affine law (g·97 + 31x + 57y) makes two groups' grids
+    differ by a CONSTANT shift, preserving almost every gradient
+    sign — measured 10,683 pairs at sf0.01 vs the intended ~3.7k;
+    (b) ANY law where (x, y) enters additively collapses the texture
+    space to 251 shifted copies of one pattern (the grid factors
+    through the shift mod 251), so groups alias with period 251 —
+    measured 3,310 cross-group Hamming-0 pairs at sf0.1 (313
+    groups). Here the group residues MULTIPLY two independent cell
+    lattices: equal grids require Δg1·(31x+57y+11) + Δg2·(57x+31y+3)
+    ≡ 0 (mod 251) at all 63 cells, whose coefficient vectors span
+    two directions, forcing Δg1 ≡ Δg2 ≡ 0 — textures are injective
+    in (g1, g2), 63 001 classes, aliasing only beyond ~1M docs
+    (documented bound of the synthetic payload, not of the
+    operator). The mod-prime square then decorrelates gradient signs
+    across groups so cross-group Hamming concentrates near 28 and
+    the pair set is in-group only,
+    with ONE doc-specific perturbed cell (x0, y0) = (v % 9, (v*5) % 7)
+    for variant v = doc_id % 16, perturbed to (cell + 128) % 251.
+    Docs in one group are near-duplicate images (identical except two
+    single-cell flips per pair ⇒ dHash Hamming <= 4); group count
+    scales ∝ n at 16 docs each, so the near-dup pair yield stays
+    linear at any corpus size. The whole construction has a closed
+    form in doc_id, so the decode→pool→hash pipeline is exactly
+    SQL-reproducible (the synthesize_assets oracle pattern).
+    g/b channels are zero."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "media_type": [], "content": []}
+            xs = np.arange(9, dtype=np.int64)[None, :]
+            ys = np.arange(7, dtype=np.int64)[:, None]
+            for i in pdf["doc_id"]:
+                i = int(i)
+                g, v = i // 16, i % 16
+                g1, g2 = g % 251, (g // 251) % 251
+                u = ((g1 + 2) * (xs * 31 + ys * 57 + 11)
+                     + g2 * (xs * 57 + ys * 31 + 3)) % 251
+                cells = (u * u + u) % 251
+                x0, y0 = v % 9, (v * 5) % 7
+                cells = cells.copy()
+                cells[y0, x0] = (cells[y0, x0] + 128) % 251
+                arr = np.zeros((28, 36, 3), dtype=np.uint8)
+                arr[..., 0] = np.kron(cells, np.ones((4, 4), dtype=np.int64)).astype(
+                    np.uint8
+                )
+                out["doc_id"].append(i)
+                out["media_type"].append("image/ppm")
+                out["content"].append(encode_ppm(arr))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(gen, ASSET_SCHEMA)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def image_dhash(assets: DataFrame, block: int = 4) -> DataFrame:
+    """REAL decode -> perceptual hash (dHash): decode each PPM,
+    average-pool the red channel over ``block``x``block`` cells to a
+    (h/block, w/block) grid, then emit the horizontal-gradient sign
+    bits packed into ONE bigint — bit (y*8 + x) is 1 iff
+    grid[y][x+1] > grid[y][x]. On the 36x28 texture payloads the grid
+    is 9x7 ⇒ 8x7 = 56 bits (top bit 55, so the pack never touches the
+    BIGINT sign bit — the 63-bit packing discipline). Pooling uses
+    integer SUMS (mean comparisons at equal cell area are sum
+    comparisons), so the hash is integer-exact end to end. This is
+    the standard near-dup image fingerprint: Hamming-close dHashes ⇒
+    visually near-identical images, robust to uniform brightness
+    shifts that flip no gradient sign."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "phash": []}
+            for doc_id, b in zip(pdf["doc_id"], pdf["content"]):
+                img = decode_ppm(bytes(b))
+                r = img[..., 0].astype(np.int64)
+                h, w = r.shape
+                gh, gw = h // block, w // block
+                if (gh * block, gw * block) != (h, w):
+                    raise ValueError(f"image {w}x{h} not divisible by {block}")
+                if gw - 1 > 8 or (gh - 1) * 8 + (gw - 2) > 62:
+                    # bit layout is y*8 + x: a wider/taller grid would
+                    # alias bit positions or touch the sign bit
+                    raise ValueError(f"dHash grid {gw}x{gh} exceeds the 63-bit pack")
+                grid = r.reshape(gh, block, gw, block).sum(axis=(1, 3))
+                bits = grid[:, 1:] > grid[:, :-1]
+                shifts = (
+                    np.arange(gh, dtype=np.int64)[:, None] * 8
+                    + np.arange(gw - 1, dtype=np.int64)[None, :]
+                )
+                ph = int((bits.astype(np.int64) << shifts).sum())
+                out["doc_id"].append(int(doc_id))
+                out["phash"].append(ph)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(stats, PHASH_SCHEMA)
+
+
 PATCH_SUMS_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

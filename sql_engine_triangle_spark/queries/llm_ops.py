@@ -136,8 +136,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, threshold=0.9)
 
 
-DEDUP_MINHASH_MID_ORACLE = f"""
-WITH {_NGRAM_PAIR_CTES}
+# Ubiquitous-shingle cut (VERDICT r8 #2): a shingle present in more
+# than SHINGLE_DF_CAP documents carries no near-dup signal and makes
+# the exact-pair self-join fan out df² rows — on closed-vocabulary
+# corpora (boilerplate-heavy shards) per-shingle df grows ∝ n and the
+# uncapped stage measured 191.6 s / exponent 1.65 at 30× (SCALING.json
+# r8). The cap is ABSOLUTE (a relative cap stays inactive on exactly
+# the df-dense regime that hurts — every df is a constant ~0.2%
+# fraction there) and calibrated 2.5× above the fixture's maximum
+# (max df 25 at sf0.1, 9 at sf0.001; certified inactive at all three
+# SFs by tests/test_dedup.py::test_shingle_df_cap_inactive_on_fixture,
+# so every existing oracle row stands unchanged). On capped data the
+# pair definition changes to Jaccard over the DISCRIMINATIVE-shingle
+# universe — both engines below apply the identical cut.
+SHINGLE_DF_CAP = 64
+
+DEDUP_MINHASH_MID_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+shing AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM tok
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shing),
+hub AS (SELECT s FROM ex GROUP BY s HAVING count(*) > {SHINGLE_DF_CAP}),
+exc AS (SELECT doc_id, s FROM ex ANTI JOIN hub USING (s)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM exc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
+)
 SELECT doc_a, doc_b, jaccard,
        TRUE AS lsh_subset_ok,
        TRUE AS lsh_recall_ok
@@ -162,17 +203,38 @@ def dedup_minhash_lsh_mid(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 0.5 s-curve midpoint — deterministic given data + fixed
     xxhash64 seeds). This keeps the 0.5 regime externally verified
     while dedup_minhash_lsh carries the deterministic equality oracle
-    at 0.9."""
+    at 0.9.
+
+    Both generators run over the DF-CAPPED shingle universe (see
+    SHINGLE_DF_CAP above): shingles present in > 64 documents are cut
+    before signing, sizing, or pairing, bounding the exact stage's
+    per-shingle join fan-out at cap² on ANY vocabulary (closed-vocab
+    30× corpus: 2.3e9 → 4.7e4 joined intersection rows). The cap is
+    certified inactive on the driver fixture (max df 25 at sf0.1), so
+    this entry's rows are byte-identical to the uncapped r3–r8 form
+    there; the oracle applies the identical cut so the definitions
+    agree on arbitrary data. The over-cap hub list is occurrence/cap-
+    bounded (≤ |ex|/64 rows) and broadcast here; at corpus scales
+    where even that outgrows a broadcast, the anti-join falls back to
+    a shuffle on the shingle key."""
     docs = load_table(spark, sf_dir, "documents")
     # Both pair generators are heavy (the exact one deliberately so —
     # it is the quadratic baseline being certified against); their
     # OUTPUTS are tiny pair lists. The shingle tokenize+explode pass
-    # is checkpointed ONCE and shared by both generators, and each
-    # generator's pair output is checkpointed so the three flag
-    # aggregations and the output row set read materialized pairs
-    # instead of re-running anything (measured 6.9 s naive → 6.0 s
-    # per-output checkpoints → ~5 s shared-shingles at sf0.1).
-    ex = dedup.shingle_rows(docs, "doc_id", "text", 3).localCheckpoint()
+    # is checkpointed ONCE, df-capped, re-checkpointed (five
+    # downstream consumers read the capped frame), and shared by both
+    # generators; each generator's pair output is checkpointed so the
+    # three flag aggregations and the output row set read materialized
+    # pairs instead of re-running anything (measured 6.9 s naive →
+    # 6.0 s per-output checkpoints → ~5 s shared-shingles at sf0.1).
+    ex_raw = dedup.shingle_rows(docs, "doc_id", "text", 3).localCheckpoint()
+    hubs = (
+        ex_raw.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("s")
+    )
+    ex = ex_raw.join(F.broadcast(hubs), "s", "left_anti").localCheckpoint()
     exact = dedup.ngram_jaccard_pairs(
         docs, threshold=0.5, round_digits=None, exploded=ex
     ).localCheckpoint()
@@ -3175,6 +3237,305 @@ def multimodal_patch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     assets = multimodal.synthesize_gradient_assets(docs)
     return multimodal.image_patch_sums(assets).sortWithinPartitions("doc_id")
+
+
+def _phash_cell_sql(g: str, g2: str, v: str, x: str, y: str) -> str:
+    """Closed-form red-channel cell value of the texture payloads
+    (operators/multimodal.synthesize_texture_assets) — ONE shared
+    definition renders into both the Spark closed-form twin and the
+    DuckDB oracle, so the three computations (Arrow decode path, JVM
+    twin, oracle) cannot drift. Pure integer %, CASE, and comparison —
+    identical semantics in both dialects (all operands nonnegative).
+    Two group residues multiply independent cell lattices and the
+    mod-prime square decorrelates gradient signs — see the
+    synthesize_texture_assets docstring for why simpler laws fail."""
+    g1 = f"(({g}) % 251)"
+    u = (
+        f"((({g1} + 2) * (({x}) * 31 + ({y}) * 57 + 11)"
+        f" + ({g2}) * (({x}) * 57 + ({y}) * 31 + 3)) % 251)"
+    )
+    base = f"(({u} * {u} + {u}) % 251)"
+    return (
+        f"(CASE WHEN ({x}) = ({v}) % 9 AND ({y}) = (({v}) * 5) % 7 "
+        f"THEN ({base} + 128) % 251 ELSE {base} END)"
+    )
+
+
+def _phash_closed_sql(
+    g: str, g2: str, v: str, x: str, y: str, x1: str
+) -> tuple[str, str]:
+    """(left, right) cell expressions of dHash bit i: the comparison
+    grid[y][x+1] > grid[y][x] with (x, y) — and the second group
+    residue g2 = (g div 251) % 251 — derived by the caller
+    (dialect-specific integer division)."""
+    return _phash_cell_sql(g, g2, v, x, y), _phash_cell_sql(g, g2, v, x1, y)
+
+
+_PH_L_DUCK, _PH_R_DUCK = _phash_closed_sql(
+    "g", "g2", "v", "(i % 8)", "(i // 8)", "(i % 8 + 1)"
+)
+
+IMAGE_PHASH_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, doc_id // 16 AS g,
+         (doc_id // 16 // 251) % 251 AS g2,
+         doc_id % 16 AS v
+  FROM documents
+),
+ph AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN {_PH_R_DUCK} > {_PH_L_DUCK}
+                       THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS phash
+  FROM d CROSS JOIN (SELECT i FROM range(56) t(i))
+  GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, phash, c AS band, (phash >> (c * 14)) & 16383 AS bucket
+  FROM ph CROSS JOIN (SELECT c FROM range(4) r(c))
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.phash AS pa, b.phash AS pb
+  FROM banded a
+  JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming,
+       TRUE AS decode_hash_ok
+FROM cand
+WHERE bit_count(xor(pa, pb)) <= 6
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_image_phash", oracle=IMAGE_PHASH_ORACLE, tags=("LLM-mm", "LLM-dedup")
+)
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE dedup (VERDICT r8 #5) — completes the
+    dedup family across the multimodal column story: REAL PPM decode →
+    4×4 average-pool → 56-bit dHash per image (Arrow-batched
+    mapInPandas, operators/multimodal.image_dhash), then near-dup
+    pairing exactly in the dedup_simhash_pairs mold — band the hash
+    into 4×14-bit chunks, candidate-join on chunk equality, verify
+    with bit_count(xor) ≤ 6. Payloads are the closed-form texture
+    images (synthesize_texture_assets: 16-doc groups of near-identical
+    images, pair Hamming ≤ 4 by construction, group count ∝ n so the
+    pair yield stays linear), which makes every stage oracle-exact:
+    the DuckDB twin recomputes the dHash from the SAME rendered cell
+    definition (_phash_cell_sql) and replays the identical banded
+    pairing. ``decode_hash_ok`` certifies the Arrow decode path
+    bit-equals a JVM closed-form twin for EVERY document (min over an
+    equality join — two independent implementations of the hash, one
+    from real decoded pixels, one from arithmetic).
+
+    Scale shape: hashing is per-row Arrow work; the only shuffles are
+    the (band, bucket) candidate equi-join on narrow rows (4/doc) and
+    the pair dedup — bucket occupancy, not |docs|², bounds the
+    fan-out (the banded-LSH discipline). The 1-row certification
+    frame rides a broadcast crossJoin (a_heavy_hitters mold).
+    Candidate completeness is DEFINITIONAL here (both engines pair
+    via the same bands), so unlike MinHash at 0.5 no recall
+    tolerance is needed."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.synthesize_texture_assets(docs)
+    # consumed three times (closed-twin compare + both band sides)
+    ph = multimodal.image_dhash(assets).localCheckpoint()
+    # Closed-form twin in two stages: materialize the 63 cell values
+    # through a repartition barrier FIRST (one cell-tree evaluation
+    # each), then fold the 56 comparison bits over element_at lookups.
+    # The single-projection form lets CollapseProject inline the full
+    # cell expression (t rendered 3×, flip CASE → ~12 t-subtrees) into
+    # every lambda element of the interpreted fold — measured 24.6 s
+    # at sf0.01 vs ~1 s hoisted (the shingle_rows barrier lesson).
+    cell_j = _phash_cell_sql(
+        "doc_id div 16",
+        "(doc_id div 16 div 251) % 251",
+        "doc_id % 16",
+        "(j % 9)",
+        "(j div 9)",
+    )
+    grid = docs.select(
+        "doc_id",
+        F.expr(f"transform(sequence(0, 62), j -> {cell_j})").alias("cells"),
+    ).repartition("doc_id")
+    closed = F.expr(
+        "aggregate(sequence(0, 55), 0L, (acc, i) -> acc + "
+        "(CASE WHEN element_at(cells, cast((i div 8) * 9 + (i % 8) + 2 as int)) "
+        "      > element_at(cells, cast((i div 8) * 9 + (i % 8) + 1 as int)) "
+        "THEN shiftleft(1L, i) ELSE 0L END))"
+    )
+    cert = (
+        ph.join(grid.select("doc_id", closed.alias("phash_cf")), "doc_id")
+        .agg(F.min(F.col("phash") == F.col("phash_cf")).alias("decode_hash_ok"))
+    )
+    chunks = F.expr(
+        "transform(sequence(0, 3), c -> shiftright(phash, c * 14) & 16383)"
+    )
+    banded = ph.select("doc_id", "phash", F.posexplode(chunks).alias("band", "bucket"))
+    a = banded.select(
+        "band", "bucket", F.col("doc_id").alias("doc_a"), F.col("phash").alias("pa")
+    )
+    b = banded.select(
+        "band", "bucket", F.col("doc_id").alias("doc_b"), F.col("phash").alias("pb")
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn(
+            "hamming",
+            F.expr("bit_count(pa ^ pb)").cast("long"),
+        )
+        .filter(F.col("hamming") <= 6)
+    )
+    return (
+        pairs.select("doc_a", "doc_b", "hamming")
+        .crossJoin(F.broadcast(cert))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+BM25_TOPK_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+base AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 2),
+dl AS (SELECT doc_id, CAST(len(toks) - 1 AS BIGINT) AS dl FROM base),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(2, len(toks) + 1),
+                               i -> toks[i - 1] || ' ' || toks[i])) AS term
+  FROM base
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM bg GROUP BY 1, 2),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+q AS (SELECT term, df FROM dft ORDER BY df DESC, term LIMIT 8),
+scal AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS l_tot
+  FROM dl
+),
+scored AS (
+  SELECT q.term, tf.doc_id, tf.tf, dl.dl, q.df,
+         (2 * s.n_docs - 2 * q.df + 1) * 44 * s.l_tot * tf.tf AS num,
+         (2 * q.df + 1)
+           * (20 * s.l_tot * tf.tf + 6 * s.l_tot + 18 * dl.dl * s.n_docs) AS den
+  FROM tf
+  JOIN q USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN scal s
+),
+ranked AS (
+  SELECT term, doc_id, tf, dl, df,
+         CAST((num * 1000) // den AS BIGINT) AS score_milli,
+         num / den AS score,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY num / den DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT term, doc_id, tf, dl, df, score_milli, score,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked
+WHERE rnk <= 10
+ORDER BY term, rnk
+"""
+
+
+@register("text_bm25_topk", oracle=BM25_TOPK_ORACLE, tags=("LLM-text",))
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring over the bigram inverted index (VERDICT
+    r8 #6) — the index USE counterpart of text_inverted_index's index
+    BUILD: per query term, the top-10 documents by BM25 with k1 = 1.2,
+    b = 0.75. Query terms are the corpus's own 8 highest-df bigrams
+    (df desc, term asc — deterministic at any SF), the worst-case
+    posting lists a retrieval engine must rank.
+
+    Exactness: the per-(term, doc) score is a RATIONAL — with
+    k1 = 6/5 and b = 3/4, clearing denominators by 20·L gives
+
+        tf_norm = 44·L·tf / (20·L·tf + 6·L + 18·dl·N)      (exact)
+
+    and the idf factor is the Robertson–Spärck-Jones ODDS form
+    (N − df + ½)/(df + ½) = (2N − 2df + 1)/(2df + 1), integer-lifted
+    ×2. The log damp of textbook BM25 is deliberately traded for the
+    log-free odds: ln() has no exact cross-engine form (libm vs JVM
+    Math.log can differ in the last ulp, flipping any fixed-point
+    code near a boundary), while the odds idf keeps score = num/den
+    an exact integer ratio — and within ONE term the idf is constant,
+    so per-term rankings are identical to textbook BM25 regardless.
+    Both engines then emit the bit-identical IEEE double num/den
+    (integer-derived ratio discipline) and rank by it with integer
+    doc_id tie-break; score_milli = (num·1000) div den is the integer
+    code for the multi-term additive form. Overflow audit at sf0.1:
+    num ≤ (2N+1)·44·L·tf ≈ 1.1e12, ×1000 ≈ 1.1e15 ≪ 2^63 (at web
+    scale lift num/den into DECIMAL(38,0) headroom).
+
+    Plan: one bigram explode → (doc, term) tf agg (map-side partial);
+    df agg on the tf frame (term-keyed, vocab-sized); the 8 query
+    terms and the (N, L) scalars ride broadcasts (k-row / 1-row
+    bounded); per-term ranking is a window partitioned by term with
+    WindowGroupLimit capping state at k = 10 — no posting list is
+    ever fully sorted or collected. At 100 TB everything shuffled is
+    either vocab-sized or capped at 8 terms × posting length."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    base = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .repartition("doc_id")
+    )
+    dl = base.select(
+        "doc_id", (F.size("toks") - 1).cast("long").alias("dl")
+    )
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(toks)), i -> concat(toks[i-2], ' ', toks[i-1]))"
+            )
+        ).alias("term"),
+    )
+    tf = bg.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    q = dft.orderBy(F.desc("df"), "term").limit(8)
+    scal = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("l_tot"),
+    )
+    from pyspark.sql.window import Window as Wnd
+
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scal))
+        .withColumn(
+            "num", F.expr("(2 * n_docs - 2 * df + 1) * 44 * l_tot * tf")
+        )
+        .withColumn(
+            "den",
+            F.expr("(2 * df + 1) * (20 * l_tot * tf + 6 * l_tot + 18 * dl * n_docs)"),
+        )
+        .withColumn("score", F.col("num") / F.col("den"))
+    )
+    w = Wnd.partitionBy("term").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            "dl",
+            "df",
+            F.expr("(num * 1000) div den").cast("long").alias("score_milli"),
+            "score",
+            "rnk",
+        )
+        .orderBy("term", "rnk")
+    )
 
 
 ASOF_NEAREST_ORACLE = """

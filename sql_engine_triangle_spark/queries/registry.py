@@ -215,12 +215,25 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "graph_degree_distribution",
     # text (inbound; tokenize_bpe is the r7-built real-tokenizer tier)
     "text_inverted_index",
-    "text_vocab_coverage",
+    # --- r9 rotation (2-for-2, pre-freeze three-SF bare-session
+    # strict-verified; full record in COVERAGE.md): BM25 retrieval
+    # scoring (VERDICT r8 #6 — the index-USE counterpart of
+    # text_inverted_index, integer-rational scores, bit-identical
+    # IEEE ranking) and the perceptual-hash image dedup (VERDICT r8
+    # #5 — real PPM decode -> pooled dHash -> Hamming-banded pairs,
+    # closed-form texture payloads, JVM-twin certification).
+    # Displaced (green rows stand, families stay represented):
+    # text_vocab_coverage (text family keeps inverted_index +
+    # tokenize_bpe + bpe_train_merges + bm25) and
+    # multimodal_patch_stats (the mm family's window carrier is now
+    # dedup_image_phash, which exercises the same real-decode Arrow
+    # path END-TO-END plus the banded pairing).
+    "text_bm25_topk",
+    "dedup_image_phash",
     "text_tokenize_bpe",
     # multimodal (inbound spatial certification carries the family —
     # it drives the same real PPM/WAV decoders as multimodal_decode_
     # stats, whose green r4-r6 rows stand and stay swept)
-    "multimodal_patch_stats",
     # maintenance (inbound)
     "maint_partition_skew_report",
     # dedup (inbound: the threshold-setting pair histogram + the

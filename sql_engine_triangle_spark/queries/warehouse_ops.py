@@ -2994,7 +2994,7 @@ def a_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CUSUM_DRIFT_ORACLE = """
 WITH daily AS (
-  SELECT event_type, CAST(strftime(CAST(ts AS DATE), '%d') AS BIGINT) AS day,
+  SELECT event_type, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
          CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
   FROM events GROUP BY event_type, day
 ),
@@ -3015,7 +3015,9 @@ f AS (
          -- literal under acc.<name> (sequential shadowing), so every
          -- expression here reads only acc fields NOT yet assigned in
          -- this literal — correct under both the shadowing and the
-         -- standard semantics. s is assigned LAST.
+         -- standard semantics. The recursive field s is assigned
+         -- AFTER every expression that reads acc.s; the trailing x
+         -- reads no acc fields at all.
          list_reduce(
            list_transform(vals, x -> {
              'smax': greatest(0, x - target_cents - target_cents // 50),
@@ -3079,7 +3081,14 @@ def w_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         ev.select(
             "event_type",
-            F.dayofmonth("ts").cast("long").alias("day"),
+            # epoch day, not day-of-month (ADVICE r8): on a stream
+            # spanning months, day-of-month would merge every month's
+            # day-N into one pseudo-day; epoch day keys each calendar
+            # day uniquely and keeps the streaming twin's close-a-day
+            # fold equivalent on ANY span (identical on the
+            # single-month fixture, where the two keyings are
+            # bijective and order-preserving).
+            F.unix_date(F.to_date("ts")).cast("long").alias("day"),
             F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
         )
         .groupBy("event_type", "day")

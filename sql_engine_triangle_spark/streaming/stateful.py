@@ -306,7 +306,12 @@ def running_cusum_monitor(
             ["_us", "event_id"]
         )
         cents = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype("int64")
-        days = ev["ts"].dt.day.to_numpy()
+        # epoch day, not day-of-month (ADVICE r8): matches the batch
+        # twin's unix_date keying so batch==stream equivalence holds on
+        # streams spanning multiple months, not just the single-month
+        # fixture (day-of-month would close-and-reopen "day N" once per
+        # month while the batch fold merges them).
+        days = (ev["_us"].to_numpy() // 86_400_000_000).astype("int64")
         for day, c in zip(days, cents):
             day = int(day)
             if cur_day == -1:

@@ -175,11 +175,52 @@ def test_embedding_lsh_subset_and_recall(spark):
 
 def test_minhash_lsh_mid_regime_flags(spark):
     """The 0.5-operating-point validation entry: rows equal the exact
-    J >= 0.5 pair set and both certification flags hold."""
+    J >= 0.5 pair set and both certification flags hold. Note the
+    baseline here is the UNCAPPED dedup_ngram_jaccard — equality also
+    re-certifies that the entry's ubiquitous-shingle cut is inactive
+    on the fixture (see test_shingle_df_cap_inactive_on_fixture)."""
     exact = _pairs(registry.get("dedup_ngram_jaccard").fn(spark, SF_DIR))
     val = registry.get("dedup_minhash_lsh_mid").fn(spark, SF_DIR).collect()
     assert {(r.doc_a, r.doc_b) for r in val} == exact
     assert all(r.lsh_subset_ok and r.lsh_recall_ok for r in val)
+
+
+def test_shingle_df_cap_inactive_on_fixture():
+    """Cap-inactivity certification (VERDICT r8 #2): the ubiquitous-
+    shingle cut in dedup_minhash_lsh_mid (SHINGLE_DF_CAP) must not
+    fire on the driver fixture at ANY of the three SFs, so every
+    oracle row of the capped entry is byte-identical to the historic
+    uncapped form. Measured via DuckDB straight off the parquet (no
+    Spark session needed); fixture maxima are 9 / 7 / 25 — the cap of
+    64 keeps a 2.5× margin at sf0.1."""
+    import duckdb
+
+    from sql_engine_triangle_spark.queries.llm_ops import SHINGLE_DF_CAP
+
+    q = r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM read_parquet('{p}')
+    ),
+    shing AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                          i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM tok
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM shing)
+    SELECT max(cnt) FROM (SELECT count(*) AS cnt FROM ex GROUP BY s)
+    """
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        (max_df,) = con.execute(q.format(p=path)).fetchone()
+        assert max_df <= SHINGLE_DF_CAP, (
+            f"{sf}: max shingle df {max_df} exceeds SHINGLE_DF_CAP "
+            f"{SHINGLE_DF_CAP} — the cut would fire on the driver fixture "
+            "and change dedup_minhash_lsh_mid's rows; recalibrate the cap "
+            "and re-run the three-SF driver_check before shipping"
+        )
 
 
 def test_ivf_recall_vs_brute_force(spark):
@@ -363,3 +404,40 @@ def test_repeated_passages_island_merge_semantics(spark):
         for r in D.repeated_passage_stats(abut, n=8).collect()
     }
     assert got == {10: (1, 16, 16), 11: (1, 8, 8), 12: (1, 8, 8)}
+
+
+def test_bm25_topk_python_reference(spark):
+    """text_bm25_topk's scores re-derived with exact Python rationals
+    from the entry's own (tf, dl, df) fields plus independently
+    aggregated corpus scalars: num/den reproduces both the emitted
+    IEEE double (same integer-derived division) and the milli code
+    (// = div on positives), and per-term ranks are consistent with
+    (score desc, doc_id asc)."""
+    from fractions import Fraction
+
+    docs = load_table(spark, SF_DIR, "documents")
+    from sql_engine_triangle_spark.operators import textops
+
+    base = docs.select(
+        F.size(textops.tokens(F.col("text"))).alias("n")
+    ).filter(F.col("n") >= 2)
+    agg = base.agg(
+        F.count("*").alias("n_docs"), F.sum(F.col("n") - 1).alias("l_tot")
+    ).head()
+    n_docs, l_tot = int(agg.n_docs), int(agg.l_tot)
+
+    rows = registry.get("text_bm25_topk").fn(spark, SF_DIR).collect()
+    assert rows and len({r.term for r in rows}) == 8
+    by_term: dict = {}
+    for r in rows:
+        num = (2 * n_docs - 2 * r.df + 1) * 44 * l_tot * r.tf
+        den = (2 * r.df + 1) * (20 * l_tot * r.tf + 6 * l_tot + 18 * r.dl * n_docs)
+        assert r.score == num / den  # same IEEE division, bit-equal
+        assert r.score_milli == (num * 1000) // den
+        assert Fraction(num, den) > 0
+        by_term.setdefault(r.term, []).append(r)
+    for term, rs in by_term.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert (a.score, -a.doc_id) >= (b.score, -b.doc_id), term

@@ -148,3 +148,53 @@ def test_wav_decode_leading_junk_chunk():
     )
     rate, back = MM.decode_wav_pcm16(with_junk)
     assert rate == 8000 and (back == samples).all()
+
+
+def test_image_dhash_matches_independent_reference(spark):
+    """dHash over hand-built PPM payloads equals an independent
+    per-pixel reference (mean-pooling + nested-loop bit pack written
+    from the definition, not shared with the operator) — catches a
+    transposed reshape, a swapped shift axis, or a sign-flipped
+    comparison."""
+    rng = np.random.RandomState(7)
+    payloads = {}
+    for doc_id in range(6):
+        cells = rng.randint(0, 256, size=(7, 9)).astype(np.uint8)
+        arr = np.zeros((28, 36, 3), dtype=np.uint8)
+        for y in range(7):
+            for x in range(9):
+                arr[y * 4 : y * 4 + 4, x * 4 : x * 4 + 4, 0] = cells[y, x]
+        payloads[doc_id] = (cells, MM.encode_ppm(arr))
+
+    df = spark.createDataFrame(
+        [(i, "image/ppm", bytearray(p)) for i, (_, p) in payloads.items()],
+        schema=MM.ASSET_SCHEMA,
+    )
+    got = {r.doc_id: r.phash for r in MM.image_dhash(df).collect()}
+    for doc_id, (cells, _) in payloads.items():
+        expect = 0
+        for y in range(7):
+            for x in range(8):
+                # mean over a constant block is the cell value itself
+                if int(cells[y, x + 1]) > int(cells[y, x]):
+                    expect |= 1 << (y * 8 + x)
+        assert got[doc_id] == expect, f"doc {doc_id}"
+
+
+def test_texture_assets_group_structure(spark):
+    """synthesize_texture_assets: same-group docs are near-dup images
+    (pair dHash Hamming <= 4 by the two-single-cell-flip argument),
+    different groups decorrelate (Hamming concentrated near 28 —
+    assert > 6, the entry threshold)."""
+    docs = spark.range(48).withColumnRenamed("id", "doc_id")
+    ph = {
+        r.doc_id: r.phash
+        for r in MM.image_dhash(MM.synthesize_texture_assets(docs)).collect()
+    }
+    for a in range(48):
+        for b in range(a + 1, 48):
+            ham = bin(ph[a] ^ ph[b]).count("1")
+            if a // 16 == b // 16:
+                assert ham <= 4, f"in-group pair ({a},{b}) hamming {ham}"
+            else:
+                assert ham > 6, f"cross-group pair ({a},{b}) hamming {ham}"

@@ -98,6 +98,12 @@ ALLOWED_NESTED_LOOP = {
     "graph_triangle_count",
     # 1-row broadcast top-100 total onto the 1-row corpus totals.
     "text_vocab_coverage",
+    # 1-row broadcast of the (n_docs, l_tot) scalar frame onto the
+    # query-term postings (a_heavy_hitters mold).
+    "text_bm25_topk",
+    # 1-row broadcast of the decode-certification flag onto the pair
+    # set (q4_approx_percentiles validation-form mold).
+    "dedup_image_phash",
     # 1-row broadcast HHI frame onto the 1-row corpus summary.
     "pipeline_dataset_card",
     # 1-row broadcast max-tokens scalar onto the per-lang rollup.
