@@ -229,6 +229,7 @@ EXTRA = [
     # pairs).
     "text_bm25_topk",
     "dedup_image_phash",
+    "dedup_audio_fingerprint",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

@@ -121,6 +121,7 @@ QUERIES = [
     # Arrow dHash path).
     "text_bm25_topk",
     "dedup_image_phash",
+    "dedup_audio_fingerprint",
 ]
 
 

@@ -48,7 +48,10 @@ Usage:
     python scripts/scale_stress.py            # full run -> SCALING.json
     python scripts/scale_stress.py --gen-only # just synthesize corpora
     python scripts/scale_stress.py --redo ev10,evok30   # re-run jobs
+    python scripts/scale_stress.py --redo-entries a,b   # re-measure
+        only the named entries inside every job scheduling them
     python scripts/scale_stress.py --run-scale 10 --variant ev  # (child)
+    python scripts/scale_stress.py --guard-run 10  # (pytest guard child)
 """
 
 from __future__ import annotations

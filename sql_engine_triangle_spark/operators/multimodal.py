@@ -535,6 +535,90 @@ def image_dhash(assets: DataFrame, block: int = 4) -> DataFrame:
     return assets.mapInPandas(stats, PHASH_SCHEMA)
 
 
+def synthesize_tone_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic WAV PCM16 payloads for every doc_id — the audio
+    counterpart of synthesize_texture_assets, same group/variant law
+    in ONE dimension: 57 frames of 64 constant samples each, frame f
+    carrying amplitude
+
+        g1 = g % 251, g2 = (g div 251) % 251
+        u  = ((g1 + 2)·(31f + 11) + g2·(57f + 3)) % 251
+        amp(f) = (u·u + u) % 251
+
+    for group g = doc_id div 16, with ONE doc-specific perturbed
+    frame f0 = (v·7) % 57 (v = doc_id % 16; 7 is invertible mod 57 so
+    variants hit distinct frames), perturbed to (amp + 128) % 251.
+    Same injectivity argument as the 2-D texture law (the two
+    per-frame coefficient vectors span two directions ⇒ textures
+    injective over 63 001 (g1, g2) classes); same linear pair-yield
+    property (16-doc near-dup groups, group count ∝ n)."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fs = np.arange(57, dtype=np.int64)
+        for pdf in batches:
+            out = {"doc_id": [], "media_type": [], "content": []}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                g, v = i // 16, i % 16
+                g1, g2 = g % 251, (g // 251) % 251
+                u = ((g1 + 2) * (fs * 31 + 11) + g2 * (fs * 57 + 3)) % 251
+                amps = (u * u + u) % 251
+                f0 = (v * 7) % 57
+                amps = amps.copy()
+                amps[f0] = (amps[f0] + 128) % 251
+                samples = np.repeat(amps, 64).astype(np.int16)
+                out["doc_id"].append(i)
+                out["media_type"].append("audio/wav")
+                out["content"].append(encode_wav_pcm16(samples, 16000))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(gen, ASSET_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("afp", LongType()),
+    ]
+)
+
+
+def audio_fingerprint(assets: DataFrame, frame: int = 64) -> DataFrame:
+    """REAL decode -> acoustic fingerprint: decode each WAV (the real
+    RIFF/PCM16 parser), split into ``frame``-sample frames, compute
+    per-frame INTEGER energy (sum of squared samples), and pack the
+    energy-DIFFERENCE signs into one bigint — bit f is 1 iff
+    energy[f+1] > energy[f]. This is the Haitsma-Kalker fingerprint
+    shape (sign of band-energy deltas), reduced to one band: robust
+    to uniform gain that flips no delta sign, integer-exact end to
+    end. On the 57-frame tone payloads the fingerprint is 56 bits
+    (bit 55 top — the 63-bit pack discipline)."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "afp": []}
+            for doc_id, b in zip(pdf["doc_id"], pdf["content"]):
+                _rate, samples = decode_wav_pcm16(bytes(b))
+                n_frames = len(samples) // frame
+                if n_frames * frame != len(samples):
+                    raise ValueError(f"{len(samples)} samples not divisible by {frame}")
+                if n_frames - 1 > 62:
+                    raise ValueError(f"{n_frames} frames exceed the 63-bit pack")
+                e = samples.astype(np.int64)
+                energies = (e * e).reshape(n_frames, frame).sum(axis=1)
+                bits = energies[1:] > energies[:-1]
+                fp = int(
+                    (bits.astype(np.int64) << np.arange(n_frames - 1, dtype=np.int64)).sum()
+                )
+                out["doc_id"].append(int(doc_id))
+                out["afp"].append(fp)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(stats, AUDIO_FP_SCHEMA)
+
+
 PATCH_SUMS_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

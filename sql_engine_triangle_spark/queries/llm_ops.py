@@ -3370,30 +3370,41 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ph.join(grid.select("doc_id", closed.alias("phash_cf")), "doc_id")
         .agg(F.min(F.col("phash") == F.col("phash_cf")).alias("decode_hash_ok"))
     )
-    chunks = F.expr(
-        "transform(sequence(0, 3), c -> shiftright(phash, c * 14) & 16383)"
+    pairs = _banded_hamming_pairs(ph, "phash", max_hamming=6)
+    return (
+        pairs.crossJoin(F.broadcast(cert)).orderBy("doc_a", "doc_b")
     )
-    banded = ph.select("doc_id", "phash", F.posexplode(chunks).alias("band", "bucket"))
+
+
+def _banded_hamming_pairs(
+    sketches: DataFrame, col: str, max_hamming: int
+) -> DataFrame:
+    """Shared Hamming-banded near-dup pairing over a 56-bit sketch
+    column (the dedup_simhash_pairs mold, factored for the image- and
+    audio-fingerprint entries): band into 4×14-bit chunks, candidate
+    equi-join on (band, bucket), verify bit_count(xor) ≤ max_hamming.
+    Banding is DEFINITIONAL — oracles replay the identical chunk join,
+    so no pigeonhole recall argument is needed. Returns (doc_a, doc_b,
+    hamming) with doc_a < doc_b."""
+    chunks = F.expr(
+        f"transform(sequence(0, 3), c -> shiftright({col}, c * 14) & 16383)"
+    )
+    banded = sketches.select(
+        "doc_id", F.col(col).alias("_sk"), F.posexplode(chunks).alias("band", "bucket")
+    )
     a = banded.select(
-        "band", "bucket", F.col("doc_id").alias("doc_a"), F.col("phash").alias("pa")
+        "band", "bucket", F.col("doc_id").alias("doc_a"), F.col("_sk").alias("pa")
     )
     b = banded.select(
-        "band", "bucket", F.col("doc_id").alias("doc_b"), F.col("phash").alias("pb")
+        "band", "bucket", F.col("doc_id").alias("doc_b"), F.col("_sk").alias("pb")
     )
-    pairs = (
+    return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
-        .withColumn(
-            "hamming",
-            F.expr("bit_count(pa ^ pb)").cast("long"),
-        )
-        .filter(F.col("hamming") <= 6)
-    )
-    return (
-        pairs.select("doc_a", "doc_b", "hamming")
-        .crossJoin(F.broadcast(cert))
-        .orderBy("doc_a", "doc_b")
+        .withColumn("hamming", F.expr("bit_count(pa ^ pb)").cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 
@@ -3536,6 +3547,112 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term", "rnk")
     )
+
+
+def _afp_cell_sql(g: str, g2: str, v: str, f: str) -> str:
+    """Closed-form frame amplitude of the tone payloads
+    (operators/multimodal.synthesize_tone_assets) — the 1-D analog of
+    _phash_cell_sql, one shared definition for the Spark twin and the
+    DuckDB oracle."""
+    g1 = f"(({g}) % 251)"
+    u = (
+        f"((({g1} + 2) * (({f}) * 31 + 11)"
+        f" + ({g2}) * (({f}) * 57 + 3)) % 251)"
+    )
+    base = f"(({u} * {u} + {u}) % 251)"
+    return (
+        f"(CASE WHEN ({f}) = (({v}) * 7) % 57 "
+        f"THEN ({base} + 128) % 251 ELSE {base} END)"
+    )
+
+
+_AFP_L_DUCK = _afp_cell_sql("g", "g2", "v", "i")
+_AFP_R_DUCK = _afp_cell_sql("g", "g2", "v", "(i + 1)")
+
+AUDIO_FP_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, doc_id // 16 AS g,
+         (doc_id // 16 // 251) % 251 AS g2,
+         doc_id % 16 AS v
+  FROM documents
+),
+ph AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN {_AFP_R_DUCK} > {_AFP_L_DUCK}
+                       THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS afp
+  FROM d CROSS JOIN (SELECT i FROM range(56) t(i))
+  GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, afp, c AS band, (afp >> (c * 14)) & 16383 AS bucket
+  FROM ph CROSS JOIN (SELECT c FROM range(4) r(c))
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.afp AS pa, b.afp AS pb
+  FROM banded a
+  JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming,
+       TRUE AS decode_fp_ok
+FROM cand
+WHERE bit_count(xor(pa, pb)) <= 6
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_audio_fingerprint", oracle=AUDIO_FP_ORACLE, tags=("LLM-mm", "LLM-dedup")
+)
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic-fingerprint AUDIO dedup — with dedup_image_phash this
+    completes near-dup detection across every modality the engine
+    models (text: MinHash/SimHash; image: pooled dHash; audio:
+    energy-delta fingerprint, the Haitsma-Kalker shape): REAL
+    RIFF/PCM16 decode → per-frame integer energies → 56 delta-sign
+    bits per clip (Arrow mapInPandas,
+    operators/multimodal.audio_fingerprint), then the SAME factored
+    Hamming-banded pairing as the image entry
+    (_banded_hamming_pairs: 4×14-bit chunks, candidate equi-join,
+    bit_count(xor) ≤ 6 — banding definitional on both engines).
+    Payloads are closed-form tone clips (synthesize_tone_assets:
+    the texture law in one dimension — 16-doc near-dup groups, one
+    perturbed frame per variant ⇒ pair Hamming ≤ 4, group count ∝ n
+    ⇒ linear pair yield, injective over 63 001 amplitude classes).
+    ``decode_fp_ok`` certifies the Arrow decode path bit-equals the
+    hoisted JVM closed-form twin for every document; the oracle
+    re-renders the same cell definition (_afp_cell_sql).
+
+    Scale shape: identical to dedup_image_phash — per-row Arrow
+    hashing, narrow banded candidate join, 1-row certification
+    broadcast (allowlisted mold)."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.synthesize_tone_assets(docs)
+    ph = multimodal.audio_fingerprint(assets).localCheckpoint()
+    # hoisted closed-form twin (the image entry's barrier pattern —
+    # the single-projection form re-inlines the cell tree per fold
+    # element, measured 24.6 s vs ~1 s there)
+    cell_j = _afp_cell_sql(
+        "doc_id div 16", "(doc_id div 16 div 251) % 251", "doc_id % 16", "j"
+    )
+    grid = docs.select(
+        "doc_id",
+        F.expr(f"transform(sequence(0, 56), j -> {cell_j})").alias("cells"),
+    ).repartition("doc_id")
+    closed = F.expr(
+        "aggregate(sequence(0, 55), 0L, (acc, i) -> acc + "
+        "(CASE WHEN element_at(cells, cast(i + 2 as int)) "
+        "      > element_at(cells, cast(i + 1 as int)) "
+        "THEN shiftleft(1L, i) ELSE 0L END))"
+    )
+    cert = (
+        ph.join(grid.select("doc_id", closed.alias("afp_cf")), "doc_id")
+        .agg(F.min(F.col("afp") == F.col("afp_cf")).alias("decode_fp_ok"))
+    )
+    pairs = _banded_hamming_pairs(ph, "afp", max_hamming=6)
+    return pairs.crossJoin(F.broadcast(cert)).orderBy("doc_a", "doc_b")
 
 
 ASOF_NEAREST_ORACLE = """

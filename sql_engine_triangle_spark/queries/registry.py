@@ -236,11 +236,14 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     # stats, whose green r4-r6 rows stand and stay swept)
     # maintenance (inbound)
     "maint_partition_skew_report",
-    # dedup (inbound: the threshold-setting pair histogram + the
-    # r7-built maximal repeated-passage merge; the LSH machinery is
-    # carried by the decontam capstone below — lsh_mid/incremental
-    # greens stand)
-    "dedup_pair_histogram",
+    # dedup (r9: the audio fingerprint completes near-dup detection
+    # across all three modalities — text/image/audio — and takes the
+    # slot of dedup_pair_histogram (green r8; threshold-calibration
+    # observability stays covered by the full-registry sweep and the
+    # in-window dedup reps: repeated_passages, image_phash,
+    # semantic_arrow, plus the LSH capstones); three-SF bare-session
+    # strict-verified at rotation time
+    "dedup_audio_fingerprint",
     "dedup_repeated_passages",
     # pipeline / curation observability (inbound)
     "pipeline_quality_dup_calibration",

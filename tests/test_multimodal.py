@@ -198,3 +198,46 @@ def test_texture_assets_group_structure(spark):
                 assert ham <= 4, f"in-group pair ({a},{b}) hamming {ham}"
             else:
                 assert ham > 6, f"cross-group pair ({a},{b}) hamming {ham}"
+
+
+def test_audio_fingerprint_matches_independent_reference(spark):
+    """audio_fingerprint over hand-built WAV payloads equals an
+    independent reference (per-frame mean |amplitude| comparison —
+    valid because frames are constant-amplitude, so any monotone
+    energy statistic orders identically) — catches frame-boundary,
+    shift-axis, and sign errors."""
+    rng = np.random.RandomState(11)
+    payloads = {}
+    for doc_id in range(5):
+        amps = rng.randint(0, 251, size=57).astype(np.int64)
+        samples = np.repeat(amps, 64).astype(np.int16)
+        payloads[doc_id] = (amps, MM.encode_wav_pcm16(samples, 16000))
+    df = spark.createDataFrame(
+        [(i, "audio/wav", bytearray(p)) for i, (_, p) in payloads.items()],
+        schema=MM.ASSET_SCHEMA,
+    )
+    got = {r.doc_id: r.afp for r in MM.audio_fingerprint(df).collect()}
+    for doc_id, (amps, _) in payloads.items():
+        expect = 0
+        for f in range(56):
+            if int(amps[f + 1]) > int(amps[f]):
+                expect |= 1 << f
+        assert got[doc_id] == expect, f"doc {doc_id}"
+
+
+def test_tone_assets_group_structure(spark):
+    """synthesize_tone_assets: same-group clips are near-dups (pair
+    fingerprint Hamming <= 4 — two single-frame perturbations), other
+    groups decorrelate past the entry's <= 6 threshold."""
+    docs = spark.range(48).withColumnRenamed("id", "doc_id")
+    fp = {
+        r.doc_id: r.afp
+        for r in MM.audio_fingerprint(MM.synthesize_tone_assets(docs)).collect()
+    }
+    for a in range(48):
+        for b in range(a + 1, 48):
+            ham = bin(fp[a] ^ fp[b]).count("1")
+            if a // 16 == b // 16:
+                assert ham <= 4, f"in-group pair ({a},{b}) hamming {ham}"
+            else:
+                assert ham > 6, f"cross-group pair ({a},{b}) hamming {ham}"

@@ -104,6 +104,7 @@ ALLOWED_NESTED_LOOP = {
     # 1-row broadcast of the decode-certification flag onto the pair
     # set (q4_approx_percentiles validation-form mold).
     "dedup_image_phash",
+    "dedup_audio_fingerprint",  # same 1-row certification broadcast
     # 1-row broadcast HHI frame onto the 1-row corpus summary.
     "pipeline_dataset_card",
     # 1-row broadcast max-tokens scalar onto the per-lang rollup.
