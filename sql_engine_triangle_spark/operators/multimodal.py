@@ -195,18 +195,17 @@ def encode_ppm(arr) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
 
 
-def decode_ppm(content: bytes):
-    """Binary PPM (P6) → uint8 RGB array (h, w, 3). Pure numpy —
-    a REAL decode, no codec library involved."""
-    import numpy as np
-
-    if not content.startswith(b"P6"):
+def _parse_ppm_header(content: bytes, off: int = 0) -> tuple[int, int, int]:
+    """Parse one P6 header starting at ``off`` → (w, h, data_start).
+    Shared by the single-image decoder and the concatenated-frame
+    video decoder so the two cannot drift. Header: magic, width
+    height, maxval — whitespace separated, '#' comment lines allowed,
+    then a single whitespace byte before the pixel data. Every scan
+    is bounded so a truncated payload raises instead of spinning an
+    executor task forever."""
+    if content[off : off + 2] != b"P6":
         raise ValueError("not a binary PPM (P6) payload")
-    # header: magic, width height, maxval — whitespace separated,
-    # '#' comment lines allowed, then a single whitespace byte before
-    # the pixel data. Every scan is bounded so a truncated payload
-    # raises instead of spinning an executor task forever.
-    parts, idx = [], 2
+    parts, idx = [], off + 2
     while len(parts) < 3:
         while idx < len(content) and content[idx : idx + 1].isspace():
             idx += 1
@@ -224,10 +223,39 @@ def decode_ppm(content: bytes):
     w, h, maxval = parts
     if maxval != 255:
         raise ValueError("only 8-bit PPM supported")
+    return w, h, idx
+
+
+def decode_ppm(content: bytes):
+    """Binary PPM (P6) → uint8 RGB array (h, w, 3). Pure numpy —
+    a REAL decode, no codec library involved."""
+    import numpy as np
+
+    w, h, idx = _parse_ppm_header(content)
     pix = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=idx)
     if len(pix) != w * h * 3:
         raise ValueError("truncated PPM pixel data")
     return pix.reshape(h, w, 3)
+
+
+def decode_ppm_stream(content: bytes) -> list:
+    """Concatenated binary PPM frames → list of uint8 (h, w, 3)
+    arrays — the raw-video container decode (PPM-sequence streams are
+    e.g. what ffmpeg's image2pipe emits). Walks the buffer frame by
+    frame with the SAME header parser as decode_ppm; a trailing
+    partial frame raises rather than silently yielding fewer frames."""
+    import numpy as np
+
+    frames, off = [], 0
+    while off < len(content):
+        w, h, idx = _parse_ppm_header(content, off)
+        end = idx + w * h * 3
+        pix = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=idx)
+        if len(pix) != w * h * 3:
+            raise ValueError("truncated PPM frame in stream")
+        frames.append(pix.reshape(h, w, 3))
+        off = end
+    return frames
 
 
 def encode_wav_pcm16(samples, sample_rate: int = 16000) -> bytes:
@@ -665,3 +693,123 @@ def image_patch_sums(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(stats, PATCH_SUMS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video: concatenated-PPM frame streams, scene-change detection.
+# ---------------------------------------------------------------------------
+
+# Scene-payload law constants (shared with the llm_ops oracle/twin
+# templates — change them together):
+VIDEO_W, VIDEO_H = 8, 6  # per-frame pixel grid (48 px)
+VIDEO_SAD_THRESHOLD = 32 * VIDEO_W * VIDEO_H  # per-pixel mean delta > 32
+
+
+def synthesize_video_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic VIDEO payloads (concatenated P6 frames) for every
+    doc_id — the scene-detection counterpart of
+    synthesize_texture_assets. Each doc is an 8x6 clip of
+    F = 8 + id%5 frames cut into scenes of seg = 3 + id%3 frames
+    (scene s(f) = f div seg); the red channel of frame f is
+
+        pix(f, x, y) = A + B + j            (g/b channels zero)
+        A(s)    = 40 * ((id + 7*s) % 5)     scene base, jumps >= 80
+        B(x, y) = ((id%251 + 2)*(31x + 57y + 11)
+                   + ((id div 251) % 251)*(57x + 31y + 3)) % 64
+        j(f)    = (id + 13*f) % 16          per-frame jitter <= 15
+
+    Bounds: A <= 160, B <= 63, j <= 15 -> pixel <= 238, no uint8 wrap.
+    Because B is frame-invariant and A + j is pixel-invariant, the
+    per-pixel delta between consecutive frames is the CONSTANT
+    d(f) = A(s(f)) + j(f) - A(s(f-1)) - j(f-1), so the frame SAD has
+    the exact closed form 48*|d(f)|: within a scene |dj| in {3, 13}
+    (SAD <= 624), across a boundary |dA + dj| >= 77 (SAD >= 3696) —
+    the threshold 32*48 = 1536 separates them with wide margins on
+    BOTH sides, so the detection is deterministic, not tuned. The
+    whole construction is closed-form in doc_id, making the real
+    decode -> SAD -> scene-segmentation pipeline SQL-reproducible
+    (the synthesize_texture_assets oracle pattern)."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs = np.arange(VIDEO_W, dtype=np.int64)[None, :]
+        ys = np.arange(VIDEO_H, dtype=np.int64)[:, None]
+        for pdf in batches:
+            out = {"doc_id": [], "media_type": [], "content": []}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n_frames, seg = 8 + i % 5, 3 + i % 3
+                b = (
+                    (i % 251 + 2) * (xs * 31 + ys * 57 + 11)
+                    + ((i // 251) % 251) * (xs * 57 + ys * 31 + 3)
+                ) % 64
+                payload = bytearray()
+                for f in range(n_frames):
+                    a = 40 * ((i + 7 * (f // seg)) % 5)
+                    j = (i + 13 * f) % 16
+                    arr = np.zeros((VIDEO_H, VIDEO_W, 3), dtype=np.uint8)
+                    arr[..., 0] = (b + a + j).astype(np.uint8)
+                    payload += encode_ppm(arr)
+                out["doc_id"].append(i)
+                out["media_type"].append("video/x-ppm-stream")
+                out["content"].append(bytes(payload))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(gen, ASSET_SCHEMA)
+
+
+VIDEO_SCENE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("n_scenes", LongType()),
+        StructField("keyframe_sum", LongType()),
+        StructField("total_sad", LongType()),
+        StructField("max_sad", LongType()),
+    ]
+)
+
+
+def video_scene_stats(
+    assets: DataFrame, threshold: int = VIDEO_SAD_THRESHOLD
+) -> DataFrame:
+    """REAL video decode -> SCENE-CHANGE detection: decode each
+    concatenated-PPM stream (decode_ppm_stream), compute the
+    per-consecutive-frame sum of absolute red-channel differences
+    (SAD — the classical shot-boundary statistic), and cut a scene
+    wherever SAD > threshold. Emits per clip: frame count, scene
+    count, the SUM of keyframe indices (frame 0 plus every
+    boundary frame — positions, not just counts, so a boundary
+    detected one frame off flips the hash), total and max SAD. All
+    integers end to end: |a - b| on int64 pixel arrays, no float
+    anywhere. This is the frame-sample / shot-segmentation stage of
+    a video curation pipeline; swapping the decoder table for a real
+    codec keeps every downstream shape."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "n_frames", "n_scenes",
+                    "keyframe_sum", "total_sad", "max_sad",
+                )
+            }
+            for doc_id, b in zip(pdf["doc_id"], pdf["content"]):
+                frames = decode_ppm_stream(bytes(b))
+                reds = [f[..., 0].astype(np.int64) for f in frames]
+                sads = [
+                    int(np.abs(reds[f] - reds[f - 1]).sum())
+                    for f in range(1, len(reds))
+                ]
+                cuts = [f for f, s in enumerate(sads, start=1) if s > threshold]
+                out["doc_id"].append(int(doc_id))
+                out["n_frames"].append(len(frames))
+                out["n_scenes"].append(1 + len(cuts))
+                out["keyframe_sum"].append(sum(cuts))
+                out["total_sad"].append(sum(sads))
+                out["max_sad"].append(max(sads) if sads else 0)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(stats, VIDEO_SCENE_SCHEMA)

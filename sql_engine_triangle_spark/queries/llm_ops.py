@@ -1079,6 +1079,163 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MMR_POOL, MMR_K = 20, 5
+
+
+def _mmr_oracle(pool: int = MMR_POOL, k: int = MMR_K) -> str:
+    """Generated unrolled MMR oracle (the graph_pagerank / LPA
+    twin-generation discipline): pool + one (sel, pool') CTE pair per
+    greedy round, every CTE MATERIALIZED (DuckDB inlines CTEs by
+    default — the selection chain references each pool 2x, so an
+    inlined chain re-expands ~2^depth). Round 1 is the pure-relevance
+    pick (MMR over an empty selected set), so no max-sim sentinel is
+    needed anywhere; rounds 2..k fold the running max-dot-to-selected
+    with greatest()."""
+    head = """
+WITH q8 AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 127 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+qq AS (SELECT qv AS query_qv FROM q8 WHERE vec_id = 0),
+pool1 AS MATERIALIZED (
+  SELECT vec_id, qv,
+         CAST(list_dot_product(qv, query_qv) AS BIGINT) AS rel
+  FROM q8, qq WHERE vec_id <> 0
+  ORDER BY rel DESC, vec_id LIMIT %(pool)d
+),
+sel1 AS MATERIALIZED (
+  SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, qv, rel,
+         CAST(7 * rel AS BIGINT) AS mmr_score
+  FROM pool1 ORDER BY rel DESC, vec_id LIMIT 1
+),
+pool2 AS MATERIALIZED (
+  SELECT p.vec_id, p.qv, p.rel,
+         CAST(list_dot_product(p.qv, s.qv) AS BIGINT) AS ms
+  FROM pool1 p, sel1 s WHERE p.vec_id <> s.vec_id
+)""" % {"pool": pool}
+    rounds = []
+    for t in range(2, k + 1):
+        rounds.append(
+            f"""
+sel{t} AS MATERIALIZED (
+  SELECT CAST({t} AS BIGINT) AS sel_rank, vec_id, qv, rel,
+         CAST(7 * rel - 3 * ms AS BIGINT) AS mmr_score
+  FROM pool{t} ORDER BY 7 * rel - 3 * ms DESC, vec_id LIMIT 1
+)"""
+        )
+        if t < k:
+            rounds.append(
+                f"""
+pool{t + 1} AS MATERIALIZED (
+  SELECT p.vec_id, p.qv, p.rel,
+         greatest(p.ms, CAST(list_dot_product(p.qv, s.qv) AS BIGINT)) AS ms
+  FROM pool{t} p, sel{t} s WHERE p.vec_id <> s.vec_id
+)"""
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT sel_rank, vec_id, rel AS rel_qdot, mmr_score FROM sel{t}"
+        for t in range(1, k + 1)
+    )
+    return head + "," + ",".join(rounds) + f"\n{union}\nORDER BY sel_rank\n"
+
+
+@register("sim_mmr_diversified", oracle=_mmr_oracle(), tags=("LLM-sim",))
+def sim_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance DIVERSIFIED top-k (Carbonell &
+    Goldstein 1998) — the retrieval-diversity stage a training-data
+    curation pipeline runs after ANN candidate generation: greedily
+    pick k=5 results from the relevance top-20 pool, each round
+    maximizing lambda*rel - (1-lambda)*max_sim_to_already_selected
+    with lambda = 0.7. All scoring is INT8-quantized dot products
+    (the sim_quantized_topk discipline: floor(x*127 + 0.5) codes,
+    integer dots, zero float hazard), and lambda is cleared to the
+    integer form 7*rel - 3*ms (x10), so selections, scores, and
+    tie-breaks (vec_id asc) are bit-identical on both engines. Round
+    1 is the pure-relevance pick (empty selected set), which removes
+    any need for a max-sim sentinel.
+
+    Scale shape: the corpus-sized work is ONE narrow projection +
+    TakeOrderedAndProject (per-task k-heap) building the top-20
+    pool; the greedy loop then runs k-1 = 4 bounded rounds on the
+    20-row localCheckpointed pool (1-row argmax + broadcast of the
+    selected vector — the BPE-trainer bounded-iteration discipline),
+    so re-rank cost is O(pool * k) regardless of corpus size. The
+    oracle is GENERATED from the same per-round template, unrolled
+    as MATERIALIZED CTEs (_mmr_oracle)."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = similarity.query_vector(emb, 0)
+    q8 = [int(math.floor(v * 127 + 0.5)) for v in qvec]
+    codes = F.expr(
+        "transform(cast(embedding as array<double>), "
+        "x -> cast(floor(x * 127 + 0.5) as bigint))"
+    )
+    qlit = F.array(*[F.lit(v) for v in q8])
+    rel = F.expr(
+        "aggregate(zip_with(qv, qlit, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
+    )
+    pool = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", codes.alias("qv"), qlit.alias("qlit"))
+        .select("vec_id", "qv", rel.alias("rel"))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(MMR_POOL)
+        .localCheckpoint()
+    )
+    sdot = F.expr(
+        "aggregate(zip_with(qv, sqv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
+    )
+    sel = pool.orderBy(F.desc("rel"), "vec_id").limit(1).localCheckpoint()
+    picks = [
+        sel.select(
+            F.lit(1).cast("long").alias("sel_rank"),
+            "vec_id",
+            F.col("rel").alias("rel_qdot"),
+            (7 * F.col("rel")).cast("long").alias("mmr_score"),
+        )
+    ]
+    # first update has no prior ms to fold — direct dot to sel1
+    pool = (
+        pool.join(sel.select("vec_id"), "vec_id", "left_anti")
+        .crossJoin(F.broadcast(sel.select(F.col("qv").alias("sqv"))))
+        .select("vec_id", "qv", "rel", sdot.alias("ms"))
+        .localCheckpoint()
+    )
+    for t in range(2, MMR_K + 1):
+        mmr = (7 * F.col("rel") - 3 * F.col("ms")).cast("long")
+        sel = (
+            pool.select("vec_id", "qv", "rel", mmr.alias("mmr_score"))
+            .orderBy(F.desc("mmr_score"), "vec_id")
+            .limit(1)
+            .localCheckpoint()
+        )
+        picks.append(
+            sel.select(
+                F.lit(t).cast("long").alias("sel_rank"),
+                "vec_id",
+                F.col("rel").alias("rel_qdot"),
+                "mmr_score",
+            )
+        )
+        if t < MMR_K:
+            pool = (
+                pool.join(sel.select("vec_id"), "vec_id", "left_anti")
+                .crossJoin(F.broadcast(sel.select(F.col("qv").alias("sqv"))))
+                .select(
+                    "vec_id", "qv", "rel",
+                    F.greatest("ms", sdot).alias("ms"),
+                )
+                .localCheckpoint()
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("sel_rank")
+
+
 SIM_IVF_VALIDATION_ORACLE = """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, label,
@@ -3653,6 +3810,120 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = _banded_hamming_pairs(ph, "afp", max_hamming=6)
     return pairs.crossJoin(F.broadcast(cert)).orderBy("doc_a", "doc_b")
+
+
+def _video_delta_sql(d: str, f: str, div: str) -> str:
+    """Closed-form per-frame SAD of the video payloads
+    (operators/multimodal.synthesize_video_assets): because the
+    spatial texture B is frame-invariant, the SAD between frames f-1
+    and f is exactly 48 * |(A + j)(f) - (A + j)(f-1)| with scene base
+    A and jitter j as in the synthesizer docstring. ONE shared
+    definition renders into both the DuckDB oracle and the Spark
+    closed-form twin (dialect integer division passed by the caller);
+    pure integer %, abs, arithmetic — all operands nonnegative, so %
+    semantics match across engines."""
+    seg = f"(3 + ({d}) % 3)"
+
+    def aj(fr: str) -> str:  # A(s(fr)) + j(fr), scene s = fr div seg
+        return (
+            f"(40 * ((({d}) + 7 * (({fr}) {div} {seg})) % 5)"
+            f" + ((({d}) + 13 * ({fr})) % 16))"
+        )
+
+    return f"(48 * abs({aj(f)} - {aj(f'(({f}) - 1)')}))"
+
+
+_VIDEO_DELTA_DUCK = _video_delta_sql("doc_id", "f", "//")
+
+VIDEO_SCENES_ORACLE = f"""
+WITH v AS (
+  SELECT doc_id, CAST(8 + doc_id % 5 AS BIGINT) AS n_frames
+  FROM documents
+),
+sd AS (
+  SELECT doc_id, n_frames, CAST(f AS BIGINT) AS f,
+         CAST({_VIDEO_DELTA_DUCK} AS BIGINT) AS sad
+  FROM v CROSS JOIN (SELECT i AS f FROM range(1, 12) t(i))
+  WHERE f < n_frames
+)
+SELECT doc_id, n_frames,
+       CAST(1 + sum(CASE WHEN sad > 1536 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_scenes,
+       CAST(sum(CASE WHEN sad > 1536 THEN f ELSE 0 END) AS BIGINT)
+         AS keyframe_sum,
+       CAST(sum(sad) AS BIGINT) AS total_sad,
+       CAST(max(sad) AS BIGINT) AS max_sad,
+       TRUE AS decode_scene_ok
+FROM sd
+GROUP BY doc_id, n_frames
+ORDER BY doc_id
+"""
+
+
+@register(
+    "multimodal_video_scenes", oracle=VIDEO_SCENES_ORACLE, tags=("LLM-mm",)
+)
+def multimodal_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO scene-change detection — extends the real-decode
+    multimodal family (image: PPM, audio: WAV) to frame STREAMS:
+    decode each concatenated-PPM clip frame by frame
+    (operators/multimodal.decode_ppm_stream — same header parser as
+    the still-image path), compute consecutive-frame SAD on int64
+    red channels, and cut scenes where SAD > 32/pixel — the classical
+    shot-boundary statistic of a video curation pipeline (keyframe
+    selection for captioning/embedding rides directly on these cuts).
+    Emits per clip: frame count, scene count, the SUM of boundary
+    frame indices (positions, not counts — an off-by-one boundary
+    flips the hash), total and max SAD, all integers end to end.
+
+    Payloads are closed-form clips (synthesize_video_assets: scene
+    bases jump >= 80/pixel at boundaries, jitter <= 15/pixel within —
+    deterministic margins on both sides of the threshold, so the
+    detection is certifiable, not tuned). ``decode_scene_ok``
+    certifies the Arrow decode->SAD path equals a JVM closed-form
+    twin on EVERY clip and column; the DuckDB oracle re-renders the
+    same delta definition (_video_delta_sql).
+
+    Scale shape: per-row Arrow work only — no shuffle except the
+    1-row certification broadcast (a_heavy_hitters mold) and the
+    per-doc fold; a real corpus keys frames by (clip, shot) next, and
+    every downstream stage is shot-partitioned."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.synthesize_video_assets(docs)
+    # consumed twice (result + certification join)
+    stats = multimodal.video_scene_stats(assets).localCheckpoint()
+    delta = _video_delta_sql("doc_id", "f", "div")
+    nf = "(8 + doc_id % 5)"
+    twin = docs.select(
+        "doc_id",
+        F.expr(f"cast({nf} as bigint)").alias("nf_cf"),
+        F.expr(
+            f"transform(sequence(1L, {nf} - 1), f -> cast({delta} as bigint))"
+        ).alias("sads"),
+    ).select(
+        "doc_id",
+        "nf_cf",
+        (1 + F.expr("size(filter(sads, x -> x > 1536))")).cast("long").alias(
+            "ns_cf"
+        ),
+        F.expr(
+            f"aggregate(sequence(1L, {nf} - 1), 0L, "
+            f"(acc, f) -> acc + (CASE WHEN cast({delta} as bigint) > 1536 "
+            "THEN f ELSE 0L END))"
+        ).alias("ks_cf"),
+        F.expr("aggregate(sads, 0L, (acc, x) -> acc + x)").alias("ts_cf"),
+        F.expr("array_max(sads)").cast("long").alias("ms_cf"),
+    )
+    cert = stats.join(twin, "doc_id").agg(
+        F.min(
+            (F.col("n_frames") == F.col("nf_cf"))
+            & (F.col("n_scenes") == F.col("ns_cf"))
+            & (F.col("keyframe_sum") == F.col("ks_cf"))
+            & (F.col("total_sad") == F.col("ts_cf"))
+            & (F.col("max_sad") == F.col("ms_cf"))
+        ).alias("decode_scene_ok")
+    )
+    return stats.crossJoin(F.broadcast(cert)).sortWithinPartitions("doc_id")
 
 
 ASOF_NEAREST_ORACLE = """

@@ -210,9 +210,16 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     # Arrow cosine production form (keeper, rule 3 — one rep; its
     # bit-equal twins' green r6 rows stand, equality stays pinned)
     "dedup_semantic_arrow",
-    # graph (inbound observability; ml_power_iteration carries the
-    # iterative family — pagerank/kmeans greens stand)
-    "graph_degree_distribution",
+    # --- r9 rotation, video tier (1-for-1, pre-freeze three-SF
+    # bare-session strict-verified): VIDEO scene-change detection —
+    # real concatenated-PPM stream decode -> integer SAD ->
+    # shot-boundary cuts with JVM-twin certification, extending the
+    # real-decode multimodal family to frame streams (image/audio/
+    # video now all carried end-to-end). Displaced:
+    # graph_degree_distribution (green r7/r8; the graph family keeps
+    # graph_jaccard_neighbors + graph_label_propagation +
+    # ml_power_iteration in-window).
+    "multimodal_video_scenes",
     # text (inbound; tokenize_bpe is the r7-built real-tokenizer tier)
     "text_inverted_index",
     # --- r9 rotation (2-for-2, pre-freeze three-SF bare-session
@@ -247,7 +254,15 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_repeated_passages",
     # pipeline / curation observability (inbound)
     "pipeline_quality_dup_calibration",
-    "pipeline_token_lorenz",
+    # --- r9 rotation, retrieval-diversity tier (1-for-1, pre-freeze
+    # three-SF bare-session strict-verified): MMR diversified top-k —
+    # the post-ANN re-rank stage, int8-integer scoring end to end,
+    # generated unrolled MATERIALIZED-CTE oracle, independent numpy
+    # greedy pinned in tests/test_llm_ops.py. Displaced:
+    # pipeline_token_lorenz (green r7/r8; pipeline observability
+    # keeps quality_dup_calibration + repeat_factors +
+    # attribution_split + token_budget_bpe in-window).
+    "sim_mmr_diversified",
     "pipeline_repeat_factors",
     "pipeline_attribution_split",
     "pipeline_token_budget_bpe",

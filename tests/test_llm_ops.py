@@ -441,3 +441,47 @@ def test_bm25_topk_python_reference(spark):
         assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
         for a, b in zip(rs, rs[1:]):
             assert (a.score, -a.doc_id) >= (b.score, -b.doc_id), term
+
+
+def test_mmr_diversified_python_reference(spark):
+    """sim_mmr_diversified re-derived with an independent numpy
+    greedy over the raw parquet: int8 codes, integer dots, the same
+    lambda=0.7 integer clearing (7*rel - 3*ms) and vec_id tie-break —
+    selections and scores must match the Spark entry exactly, and
+    each pick must dominate every unpicked pool member at its round."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sql_engine_triangle_spark.queries.llm_ops import MMR_K, MMR_POOL
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pydict()
+    ids = np.array(tbl["vec_id"], dtype=np.int64)
+    emb = np.array([list(v) for v in tbl["embedding"]], dtype=np.float64)
+    codes = np.floor(emb * 127 + 0.5).astype(np.int64)
+    q = codes[ids == 0][0]
+    mask = ids != 0
+    rel = codes[mask] @ q
+    pids = ids[mask]
+    # top-POOL by (rel desc, vec_id asc)
+    order = np.lexsort((pids, -rel))[:MMR_POOL]
+    pool_ids, pool_codes, pool_rel = pids[order], codes[mask][order], rel[order]
+
+    picks, ms = [], None
+    active = np.ones(len(pool_ids), dtype=bool)
+    for t in range(1, MMR_K + 1):
+        score = 7 * pool_rel if t == 1 else 7 * pool_rel - 3 * ms
+        # sentinel stays negatable: -int64.min would overflow lexsort's key
+        masked = np.where(active, score, np.iinfo(np.int64).min // 4)
+        best = np.lexsort((pool_ids, -masked))[0]
+        picks.append((t, int(pool_ids[best]), int(pool_rel[best]), int(score[best])))
+        active[best] = False
+        d = pool_codes @ pool_codes[best]
+        ms = d if ms is None else np.maximum(ms, d)
+
+    rows = registry.get("sim_mmr_diversified").fn(spark, SF_DIR).collect()
+    got = [(r.sel_rank, r.vec_id, r.rel_qdot, r.mmr_score) for r in rows]
+    assert got == picks
+    # selected ids are distinct and drawn from the pool
+    sel_ids = [p[1] for p in picks]
+    assert len(set(sel_ids)) == MMR_K
+    assert set(sel_ids) <= set(int(i) for i in pool_ids)

@@ -241,3 +241,64 @@ def test_tone_assets_group_structure(spark):
                 assert ham <= 4, f"in-group pair ({a},{b}) hamming {ham}"
             else:
                 assert ham > 6, f"cross-group pair ({a},{b}) hamming {ham}"
+
+
+def test_ppm_stream_decode_and_truncation():
+    """decode_ppm_stream walks concatenated P6 frames with the same
+    header parser as the single-image path; a trailing partial frame
+    raises instead of yielding fewer frames."""
+    import pytest
+
+    f1 = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    f2 = (f1 + 100).astype(np.uint8)
+    payload = MM.encode_ppm(f1) + MM.encode_ppm(f2)
+    frames = MM.decode_ppm_stream(payload)
+    assert len(frames) == 2
+    assert (frames[0] == f1).all() and (frames[1] == f2).all()
+    with pytest.raises(ValueError):
+        MM.decode_ppm_stream(payload[:-5])  # truncated second frame
+    with pytest.raises(ValueError):
+        MM.decode_ppm_stream(payload + b"P6\n")  # dangling header
+
+
+def test_video_scene_stats_crafted_boundary(spark):
+    """Scene segmentation pinned on HAND-CRAFTED frames, independent
+    of the synthetic payload law: three flat frames where only the
+    middle transition exceeds the per-pixel-32 threshold."""
+    levels = [10, 20, 90, 95]  # deltas: 10, 70, 5 per pixel
+    frames = b"".join(
+        MM.encode_ppm(np.full((MM.VIDEO_H, MM.VIDEO_W, 3), v, dtype=np.uint8))
+        for v in levels
+    )
+    assets = spark.createDataFrame(
+        [(7, "video/x-ppm-stream", bytearray(frames))],
+        schema=MM.ASSET_SCHEMA,
+    )
+    row = MM.video_scene_stats(assets).head()
+    px = MM.VIDEO_W * MM.VIDEO_H
+    assert row.n_frames == 4
+    assert row.n_scenes == 2  # one cut, at frame 2
+    assert row.keyframe_sum == 2
+    assert row.total_sad == (10 + 70 + 5) * px
+    assert row.max_sad == 70 * px
+
+
+def test_video_assets_scene_law(spark):
+    """The synthetic clips obey the documented margins: within-scene
+    SAD <= 624, boundary SAD >= 3696 — decoded with an independent
+    numpy walk, not the operator under test."""
+    docs = load_table(spark, SF_DIR_SMALL, "documents").limit(40)
+    rows = MM.synthesize_video_assets(docs).collect()
+    assert len(rows) == 40
+    for r in rows:
+        i = r.doc_id
+        frames = MM.decode_ppm_stream(bytes(r.content))
+        assert len(frames) == 8 + i % 5
+        seg = 3 + i % 3
+        reds = [f[..., 0].astype(np.int64) for f in frames]
+        for f in range(1, len(reds)):
+            sad = int(np.abs(reds[f] - reds[f - 1]).sum())
+            if f % seg == 0:
+                assert sad >= 3696
+            else:
+                assert sad <= 624

@@ -105,6 +105,10 @@ ALLOWED_NESTED_LOOP = {
     # set (q4_approx_percentiles validation-form mold).
     "dedup_image_phash",
     "dedup_audio_fingerprint",  # same 1-row certification broadcast
+    "multimodal_video_scenes",  # same 1-row certification broadcast
+    # 1-row broadcast of the per-round selected vector onto the
+    # <=20-row re-rank pool (bounded 1 x pool by construction).
+    "sim_mmr_diversified",
     # 1-row broadcast HHI frame onto the 1-row corpus summary.
     "pipeline_dataset_card",
     # 1-row broadcast max-tokens scalar onto the per-lang rollup.
