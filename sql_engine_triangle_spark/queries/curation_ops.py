@@ -2439,6 +2439,123 @@ def curation_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+L_DIVERSITY_ORACLE = """
+WITH cls AS (
+  SELECT c.c_nationkey AS nation, c.c_mktsegment AS seg,
+         CAST(floor(c.c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         CAST(strftime(CAST(o.o_orderdate AS DATE), '%Y') AS BIGINT) AS yr,
+         o.o_orderpriority AS sens,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2, 3, 4, 5
+),
+per AS (
+  SELECT nation,
+         CAST(count(*) AS BIGINT) AS distinct_l,
+         CAST(sum(cnt) AS BIGINT) AS total,
+         CAST(max(cnt) AS BIGINT) AS r1
+  FROM cls GROUP BY nation, seg, bal_band, yr
+)
+SELECT nation,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(total) AS BIGINT) AS n_rows,
+       CAST(min(distinct_l) AS BIGINT) AS min_distinct_l,
+       CAST(sum(CASE WHEN distinct_l < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_fail_l2,
+       CAST(sum(CASE WHEN r1 >= 2 * (total - r1) THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_fail_rc22,
+       CAST(coalesce(sum(total) FILTER (r1 >= 2 * (total - r1)), 0) AS BIGINT)
+         AS at_risk_rows,
+       CAST((1000 * CAST(coalesce(sum(total) FILTER (r1 >= 2 * (total - r1)),
+                                  0) AS BIGINT))
+            // CAST(sum(total) AS BIGINT) AS BIGINT) AS risk_permille
+FROM per
+GROUP BY nation
+ORDER BY nation
+"""
+
+
+@register(
+    "curation_l_diversity", oracle=L_DIVERSITY_ORACLE, tags=("A5", "LLM-pipeline")
+)
+def curation_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attribute-disclosure governance gate
+    one notch past curation_k_anonymity (Machanavajjhala et al.): a
+    class of records sharing a quasi-identifier tuple can be
+    k-anonymous yet still leak its SENSITIVE attribute if every
+    member shares one value. QI classes here are (nation, market
+    segment, balance band, order year) over orders joined to their
+    customers; the sensitive attribute is o_orderpriority. Per class
+    the audit evaluates DISTINCT l-diversity (l >= 2: at least two
+    sensitive values present) and RECURSIVE (c, l)-diversity at
+    c = 2, l = 2 — r1 < c * (r2 + ... + rm), i.e. the most frequent
+    sensitive value must not dominate the tail — which needs only
+    (max count, total): r1 < 2 * (total - r1). Both criteria are
+    pure integer comparisons, no entropy logs (entropy l-diversity
+    has no exact cross-engine form; the recursive variant is the
+    standard log-free strengthening). Per nation the report emits
+    class count, row count, the worst distinct-l, failing-class
+    counts under both criteria (rc22 failures are a superset: a
+    single-valued class has r1 = total), rows in rc22-failing
+    classes, and the at-risk share as integer permille.
+
+    Scale shape: one fact-dim equi-join on the customer key (AQE
+    picks broadcast when the projected dim fits; at 100 TB the
+    shuffle join co-partitions on c_custkey), then three nested
+    map-side-combinable aggregations whose keys shrink at every
+    level (QI+sens -> QI -> nation). The fixture is non-vacuous at
+    every SF: 405/1844/29 classes fail distinct-l2 at
+    sf0.001/0.01/0.1 (verified at design time)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    )
+    cls = (
+        orders.select(
+            "o_custkey",
+            F.year(F.col("o_orderdate").cast("date")).cast("long").alias("yr"),
+            F.col("o_orderpriority").alias("sens"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("nation", "seg", "bal_band", "yr", "sens")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    per = cls.groupBy("nation", "seg", "bal_band", "yr").agg(
+        F.count("*").cast("long").alias("distinct_l"),
+        F.sum("cnt").cast("long").alias("total"),
+        F.max("cnt").cast("long").alias("r1"),
+    )
+    fail_rc22 = F.col("r1") >= 2 * (F.col("total") - F.col("r1"))
+    return (
+        per.groupBy("nation")
+        .agg(
+            F.count("*").cast("long").alias("n_classes"),
+            F.sum("total").cast("long").alias("n_rows"),
+            F.min("distinct_l").cast("long").alias("min_distinct_l"),
+            F.sum(F.when(F.col("distinct_l") < 2, 1).otherwise(0))
+            .cast("long")
+            .alias("classes_fail_l2"),
+            F.sum(F.when(fail_rc22, 1).otherwise(0))
+            .cast("long")
+            .alias("classes_fail_rc22"),
+            F.coalesce(F.sum(F.when(fail_rc22, F.col("total"))), F.lit(0))
+            .cast("long")
+            .alias("at_risk_rows"),
+        )
+        .select(
+            "nation", "n_classes", "n_rows", "min_distinct_l",
+            "classes_fail_l2", "classes_fail_rc22", "at_risk_rows",
+            F.expr("(1000 * at_risk_rows) div n_rows")
+            .cast("long")
+            .alias("risk_permille"),
+        )
+        .orderBy("nation")
+    )
+
+
 EMB_DIM_STATS_ORACLE = """
 WITH x AS (
   SELECT unnest(embedding) AS val,

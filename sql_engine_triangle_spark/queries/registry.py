@@ -176,12 +176,22 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     # w_longest_streak (green r7; the window family keeps
     # w_window_funnel/w_sessionize/w_scd2_history/w_running_distinct).
     "w_cusum_drift",
+    # --- r9 rotation, forecasting tier (1-for-1, pre-freeze
+    # three-SF bare-session strict-verified): Holt linear-trend
+    # smoothing in integer cents — the coupled 2-state fold whose
+    # oracle hunt surfaced the combine-dependent DuckDB struct
+    # shadowing (first combine unshadowed, later combines shadowed)
+    # and established the LIST-accumulator portable form, both
+    # pinned in tests/test_differential_fuzz.py. Displaced:
+    # w_running_distinct (green r8; windowed-distinct stays covered
+    # by the sweep and the sketch tiles carry distinct counting
+    # in-window).
+    "w_holt_linear_int",
     # aggregation tier (r7 inbound, retained)
     "a_equidepth_hist",
     # window tier (inbound; funnel ships with its SQL-API twin; the
     # sessionize/SCD2/winsorize trio are the never-rowed remainder)
     "w_window_funnel",
-    "w_running_distinct",
     "w_sessionize",
     "w_scd2_history",
     "f_winsorize",
@@ -266,7 +276,14 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "pipeline_repeat_factors",
     "pipeline_attribution_split",
     "pipeline_token_budget_bpe",
-    "curation_domain_concentration",
+    # --- r9 rotation, governance tier (1-for-1, pre-freeze
+    # three-SF bare-session strict-verified): l-diversity audit —
+    # the attribute-disclosure gate one notch past k-anonymity
+    # (distinct-l and recursive (2,2)-diversity, both pure-integer;
+    # non-vacuous failures at every SF). Displaced:
+    # curation_domain_concentration (green r7/r8; curation keeps
+    # k_anonymity + l_diversity + quality_dup_calibration in-window).
+    "curation_l_diversity",
     # pipeline capstone (keeper — the most-composed family rep; it
     # embeds the greedy capstone's stages, whose green rows stand)
     "pipeline_corpus_build_decontam",

@@ -3154,3 +3154,144 @@ def w_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+HOLT_LINEAR_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY event_type, day
+),
+series AS (
+  SELECT event_type, list(x ORDER BY day) AS vals
+  FROM daily GROUP BY event_type
+),
+f AS (
+  SELECT event_type, CAST(len(vals) AS BIGINT) AS n_days,
+         -- LIST accumulator [sae, lvl, trd, x], NOT a struct: Holt is
+         -- a coupled 2-state recursion (level and trend each read the
+         -- other's PREVIOUS value), and DuckDB 1.0 struct literals in
+         -- list_reduce shadow acc.<name> with already-assigned fields
+         -- from the SECOND combine onward (the first combine reads
+         -- old values) — so neither a shadowing-safe field order nor
+         -- a deliberate-shadowing form exists for this recursion.
+         -- List-literal elements read only the OLD acc at every
+         -- combine (probed at fold lengths 2/3/4, pinned in
+         -- tests/test_differential_fuzz.py), making the list form the
+         -- portable one. The new level is recomputed inline where the
+         -- trend needs it.
+         list_reduce(
+           list_transform(vals, x ->
+             [CAST(0 AS BIGINT), x, CAST(0 AS BIGINT), x]),
+           (acc, e) -> [
+             acc[1] + abs(e[4] - acc[2] - acc[3]),
+             (e[4] + 3 * (acc[2] + acc[3])) // 4,
+             (((e[4] + 3 * (acc[2] + acc[3])) // 4) - acc[2]
+              + 3 * acc[3]) // 4,
+             e[4]]) AS st
+  FROM series
+)
+SELECT event_type, n_days,
+       CAST(st[2] AS BIGINT) AS level_cents,
+       CAST(st[3] AS BIGINT) AS trend_cents,
+       CAST(st[2] + 5 * st[3] AS BIGINT) AS forecast_5d_cents,
+       CAST(st[1] AS BIGINT) AS sum_abs_err_cents
+FROM f
+ORDER BY event_type
+"""
+
+
+@register("w_holt_linear_int", oracle=HOLT_LINEAR_ORACLE, tags=("W-free", "F1"))
+def w_holt_linear_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt LINEAR-TREND (double exponential) smoothing over daily
+    revenue per event type — the forecasting step past the w_ema_int
+    level-only smoother: l_t = alpha*x_t + (1-alpha)*(l_{t-1} +
+    t_{t-1}), t_t = beta*(l_t - l_{t-1}) + (1-beta)*t_{t-1} with
+    alpha = beta = 1/4 cleared to integer cents — level = (x + 3*(l +
+    t)) div 4, trend = ((l_new - l_old) + 3*t_old) div 4 — plus the
+    running sum of absolute one-step-ahead forecast errors |x_t -
+    (l + t)| (the tracking signal a monitor pairs with the forecast)
+    and a 5-day-ahead forecast l + 5*t. Initialization l_1 = x_1,
+    t_1 = 0. Integer division truncates toward zero identically in
+    Spark (div) and DuckDB (//), negatives included — trend and
+    errors DO go negative on this series.
+
+    TWIN-FORM NOTE (revises the r8 struct-fold shadowing lesson):
+    Holt is a genuinely COUPLED 2-state recursion — level and trend
+    each read the other's PREVIOUS value — so no struct field order
+    satisfies the CUSUM discipline (some expression must read a field
+    assigned earlier in the literal). Building this entry surfaced
+    that DuckDB 1.0's struct shadowing is INCONSISTENT ACROSS
+    COMBINES: the first list_reduce application reads OLD values, the
+    second onward reads SHADOWED ones (probed minimally: the same
+    {'a': acc.a + e.a, 'b': acc.a} fold yields b = old a at length 2
+    but b = new a at length 3+) — so a fold that deliberately
+    EXPLOITS shadowing is wrong on its first step, and the r8
+    discipline (never read an assigned field) remains the only safe
+    struct form. For recursions where that discipline cannot apply,
+    the portable form is a LIST accumulator: DuckDB list-literal
+    elements read only the old acc at every combine (probed and
+    pinned in tests/test_differential_fuzz.py). The oracle folds
+    [sae, lvl, trd, x] as a list; Spark named_struct has no
+    shadowing, so the Spark side keeps the readable struct form with
+    the new level recomputed inline. Twins are pinned equivalent by
+    prefix-stepping tests against one Python truncated-division
+    reference (tests/test_warehouse_ops.py) on top of the three-SF
+    full-series hash match.
+
+    Scale shape: identical to w_cusum_drift — the fact compresses to
+    (type, day) totals in one map-side-combinable aggregation; the
+    sequential fold runs over ~30-element arrays on 5 rows. At 100 TB
+    the per-key state is three longs — exactly what the streaming
+    twin of a forecasting monitor would keep."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.unix_date(F.to_date("ts")).cast("long").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("long").alias("x"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, x))), s -> s.x)"
+        ).alias("vals")
+    )
+    structs = (
+        "transform(vals, x -> named_struct("
+        "  'sae', 0L, 'lvl', x, 'trd', 0L, 'x', x))"
+    )
+    # Spark named_struct has NO shadowing: every acc.<field> below is
+    # the PREVIOUS state, so the new level is recomputed inline where
+    # the trend needs it (see the twin-form note in the docstring).
+    lvl_new = "((e.x + 3L * (acc.lvl + acc.trd)) div 4L)"
+    return (
+        series.select(
+            "event_type",
+            F.size("vals").cast("long").alias("n_days"),
+            F.expr(
+                "aggregate("
+                f"  slice({structs}, 2, size({structs}) - 1),"
+                f"  element_at({structs}, 1),"
+                "  (acc, e) -> named_struct("
+                "    'sae', acc.sae + abs(e.x - acc.lvl - acc.trd),"
+                f"   'lvl', {lvl_new},"
+                f"   'trd', (({lvl_new} - acc.lvl) + 3L * acc.trd) div 4L,"
+                "    'x', e.x)"
+                ")"
+            ).alias("st"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.col("st.lvl").cast("long").alias("level_cents"),
+            F.col("st.trd").cast("long").alias("trend_cents"),
+            (F.col("st.lvl") + 5 * F.col("st.trd"))
+            .cast("long")
+            .alias("forecast_5d_cents"),
+            F.col("st.sae").cast("long").alias("sum_abs_err_cents"),
+        )
+        .orderBy("event_type")
+    )

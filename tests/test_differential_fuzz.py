@@ -1104,3 +1104,49 @@ def test_random_struct_fold_parity(spark, ddb, va, vb, c, p, d, t):
             b = nb
         assert int(res.loc[uid, "a"]) == a, (uid, va, vb, consts)
         assert int(res.loc[uid, "b"]) == b, (uid, va, vb, consts)
+
+
+def test_duckdb_struct_shadowing_is_combine_dependent(ddb):
+    """Pin the EXACT DuckDB struct-literal shadowing semantics the
+    Holt entry surfaced (r9, revising the r8 lesson): in a
+    list_reduce whose combine assigns 'a' before reading acc.a in
+    'b', the FIRST combine reads the OLD a but every later combine
+    reads the SHADOWED (new) a. The r8 discipline (never read an
+    already-assigned field) is immune to this inconsistency; any
+    form that deliberately EXPLOITS shadowing is wrong on its first
+    step. If a DuckDB upgrade makes this test fail, re-audit every
+    struct fold oracle before trusting either semantics."""
+    q = """
+    SELECT list_reduce(
+      list_transform({lst}::BIGINT[], x -> {{'a': x, 'b': CAST(0 AS BIGINT)}}),
+      (acc, e) -> {{'a': acc.a + e.a, 'b': acc.a}}) AS st
+    """
+    two = ddb.execute(q.format(lst="[10, 20]")).fetchone()[0]
+    three = ddb.execute(q.format(lst="[10, 20, 40]")).fetchone()[0]
+    four = ddb.execute(q.format(lst="[10, 20, 40, 80]")).fetchone()[0]
+    assert two == {"a": 30, "b": 10}  # first combine: OLD acc.a
+    assert three == {"a": 70, "b": 70}  # second combine: NEW (shadowed) a
+    assert four == {"a": 150, "b": 150}
+
+
+def test_duckdb_list_fold_reads_old_acc(ddb):
+    """Pin the portable escape hatch for COUPLED recursions (r9):
+    list-literal elements inside a list_reduce combine read only the
+    OLD accumulator at EVERY combine — no first-vs-later
+    inconsistency — so state recursions that cannot satisfy the
+    struct field-order discipline (each state reading the other's
+    previous value, e.g. Holt level/trend) fold portably as lists."""
+    q = """
+    SELECT list_reduce(
+      list_transform({lst}::BIGINT[], x -> [x, CAST(0 AS BIGINT)]),
+      (acc, e) -> [acc[1] + e[1], acc[1]]) AS st
+    """
+    assert ddb.execute(q.format(lst="[10, 20]")).fetchone()[0] == [30, 10]
+    assert ddb.execute(q.format(lst="[10, 20, 40]")).fetchone()[0] == [70, 30]
+    assert ddb.execute(q.format(lst="[10, 20, 40, 80]")).fetchone()[0] == [
+        150,
+        70,
+    ]
+    assert ddb.execute(
+        q.format(lst="[10, 20, 40, 80, 160]")
+    ).fetchone()[0] == [310, 150]

@@ -353,3 +353,93 @@ def test_cusum_drift_matches_python_fold(spark):
             assert row["n_alarms"] == alarms, et
         # alarm state is genuinely exercised at both SFs
         assert (res["n_alarms"] > 0).any()
+
+
+def _holt_ref(vals):
+    """Python truncated-division Holt fold (Spark div == DuckDB //
+    truncate toward zero; Python // floors, hence tdiv)."""
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    lvl, trd, sae = vals[0], 0, 0
+    for x in vals[1:]:
+        sae += abs(x - lvl - trd)
+        l_new = tdiv(x + 3 * (lvl + trd), 4)
+        trd = tdiv((l_new - lvl) + 3 * trd, 4)
+        lvl = l_new
+    return lvl, trd, sae
+
+
+def test_holt_linear_matches_python_fold(spark):
+    """w_holt_linear_int vs an independent Python truncated-division
+    fold at two SFs, including the non-vacuity of the signed states
+    (trend goes negative somewhere; errors accumulate)."""
+    import math
+
+    import pandas as pd
+
+    saw_negative_trend = False
+    for sf_dir in (SF_DIR_SMALL, SF_DIR):
+        res = (
+            registry.get("w_holt_linear_int")
+            .fn(spark, sf_dir)
+            .toPandas()
+            .set_index("event_type")
+        )
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+        ev["cents"] = (ev["value"] * 100 + 0.5).apply(math.floor)
+        ev["day"] = ev["ts"].dt.normalize()
+        daily = ev.groupby(["event_type", "day"])["cents"].sum()
+        for et in res.index:
+            vals = daily.loc[et].sort_index().tolist()
+            lvl, trd, sae = _holt_ref(vals)
+            row = res.loc[et]
+            assert row["n_days"] == len(vals), et
+            assert row["level_cents"] == lvl, et
+            assert row["trend_cents"] == trd, et
+            assert row["forecast_5d_cents"] == lvl + 5 * trd, et
+            assert row["sum_abs_err_cents"] == sae, et
+            saw_negative_trend |= trd < 0
+        assert (res["sum_abs_err_cents"] > 0).all()
+    assert saw_negative_trend  # signed division paths are exercised
+
+
+def test_holt_duckdb_fold_prefix_steps(ddb):
+    """The DuckDB LIST-accumulator fold equals the Python reference
+    at EVERY prefix length, not just the full series — the
+    prefix-stepping check that caught the CUSUM shadowing trap (r8)
+    and the first-combine shadowing inconsistency (r9). A struct
+    form that exploited shadowing passes full-series comparisons on
+    some series while being wrong at step 1; prefix-stepping cannot
+    miss that."""
+    vals = ddb.execute(
+        """
+        SELECT list(x ORDER BY day) FROM (
+          SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS x
+          FROM events WHERE event_type = 'click' GROUP BY day)
+        """
+    ).fetchone()[0]
+    assert len(vals) >= 5
+    for n in range(2, len(vals) + 1):
+        pre = vals[:n]
+        st = ddb.execute(
+            f"""
+            SELECT list_reduce(
+              list_transform({pre}::BIGINT[],
+                             x -> [CAST(0 AS BIGINT), x, CAST(0 AS BIGINT), x]),
+              (acc, e) -> [
+                acc[1] + abs(e[4] - acc[2] - acc[3]),
+                (e[4] + 3 * (acc[2] + acc[3])) // 4,
+                (((e[4] + 3 * (acc[2] + acc[3])) // 4) - acc[2]
+                 + 3 * acc[3]) // 4,
+                e[4]])
+            """
+        ).fetchone()[0]
+        lvl, trd, sae = _holt_ref(pre)
+        # st is a fetched Python list here — 0-based, unlike the
+        # 1-based SQL subscripts above
+        assert (st[0], st[1], st[2]) == (sae, lvl, trd), n
