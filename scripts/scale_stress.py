@@ -119,6 +119,23 @@ ENTRIES: dict[str, tuple[list[int], str]] = {
         "three batch-sequential asymmetric LSH probes over one signed "
         "frame; banded candidates bound every stage.",
     ),
+    # r9 session-2 tier: the video pair + MMR re-rank.
+    "multimodal_video_scenes": (
+        DEFAULT_SCALES,
+        "per-row Arrow decode + SAD, no shuffle beyond the 1-row "
+        "cert broadcast: expect ~linear in docs.",
+    ),
+    "dedup_video_keyframes": (
+        DEFAULT_SCALES,
+        "per-row keyframe hash + banded candidate join; in-group "
+        "pair yield linear by payload law (cross-group at the 56-bit "
+        "random floor, 0/0/11 at 5k/20k/60k docs measured offline).",
+    ),
+    "sim_mmr_diversified": (
+        DEFAULT_SCALES,
+        "corpus-sized work is one TakeOrderedAndProject top-20; the "
+        "greedy re-rank is 4 bounded rounds on 20 rows: expect flat.",
+    ),
 }
 # Open-vocab variant (documents only, Heaps-law vocab growth) for the
 # entries whose closed-vocab exponent is a DATA property: the
@@ -154,6 +171,11 @@ EVENTS_ENTRIES = {
     "w_pattern_match_regex": (DEFAULT_SCALES, ""),
     "a_cms_partial_rollup": (DEFAULT_SCALES, ""),
     "ml_auc_exact": (DEFAULT_SCALES, ""),
+    "w_holt_linear_int": (
+        DEFAULT_SCALES,
+        "one map-side-combinable (type, day) agg + a sequential fold "
+        "over ~30-element arrays on 5 rows: expect flat.",
+    ),
 }
 
 # Part-fact variants (r9, VERDICT r8 #4): j_fuzzy_name_match's cost

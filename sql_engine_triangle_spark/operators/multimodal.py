@@ -469,9 +469,19 @@ def synthesize_texture_assets(docs: DataFrame) -> DataFrame:
     lattices: equal grids require Δg1·(31x+57y+11) + Δg2·(57x+31y+3)
     ≡ 0 (mod 251) at all 63 cells, whose coefficient vectors span
     two directions, forcing Δg1 ≡ Δg2 ≡ 0 — textures are injective
-    in (g1, g2), 63 001 classes, aliasing only beyond ~1M docs
-    (documented bound of the synthetic payload, not of the
-    operator). The mod-prime square then decorrelates gradient signs
+    in (g1, g2), 63 001 classes, EXACT-grid aliasing only beyond ~1M
+    docs. A sharper latent mode found during the r9 video-law work
+    bounds the hash-level (not grid-level) behavior: classes with
+    x-slope 31(g1+2) + 57·g2 ≡ 0 (mod 251) are x-FLAT, hash to
+    all-zero dHash, and occur every 251 groups — exactly ONE such
+    group (g = 249) exists inside the fixture (its pairs are
+    in-group, correct, and harmless), but from the second flat group
+    (~8k docs) flat-flat groups cross-alias at 256 pairs per group
+    pair. Both are documented bounds of the synthetic payload, not
+    of the operator; the video payload law (synthesize_video_assets)
+    excludes the mode by construction and records the full
+    4-iteration design history. The mod-prime square then
+    decorrelates gradient signs
     across groups so cross-group Hamming concentrates near 28 and
     the pair set is in-group only,
     with ONE doc-specific perturbed cell (x0, y0) = (v % 9, (v*5) % 7)
@@ -579,7 +589,14 @@ def synthesize_tone_assets(docs: DataFrame) -> DataFrame:
     Same injectivity argument as the 2-D texture law (the two
     per-frame coefficient vectors span two directions ⇒ textures
     injective over 63 001 (g1, g2) classes); same linear pair-yield
-    property (16-doc near-dup groups, group count ∝ n)."""
+    property (16-doc near-dup groups, group count ∝ n) — and the
+    same latent flat-slope mode documented on the texture law:
+    classes with slope 31(g1+2) + 57·g2 ≡ 0 (mod 251) have constant
+    amplitude (all-zero delta-sign fingerprint), one per 251 groups
+    (only g = 249 inside the fixture, in-group-only and harmless;
+    flat-flat cross aliasing from ~8k docs — a payload bound, not an
+    operator bound; see synthesize_video_assets for the law family
+    that excludes the mode)."""
     import numpy as np
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -701,30 +718,67 @@ def image_patch_sums(assets: DataFrame) -> DataFrame:
 
 # Scene-payload law constants (shared with the llm_ops oracle/twin
 # templates — change them together):
-VIDEO_W, VIDEO_H = 8, 6  # per-frame pixel grid (48 px)
+VIDEO_W, VIDEO_H = 9, 7  # per-frame pixel grid (63 px)
 VIDEO_SAD_THRESHOLD = 32 * VIDEO_W * VIDEO_H  # per-pixel mean delta > 32
 
 
 def synthesize_video_assets(docs: DataFrame) -> DataFrame:
     """Deterministic VIDEO payloads (concatenated P6 frames) for every
     doc_id — the scene-detection counterpart of
-    synthesize_texture_assets. Each doc is an 8x6 clip of
+    synthesize_texture_assets. Each doc is a 9x7 clip of
     F = 8 + id%5 frames cut into scenes of seg = 3 + id%3 frames
-    (scene s(f) = f div seg); the red channel of frame f is
+    (scene s(f) = f div seg). The channels split the two roles a real
+    clip mixes: RED carries the TEMPORAL structure, GREEN the SPATIAL
+    texture (blue zero):
 
-        pix(f, x, y) = A + B + j            (g/b channels zero)
+        red(f, x, y)  = A + j               (pixel-invariant)
         A(s)    = 40 * ((id + 7*s) % 5)     scene base, jumps >= 80
-        B(x, y) = ((id%251 + 2)*(31x + 57y + 11)
-                   + ((id div 251) % 251)*(57x + 31y + 3)) % 64
         j(f)    = (id + 13*f) % 16          per-frame jitter <= 15
+        green(x, y)   = B                   (frame-invariant)
+        B(x, y) = (u*u + u) % 251 with
+                  u = (a*k*k + b*k + c) % 251, k = y*9 + x,
+                  a = 1 + g % 250, b = (g div 250) % 251,
+                  c = (11*(g % 250) + 3*b) % 125, g = id div 16,
+                  ONE perturbed cell (x0, y0) = (v % 9, (v*5) % 7)
+                  at (B + 128) % 251 for variant v = id % 16
 
-    Bounds: A <= 160, B <= 63, j <= 15 -> pixel <= 238, no uint8 wrap.
-    Because B is frame-invariant and A + j is pixel-invariant, the
-    per-pixel delta between consecutive frames is the CONSTANT
-    d(f) = A(s(f)) + j(f) - A(s(f-1)) - j(f-1), so the frame SAD has
-    the exact closed form 48*|d(f)|: within a scene |dj| in {3, 13}
-    (SAD <= 624), across a boundary |dA + dj| >= 77 (SAD >= 3696) —
-    the threshold 32*48 = 1536 separates them with wide margins on
+    Bounds: red <= 175, green <= 250 — no uint8 wrap in either.
+
+    B's law is the FOURTH measured iteration, and the iteration
+    history is itself the documentation of a payload-design failure
+    class (extending the r9 affine/additive lessons), all measured
+    as cross-group Hamming<=6 pair counts at sf0.1 / 20k / 60k docs:
+      1. matrix lattice mod 61 (the texture-assets form): x-slope
+         ≡ 0 for 1/61 of classes -> x-flat grids hash to all-zero,
+         every flat pair aliases — 3,223 pairs at sf0.1 alone;
+      2. direct nonzero x-slope mod 61, y-slope free: y-flat grids
+         collapse the hash to 7 effective bits (6 identical rows) —
+         2,664 pairs at sf0.01: worse;
+      3. both slopes nonzero, mod 251, 56 bits: fixture clean, but
+         same-x-slope groups (n/250 of them) keep correlated row
+         patterns — 22 pairs at 20k, 521 at 60k;
+      4. QUADRATIC cell-index law (shipped): u quadratic in
+         k = y*9 + x with group-keyed coefficients — adjacent-cell
+         deltas a(2k+1)+b vary across the grid, so sign patterns
+         decorrelate to the 56-bit random floor: 0 / 0 / 11 pairs.
+    Injectivity: (a, b) determines the group class over
+    250·251 = 62,750 classes; two distinct quadratics agree on <= 2
+    of 63 cells, and the grid-wide u' = -u-1 match is blocked by
+    c in [0, 124] (it needs c' = 250 - c >= 126). The latent
+    flat-slope mode of the image/audio mod-251 matrix laws (one
+    x-flat group at g = 249 inside the fixture — in-group pairs
+    only, harmless there; flat-flat cross pairs from ~8k docs) is
+    excluded here by construction.
+
+    16-doc groups are near-duplicate CLIPS differing in one spatial
+    cell and their jitter phase -> keyframe dHash pair Hamming <= 4
+    within a group, group count ~ n -> linear pair yield. B is
+    frame-invariant so it CANCELS in every frame delta: the per-pixel
+    red delta between consecutive frames is the CONSTANT
+    d(f) = A(s(f)) + j(f) - A(s(f-1)) - j(f-1), and the frame SAD has
+    the exact closed form 63*|d(f)|: within a scene |dj| in {3, 13}
+    (SAD <= 819), across a boundary |dA + dj| >= 77 (SAD >= 4851) —
+    the threshold 32*63 = 2016 separates them with wide margins on
     BOTH sides, so the detection is deterministic, not tuned. The
     whole construction is closed-form in doc_id, making the real
     decode -> SAD -> scene-segmentation pipeline SQL-reproducible
@@ -734,21 +788,28 @@ def synthesize_video_assets(docs: DataFrame) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         xs = np.arange(VIDEO_W, dtype=np.int64)[None, :]
         ys = np.arange(VIDEO_H, dtype=np.int64)[:, None]
+        kk = ys * VIDEO_W + xs
         for pdf in batches:
             out = {"doc_id": [], "media_type": [], "content": []}
             for i in pdf["doc_id"]:
                 i = int(i)
                 n_frames, seg = 8 + i % 5, 3 + i % 3
-                b = (
-                    (i % 251 + 2) * (xs * 31 + ys * 57 + 11)
-                    + ((i // 251) % 251) * (xs * 57 + ys * 31 + 3)
-                ) % 64
+                g, v = i // 16, i % 16
+                sa, sb = 1 + g % 250, (g // 250) % 251
+                sc = (11 * (g % 250) + 3 * sb) % 125
+                u = (sa * kk * kk + sb * kk + sc) % 251
+                b = (u * u + u) % 251
+                x0, y0 = v % 9, (v * 5) % 7
+                b[y0, x0] = (b[y0, x0] + 128) % 251
                 payload = bytearray()
                 for f in range(n_frames):
                     a = 40 * ((i + 7 * (f // seg)) % 5)
                     j = (i + 13 * f) % 16
                     arr = np.zeros((VIDEO_H, VIDEO_W, 3), dtype=np.uint8)
-                    arr[..., 0] = (b + a + j).astype(np.uint8)
+                    arr[..., 0] = np.full(
+                        (VIDEO_H, VIDEO_W), a + j, dtype=np.uint8
+                    )
+                    arr[..., 1] = b.astype(np.uint8)
                     payload += encode_ppm(arr)
                 out["doc_id"].append(i)
                 out["media_type"].append("video/x-ppm-stream")
@@ -813,3 +874,46 @@ def video_scene_stats(
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(stats, VIDEO_SCENE_SCHEMA)
+
+
+def video_keyframe_dhash(assets: DataFrame) -> DataFrame:
+    """REAL keyframe extraction -> perceptual hash: parse ONLY the
+    first frame of each concatenated-PPM stream (one header walk +
+    one frombuffer — the random-access decode a real pipeline does
+    per selected keyframe; the full-stream walk is never needed) and
+    dHash its GREEN channel at cell granularity — bit (y*8 + x) is 1
+    iff pix[y][x+1] > pix[y][x], the image_dhash bit layout at
+    block = 1 (9x7 frame -> 8x7 = 56 bits, top bit 55, inside the
+    63-bit pack; 56 bits, not fewer — a 42-bit draft measured a
+    background birthday floor of ~17 random cross pairs at 5k docs).
+    Green carries the clip's frame-invariant spatial texture
+    (synthesize_video_assets); the red channel's scene base + jitter
+    would be constant across a frame anyway and cancel in every
+    comparison — the brightness-shift robustness dHash is chosen
+    for, exercised for real here."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "phash": []}
+            for doc_id, bts in zip(pdf["doc_id"], pdf["content"]):
+                content = bytes(bts)
+                w, h, idx = _parse_ppm_header(content)
+                pix = np.frombuffer(
+                    content, dtype=np.uint8, count=w * h * 3, offset=idx
+                )
+                if len(pix) != w * h * 3:
+                    raise ValueError("truncated keyframe")
+                r = pix.reshape(h, w, 3)[..., 1].astype(np.int64)
+                if w - 1 > 8 or (h - 1) * 8 + (w - 2) > 62:
+                    raise ValueError(f"keyframe {w}x{h} exceeds the 63-bit pack")
+                bits = r[:, 1:] > r[:, :-1]
+                shifts = (
+                    np.arange(h, dtype=np.int64)[:, None] * 8
+                    + np.arange(w - 1, dtype=np.int64)[None, :]
+                )
+                out["doc_id"].append(int(doc_id))
+                out["phash"].append(int((bits.astype(np.int64) << shifts).sum()))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(stats, PHASH_SCHEMA)

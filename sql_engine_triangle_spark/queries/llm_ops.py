@@ -3812,6 +3812,136 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.crossJoin(F.broadcast(cert)).orderBy("doc_a", "doc_b")
 
 
+def _video_cell_sql(g: str, v: str, x: str, y: str, div: str) -> str:
+    """Closed-form spatial-texture cell B(x, y) — the GREEN channel of
+    the video payloads (operators/multimodal.synthesize_video_assets):
+    the QUADRATIC cell-index law u = (a*k*k + b*k + c) % 251 over
+    k = y*9 + x with group-keyed coefficients a = 1 + g%250,
+    b = (g div 250) % 251, c = (11*(g%250) + 3*b) % 125 (range
+    [0, 124] blocks the square's u' = -u-1 preimage), then
+    B = (u*u + u) % 251 with the variant's single perturbed cell.
+    The quadratic index term is load-bearing: every affine draft
+    measured cross-group aliasing (the 4-iteration history in the
+    synthesizer docstring); this law measures at the 56-bit random
+    floor (0/0/11 cross pairs at 5k/20k/60k docs). ONE shared
+    definition renders into the DuckDB oracle and the Spark
+    closed-form twin (dialect integer division passed by the
+    caller); all other operands are nonnegative %, CASE, comparison."""
+    a = f"(1 + ({g}) % 250)"
+    b = f"((({g}) {div} 250) % 251)"
+    c = f"((11 * (({g}) % 250) + 3 * {b}) % 125)"
+    k = f"(({y}) * 9 + ({x}))"
+    u = f"(({a} * {k} * {k} + {b} * {k} + {c}) % 251)"
+    base = f"(({u} * {u} + {u}) % 251)"
+    return (
+        f"(CASE WHEN ({x}) = ({v}) % 9 AND ({y}) = (({v}) * 5) % 7 "
+        f"THEN ({base} + 128) % 251 ELSE {base} END)"
+    )
+
+
+_VKF_L_DUCK = _video_cell_sql("g", "v", "(i % 8)", "(i // 8)", "//")
+_VKF_R_DUCK = _video_cell_sql("g", "v", "(i % 8 + 1)", "(i // 8)", "//")
+
+VIDEO_KEYFRAME_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, doc_id // 16 AS g,
+         doc_id % 16 AS v
+  FROM documents
+),
+ph AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN {_VKF_R_DUCK} > {_VKF_L_DUCK}
+                       THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS phash
+  FROM d CROSS JOIN (SELECT i FROM range(56) t(i))
+  GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, phash, c AS band, (phash >> (c * 14)) & 16383 AS bucket
+  FROM ph CROSS JOIN (SELECT c FROM range(4) r(c))
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.phash AS pa, b.phash AS pb
+  FROM banded a
+  JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming,
+       TRUE AS decode_hash_ok
+FROM cand
+WHERE bit_count(xor(pa, pb)) <= 6
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_video_keyframes", oracle=VIDEO_KEYFRAME_ORACLE,
+    tags=("LLM-mm", "LLM-dedup"),
+)
+def dedup_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe-perceptual-hash VIDEO dedup — near-dup detection now
+    spans ALL FOUR modalities the engine models (text: MinHash/
+    SimHash; image: pooled dHash; audio: energy-delta fingerprint;
+    video: keyframe dHash): extract each clip's first keyframe with a
+    RANDOM-ACCESS decode (one header walk + one frombuffer — the full
+    stream is never read; at 100 TB keyframe selection is the only
+    stage touching video bytes), dHash its green (texture) channel
+    at cell granularity (56 bits — a 42-bit draft measured a
+    birthday-floor of random cross pairs; scene base and jitter are
+    frame-constant and would cancel in every comparison anyway:
+    dHash's brightness-shift robustness for real), then the SAME factored
+    Hamming-banded pairing as the image/audio entries
+    (_banded_hamming_pairs: 4x14-bit chunks, candidate equi-join,
+    bit_count(xor) <= 6 — banding definitional on both engines).
+    Payloads are the scene-structured clips whose green channel
+    carries the group/variant texture under the QUADRATIC cell-index
+    mod-251 law (synthesize_video_assets — the law is the fourth
+    measured iteration; the three affine drafts' aliasing modes and
+    pair counts are documented there: 16-doc near-dup groups, one
+    perturbed cell per variant => pair Hamming <= 4, injective over
+    62 750 coefficient classes, flat-slope and u' = -u-1 modes
+    excluded by construction; group count ~ n => linear pair yield,
+    measured cross-group pairs 0 / 0 / 11 at 5k / 20k / 60k docs —
+    the 56-bit random floor).
+    ``decode_hash_ok`` certifies the Arrow keyframe-decode path
+    bit-equals the hoisted JVM closed-form twin for every clip; the
+    oracle re-renders the same cell definition (_video_cell_sql).
+
+    Scale shape: identical to dedup_image_phash — per-row Arrow
+    hashing (keyframe-only byte reads), narrow banded candidate
+    join, 1-row certification broadcast (allowlisted mold)."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.synthesize_video_assets(docs)
+    ph = multimodal.video_keyframe_dhash(assets).localCheckpoint()
+    # hoisted closed-form twin (the image entry's barrier pattern);
+    # cells indexed j = y*9 + x over the 9x7 grid, fold bit
+    # i = y*8 + x over the 8 comparisons per row
+    cell_j = _video_cell_sql(
+        "doc_id div 16",
+        "doc_id % 16",
+        "(j % 9)",
+        "(j div 9)",
+        "div",
+    )
+    grid = docs.select(
+        "doc_id",
+        F.expr(f"transform(sequence(0, 62), j -> {cell_j})").alias("cells"),
+    ).repartition("doc_id")
+    closed = F.expr(
+        "aggregate(sequence(0, 55), 0L, (acc, i) -> acc + "
+        "(CASE WHEN element_at(cells, cast((i div 8) * 9 + (i % 8) + 2 as int)) "
+        "      > element_at(cells, cast((i div 8) * 9 + (i % 8) + 1 as int)) "
+        "THEN shiftleft(1L, i) ELSE 0L END))"
+    )
+    cert = (
+        ph.join(grid.select("doc_id", closed.alias("phash_cf")), "doc_id")
+        .agg(F.min(F.col("phash") == F.col("phash_cf")).alias("decode_hash_ok"))
+    )
+    pairs = _banded_hamming_pairs(ph, "phash", max_hamming=6)
+    return pairs.crossJoin(F.broadcast(cert)).orderBy("doc_a", "doc_b")
+
+
 def _video_delta_sql(d: str, f: str, div: str) -> str:
     """Closed-form per-frame SAD of the video payloads
     (operators/multimodal.synthesize_video_assets): because the
@@ -3830,7 +3960,7 @@ def _video_delta_sql(d: str, f: str, div: str) -> str:
             f" + ((({d}) + 13 * ({fr})) % 16))"
         )
 
-    return f"(48 * abs({aj(f)} - {aj(f'(({f}) - 1)')}))"
+    return f"(63 * abs({aj(f)} - {aj(f'(({f}) - 1)')}))"
 
 
 _VIDEO_DELTA_DUCK = _video_delta_sql("doc_id", "f", "//")
@@ -3847,9 +3977,9 @@ sd AS (
   WHERE f < n_frames
 )
 SELECT doc_id, n_frames,
-       CAST(1 + sum(CASE WHEN sad > 1536 THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(1 + sum(CASE WHEN sad > 2016 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_scenes,
-       CAST(sum(CASE WHEN sad > 1536 THEN f ELSE 0 END) AS BIGINT)
+       CAST(sum(CASE WHEN sad > 2016 THEN f ELSE 0 END) AS BIGINT)
          AS keyframe_sum,
        CAST(sum(sad) AS BIGINT) AS total_sad,
        CAST(max(sad) AS BIGINT) AS max_sad,
@@ -3903,12 +4033,12 @@ def multimodal_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         "nf_cf",
-        (1 + F.expr("size(filter(sads, x -> x > 1536))")).cast("long").alias(
+        (1 + F.expr("size(filter(sads, x -> x > 2016))")).cast("long").alias(
             "ns_cf"
         ),
         F.expr(
             f"aggregate(sequence(1L, {nf} - 1), 0L, "
-            f"(acc, f) -> acc + (CASE WHEN cast({delta} as bigint) > 1536 "
+            f"(acc, f) -> acc + (CASE WHEN cast({delta} as bigint) > 2016 "
             "THEN f ELSE 0L END))"
         ).alias("ks_cf"),
         F.expr("aggregate(sads, 0L, (acc, x) -> acc + x)").alias("ts_cf"),

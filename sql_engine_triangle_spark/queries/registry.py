@@ -261,7 +261,18 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     # semantic_arrow, plus the LSH capstones); three-SF bare-session
     # strict-verified at rotation time
     "dedup_audio_fingerprint",
-    "dedup_repeated_passages",
+    # --- r9 rotation, video-dedup tier (1-for-1, pre-freeze
+    # three-SF bare-session strict-verified): keyframe-dHash video
+    # dedup — near-dup detection now spans ALL FOUR modalities
+    # (text / image / audio / video); random-access keyframe decode,
+    # 56-bit green-channel dHash, the shared Hamming-banded pairing,
+    # JVM-twin certification; the payload law is the 4-iteration
+    # quadratic-index design measured at the 56-bit random floor
+    # (0/0/11 cross pairs at 5k/20k/60k docs). Displaced:
+    # dedup_repeated_passages (green r7/r8; the dedup family keeps
+    # image_phash + audio_fingerprint + video_keyframes +
+    # semantic_arrow + minhash capstones in-window).
+    "dedup_video_keyframes",
     # pipeline / curation observability (inbound)
     "pipeline_quality_dup_calibration",
     # --- r9 rotation, retrieval-diversity tier (1-for-1, pre-freeze

@@ -106,6 +106,7 @@ ALLOWED_NESTED_LOOP = {
     "dedup_image_phash",
     "dedup_audio_fingerprint",  # same 1-row certification broadcast
     "multimodal_video_scenes",  # same 1-row certification broadcast
+    "dedup_video_keyframes",  # same 1-row certification broadcast
     # 1-row broadcast of the per-round selected vector onto the
     # <=20-row re-rank pool (bounded 1 x pool by construction).
     "sim_mmr_diversified",
