@@ -230,6 +230,14 @@ EXTRA = [
     "text_bm25_topk",
     "dedup_image_phash",
     "dedup_audio_fingerprint",
+    # r9 session-2 tier: video scene detection + keyframe dedup (the
+    # four-modality completion), MMR re-rank, Holt forecasting,
+    # l-diversity governance.
+    "multimodal_video_scenes",
+    "dedup_video_keyframes",
+    "sim_mmr_diversified",
+    "w_holt_linear_int",
+    "curation_l_diversity",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.
