@@ -345,3 +345,114 @@ def running_cusum_monitor(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+HOLT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_days_closed", LongType()),
+        StructField("level_cents", LongType()),
+        StructField("trend_cents", LongType()),
+        StructField("forecast_5d_cents", LongType()),
+        StructField("sum_abs_err_cents", LongType()),
+    ]
+)
+
+HOLT_STATE_SCHEMA = StructType(
+    [
+        StructField("cur_day", LongType()),
+        StructField("day_cents", LongType()),
+        StructField("n_days_closed", LongType()),
+        StructField("lvl", LongType()),
+        StructField("trd", LongType()),
+        StructField("sae", LongType()),
+    ]
+)
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero division: Spark `div` == DuckDB `//`;
+    Python's // floors, which differs on negative trends."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def running_holt_monitor(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``w_holt_linear_int``: Holt linear-trend
+    smoothing (alpha = beta = 1/4, integer cents, truncating
+    division) per event type over DAILY revenue totals, with the
+    running sum of absolute one-step-ahead forecast errors. State
+    per type: the OPEN day's accumulator plus (level, trend, error
+    sum) over CLOSED days — a day closes when a later day's first
+    event arrives (the in-order micro-batch contract of
+    running_user_ema / running_cusum_monitor), so after the final
+    batch the state equals the batch Holt fold over all closed days
+    BIT-EXACTLY (the fold is the same Python integer recursion the
+    batch oracle twins are pinned against) — chunking-invariance
+    fuzzed in tests/test_engine_facade.py including splits cutting a
+    day in half. Initialization matches the batch entry: the FIRST
+    closed day sets level = x1, trend = 0 (n_days_closed == 0 is the
+    uninitialized marker). At 100 TB: state is six longs per
+    monitored series — the forecasting counterpart of the CUSUM
+    monitor's drift state, and together they are the
+    forecast-plus-tracking-signal pair a production monitor keeps."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        (event_type,) = key
+        if state.exists:
+            cur_day, day_cents, n_closed, lvl, trd, sae = state.get
+        else:
+            cur_day, day_cents, n_closed, lvl, trd, sae = (-1, 0, 0, 0, 0, 0)
+        ev = pd.concat(list(pdfs), ignore_index=True)
+        ev = ev.assign(_us=ev["ts"].astype("int64") // 1000).sort_values(
+            ["_us", "event_id"]
+        )
+        cents = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype("int64")
+        days = (ev["_us"].to_numpy() // 86_400_000_000).astype("int64")
+
+        def close_day(x: int) -> None:
+            nonlocal n_closed, lvl, trd, sae
+            if n_closed == 0:
+                lvl, trd, sae = x, 0, 0
+            else:
+                sae += abs(x - lvl - trd)
+                l_new = _tdiv(x + 3 * (lvl + trd), 4)
+                trd = _tdiv((l_new - lvl) + 3 * trd, 4)
+                lvl = l_new
+            n_closed += 1
+
+        for day, c in zip(days, cents):
+            day = int(day)
+            if cur_day == -1:
+                cur_day, day_cents = day, 0
+            elif day != cur_day:
+                close_day(day_cents)
+                cur_day, day_cents = day, 0
+            day_cents += int(c)
+        state.update((cur_day, day_cents, n_closed, lvl, trd, sae))
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "n_days_closed": [n_closed],
+                "level_cents": [lvl],
+                "trend_cents": [trd],
+                "forecast_5d_cents": [lvl + 5 * trd],
+                "sum_abs_err_cents": [sae],
+            }
+        )
+
+    return (
+        events.select("event_type", "ts", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=HOLT_OUTPUT_SCHEMA,
+            stateStructType=HOLT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1150,3 +1150,81 @@ def test_duckdb_list_fold_reads_old_acc(ddb):
     assert ddb.execute(
         q.format(lst="[10, 20, 40, 80, 160]")
     ).fetchone()[0] == [310, 150]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    xs=st.lists(
+        st.integers(min_value=-(10**6), max_value=10**6), min_size=3, max_size=24
+    ),
+    c1=st.sampled_from([1, 2, 3]),
+    d1=st.sampled_from([2, 4]),
+    c2=st.sampled_from([1, 3]),
+    d2=st.sampled_from([2, 4]),
+)
+def test_random_coupled_fold_parity(spark, ddb, xs, c1, d1, c2, d2):
+    """COUPLED 2-state sequential folds (the Holt shape: each state
+    reads the other's PREVIOUS value, so the struct field-order
+    discipline cannot apply) compiled three ways and asserted
+    bit-equal: Spark aggregate over named_struct (no shadowing — all
+    old reads, second state recomputes the first inline), DuckDB
+    list_reduce over a LIST accumulator (list literals read only the
+    old acc at every combine — the portable form pinned by
+    test_duckdb_list_fold_reads_old_acc; a struct form here would be
+    silently wrong at combine 1 and right afterwards), and a Python
+    truncated-division reference. Randomized over series with
+    NEGATIVE values (division truncation direction exercised) and
+    recursion coefficients.
+
+        p' = (x + c1*(p + q)) div d1
+        q' = ((p' - p) + c2*q) div d2
+        m' = m + |x - p - q|          (init p = x1, q = 0, m = 0)
+    """
+
+    def ref():
+        p, q, m = xs[0], 0, 0
+        for x in xs[1:]:
+            m += abs(x - p - q)
+            pn = _tdiv(x + c1 * (p + q), d1)
+            q = _tdiv((pn - p) + c2 * q, d2)
+            p = pn
+        return p, q, m
+
+    arr = "array(" + ",".join(f"{v}L" for v in xs) + ")"
+    # wrap the tail elements into structs so the combine reads e.x
+    tail = f"transform(slice({arr}, 2, {len(xs) - 1}), v -> named_struct('x', v))"
+    pn_expr = f"((e.x + {c1}L * (acc.p + acc.q)) div {d1}L)"
+    spark_expr = (
+        f"aggregate({tail}, "
+        f"named_struct('m', 0L, 'p', element_at({arr}, 1), 'q', 0L, 'x', 0L), "
+        "(acc, e) -> named_struct("
+        "  'm', acc.m + abs(e.x - acc.p - acc.q), "
+        f" 'p', {pn_expr}, "
+        f" 'q', (({pn_expr} - acc.p) + {c2}L * acc.q) div {d2}L, "
+        "  'x', e.x))"
+    )
+    row = spark.sql(f"SELECT {spark_expr} AS st").head()
+    got_spark = (row.st.p, row.st.q, row.st.m)
+
+    lst = "[" + ",".join(str(v) for v in xs) + "]"
+    duck = ddb.execute(
+        f"""
+        SELECT list_reduce(
+          list_transform({lst}::BIGINT[],
+                         x -> [CAST(0 AS BIGINT), x, CAST(0 AS BIGINT), x]),
+          (acc, e) -> [
+            acc[1] + abs(e[4] - acc[2] - acc[3]),
+            (e[4] + {c1} * (acc[2] + acc[3])) // {d1},
+            (((e[4] + {c1} * (acc[2] + acc[3])) // {d1}) - acc[2]
+             + {c2} * acc[3]) // {d2},
+            e[4]])
+        """
+    ).fetchone()[0]
+    got_duck = (duck[1], duck[2], duck[0])
+    # init: list_reduce seeds with element 1's transform [0, x1, 0, x1]
+    assert got_spark == ref()
+    assert got_duck == ref()

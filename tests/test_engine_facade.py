@@ -581,3 +581,165 @@ def test_stateful_cusum_chunking_invariance(spark, fracs):
             assert row["n_alarms"] == alarms, (et, fracs)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _holt_closed_day_ref(vals):
+    """Python truncated-division Holt fold over CLOSED days — the
+    same reference the batch entry is pinned against
+    (tests/test_warehouse_ops.py), shared by both Holt stream tests."""
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    lvl, trd, sae = vals[0], 0, 0
+    for x in vals[1:]:
+        sae += abs(x - lvl - trd)
+        l_new = tdiv(x + 3 * (lvl + trd), 4)
+        trd = tdiv((l_new - lvl) + 3 * trd, 4)
+        lvl = l_new
+    return lvl, trd, sae
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fracs=st.lists(
+        st.integers(min_value=5, max_value=95), min_size=1, max_size=3, unique=True
+    )
+)
+def test_stateful_holt_chunking_invariance(spark, fracs):
+    """Batch-stream equivalence for the Holt forecasting monitor
+    under ARBITRARY micro-batch chunking (the running_cusum_monitor
+    harness): split the events stream at random time quantiles into
+    time-contiguous files; the final per-type state must equal the
+    Python closed-day Holt fold for EVERY split — including splits
+    cutting a day in half (open-day accumulator carried across
+    batches) and splits before the first day closes (the
+    uninitialized-state marker)."""
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from sql_engine_triangle_spark.catalog import load_table
+
+    ev = load_table(spark, SF_DIR_SMALL, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    pdf = pd.read_parquet(f"{SF_DIR_SMALL}/events.parquet")
+    pdf["cents"] = (pdf["value"] * 100 + 0.5).apply(math.floor)
+    pdf["day"] = pdf["ts"].dt.normalize()
+    daily = pdf.groupby(["event_type", "day"])["cents"].sum()
+    qs = sorted(f / 100.0 for f in fracs)
+    cuts = [
+        int(c)
+        for c in ev.agg(
+            F.expr(
+                "percentile(unix_micros(ts), array("
+                + ",".join(str(q) for q in qs)
+                + "))"
+            )
+        ).head()[0]
+    ]
+    bounds = [None, *cuts, None]
+    d = tempfile.mkdtemp(prefix="holt_fuzz_")
+    try:
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            part = ev
+            if lo is not None:
+                part = part.filter(F.unix_micros("ts") > lo)
+            if hi is not None:
+                part = part.filter(F.unix_micros("ts") <= hi)
+            part.coalesce(1).write.parquet(os.path.join(d, f"f{i}.parquet"))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d + "/*/")
+        )
+        out = stateful.running_holt_monitor(stream)
+        name = f"t_holt_fuzz_{'_'.join(map(str, fracs))}"
+        got = (
+            W.run_stream_to_memory(spark, out, name, output_mode="update")
+            .toPandas()
+            .sort_values(["event_type", "n_days_closed"])
+            .groupby("event_type")
+            .tail(1)
+            .set_index("event_type")
+            .sort_index()
+        )
+        saw_negative = False
+        for et in sorted(pdf["event_type"].unique()):
+            vals = daily.loc[et].sort_index().tolist()[:-1]  # last day open
+            lvl, trd, sae = _holt_closed_day_ref(vals)
+            row = got.loc[et]
+            assert row["n_days_closed"] == len(vals), et
+            assert row["level_cents"] == lvl, et
+            assert row["trend_cents"] == trd, et
+            assert row["forecast_5d_cents"] == lvl + 5 * trd, et
+            assert row["sum_abs_err_cents"] == sae, et
+            saw_negative |= trd < 0
+        assert (got["sum_abs_err_cents"] > 0).all()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stateful_holt_matches_batch_entry_when_all_days_close(spark):
+    """Feeding the stream one sentinel event one day AFTER the real
+    data closes every real day, so the streaming state must equal the
+    BATCH w_holt_linear_int entry row-for-row — the exact
+    batch==stream contract, not just reference equality."""
+    import os
+    import shutil
+    import tempfile
+
+    from sql_engine_triangle_spark.catalog import load_table
+    from sql_engine_triangle_spark.queries import registry
+
+    ev = load_table(spark, SF_DIR_SMALL, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    batch = (
+        registry.get("w_holt_linear_int")
+        .fn(spark, SF_DIR_SMALL)
+        .toPandas()
+        .set_index("event_type")
+    )
+    sentinel = ev.groupBy("event_type").agg(
+        F.expr("timestampadd(DAY, 1, max(ts))").alias("ts"),
+        (F.max("event_id") + 1).alias("event_id"),
+    ).select("event_type", "ts", "event_id", F.lit(0.0).alias("value"))
+    d = tempfile.mkdtemp(prefix="holt_close_")
+    try:
+        ev.coalesce(1).write.parquet(os.path.join(d, "f0.parquet"))
+        sentinel.coalesce(1).write.parquet(os.path.join(d, "f1.parquet"))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d + "/*/")
+        )
+        out = stateful.running_holt_monitor(stream)
+        got = (
+            W.run_stream_to_memory(spark, out, "t_holt_close", output_mode="update")
+            .toPandas()
+            .sort_values(["event_type", "n_days_closed"])
+            .groupby("event_type")
+            .tail(1)
+            .set_index("event_type")
+            .sort_index()
+        )
+        for et in batch.index:
+            b, s = batch.loc[et], got.loc[et]
+            assert s["n_days_closed"] == b["n_days"], et
+            assert s["level_cents"] == b["level_cents"], et
+            assert s["trend_cents"] == b["trend_cents"], et
+            assert s["forecast_5d_cents"] == b["forecast_5d_cents"], et
+            assert s["sum_abs_err_cents"] == b["sum_abs_err_cents"], et
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
