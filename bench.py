@@ -238,6 +238,7 @@ EXTRA = [
     "sim_mmr_diversified",
     "w_holt_linear_int",
     "curation_l_diversity",
+    "pipeline_multimodal_corpus_build",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

@@ -4056,6 +4056,220 @@ def multimodal_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(F.broadcast(cert)).sortWithinPartitions("doc_id")
 
 
+def _banded_drop_ctes(tag: str, left: str, right: str, nbits: int) -> str:
+    """One modality's fingerprint -> banded candidate join -> DISTINCT
+    dropped doc ids, as a reusable CTE block (hash CTE ``{tag}h``,
+    drop CTE ``{tag}drop``). ``left``/``right`` are the rendered
+    closed-form cell expressions of dHash bit i (the same templates
+    the standalone entries' oracles render), so the capstone and the
+    per-modality entries cannot disagree on a pair. The banded join
+    is replayed rather than raw Hamming because banding is
+    DEFINITIONAL: at max_hamming 6 > 3 the 4x14 pigeonhole guarantee
+    does not hold, so 'pair' means 'pair the banded index surfaces'
+    on both engines."""
+    return f"""
+{tag}h AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN {right} > {left}
+                       THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS h
+  FROM d CROSS JOIN (SELECT i FROM range({nbits}) t(i))
+  GROUP BY doc_id
+),
+{tag}b AS (
+  SELECT doc_id, h, c AS band, (h >> (c * 14)) & 16383 AS bucket
+  FROM {tag}h CROSS JOIN (SELECT c FROM range(4) r(c))
+),
+{tag}drop AS MATERIALIZED (
+  SELECT DISTINCT b.doc_id
+  FROM {tag}b a JOIN {tag}b b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.h, b.h)) <= 6
+)"""
+
+
+MM_CORPUS_BUILD_ORACLE = (
+    r"""
+WITH d AS (
+  SELECT doc_id, doc_id // 16 AS g,
+         (doc_id // 16) % 251 AS g1,
+         (doc_id // 16 // 251) % 251 AS g2,
+         doc_id % 16 AS v
+  FROM documents
+),"""
+    + _banded_drop_ctes("i", _PH_L_DUCK, _PH_R_DUCK, 56)
+    + ","
+    + _banded_drop_ctes("a", _AFP_L_DUCK, _AFP_R_DUCK, 56)
+    + ","
+    + _banded_drop_ctes("v", _VKF_L_DUCK, _VKF_R_DUCK, 56)
+    + r""",
+ttok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+tshing AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                      i -> array_to_string(toks[i:i+2], ' ')))
+           AS sh
+  FROM ttok
+),
+tex AS (SELECT doc_id, unnest(sh) AS s FROM tshing),
+thub AS (SELECT s FROM tex GROUP BY s HAVING count(*) > __SHINGLE_DF_CAP__),
+texc AS (SELECT doc_id, s FROM tex ANTI JOIN thub USING (s)),
+tsizes AS (SELECT doc_id, count(*) AS n_sh FROM texc GROUP BY doc_id),
+tinter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM texc a JOIN texc b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+tdrop AS MATERIALIZED (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM tinter
+  JOIN tsizes sa ON sa.doc_id = doc_a
+  JOIN tsizes sb ON sb.doc_id = doc_b
+  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.9
+),
+drops AS MATERIALIZED (
+  SELECT doc_id FROM tdrop
+  UNION SELECT doc_id FROM idrop
+  UNION SELECT doc_id FROM adrop
+  UNION SELECT doc_id FROM vdrop
+),
+kept AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              w -> w <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+),
+tot AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM tdrop) AS n_drop_text,
+         (SELECT CAST(count(*) AS BIGINT) FROM idrop) AS n_drop_image,
+         (SELECT CAST(count(*) AS BIGINT) FROM adrop) AS n_drop_audio,
+         (SELECT CAST(count(*) AS BIGINT) FROM vdrop) AS n_drop_video,
+         (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_kept
+)
+SELECT (doc_id // 16) % 8 AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       n_drop_text, n_drop_image, n_drop_audio, n_drop_video, n_kept
+FROM kept, tot
+GROUP BY shard, n_drop_text, n_drop_image, n_drop_audio, n_drop_video, n_kept
+ORDER BY shard
+"""
+).replace("__SHINGLE_DF_CAP__", str(SHINGLE_DF_CAP))
+
+
+@register(
+    "pipeline_multimodal_corpus_build",
+    oracle=MM_CORPUS_BUILD_ORACLE,
+    tags=("LLM-pipeline", "LLM-mm", "LLM-dedup"),
+)
+def pipeline_multimodal_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIMODAL corpus-build capstone — the cross-modality
+    counterpart of pipeline_corpus_build: one plan that (1) drops
+    near-duplicates across ALL FOUR modalities — text (normalized
+    md5 fingerprint, keep-lowest), image (pooled dHash), audio
+    (energy-delta fingerprint), video (keyframe dHash), each via the
+    REAL Arrow decode paths and the shared Hamming-banded pairing —
+    (2) keeps the greedy survivors (drop every doc_b of every banded
+    pair: deterministic keep-lowest-by-id, replayed identically by
+    the oracle), and (3) lays the kept corpus out into 8 shards keyed by
+    (doc_id div 16) % 8 — the group id, since greedy keep-lowest
+    retains group minima whose raw ids are all ≡ 0 (mod 16) and
+    would degenerate a plain doc_id % 8 onto one shard — with exact
+    whitespace-token budgets per shard. Per-modality drop
+    counts ride every row (counted independently per modality —
+    overlaps are intentional and deterministic), so the report is
+    the dataset card a curation run publishes.
+
+    Scale shape: three per-row Arrow hash passes over the blob
+    columns (each reads only its modality's bytes; the video pass is
+    keyframe-random-access), three narrow banded candidate joins,
+    one digest-keyed text aggregation, one hash-sharded rollup. The
+    drop-set union is id-only rows. The decode==closed-form
+    certification lives in the three standalone entries
+    (decode_hash_ok / decode_fp_ok columns); this capstone's oracle
+    replays the same rendered cell templates, so a drift in either
+    layer fails one of the two."""
+    docs = load_table(spark, sf_dir, "documents")
+    iph = multimodal.image_dhash(
+        multimodal.synthesize_texture_assets(docs)
+    ).localCheckpoint()
+    afp = multimodal.audio_fingerprint(
+        multimodal.synthesize_tone_assets(docs)
+    ).localCheckpoint()
+    vkf = multimodal.video_keyframe_dhash(
+        multimodal.synthesize_video_assets(docs)
+    ).localCheckpoint()
+    idrop = (
+        _banded_hamming_pairs(iph, "phash", max_hamming=6)
+        .select(F.col("doc_b").alias("doc_id")).distinct().localCheckpoint()
+    )
+    adrop = (
+        _banded_hamming_pairs(afp, "afp", max_hamming=6)
+        .select(F.col("doc_b").alias("doc_id")).distinct().localCheckpoint()
+    )
+    vdrop = (
+        _banded_hamming_pairs(vkf, "phash", max_hamming=6)
+        .select(F.col("doc_b").alias("doc_id")).distinct().localCheckpoint()
+    )
+    # text stage: df-capped exact 3-gram Jaccard at 0.9 (the
+    # dedup_minhash_lsh_mid shingle universe — cap certified inactive
+    # on the fixture, scale-bounded on any vocabulary); at 100 TB the
+    # banded-LSH candidate set replaces the exact self-join, same
+    # drop definition
+    ex_raw = dedup.shingle_rows(docs, "doc_id", "text", 3).localCheckpoint()
+    hubs = (
+        ex_raw.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("s")
+    )
+    ex = ex_raw.join(F.broadcast(hubs), "s", "left_anti").localCheckpoint()
+    tdrop = (
+        dedup.ngram_jaccard_pairs(
+            docs, threshold=0.9, round_digits=None, exploded=ex
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .localCheckpoint()
+    )
+    drops = (
+        tdrop.unionAll(idrop).unionAll(adrop).unionAll(vdrop).distinct()
+    )
+    n_tokens = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda w: w != ""
+        )
+    ).cast("long")
+    kept = (
+        docs.join(drops, "doc_id", "left_anti")
+        .select("doc_id", n_tokens.alias("n_tokens"))
+        .localCheckpoint()
+    )
+    tot = (
+        tdrop.agg(F.count("*").cast("long").alias("n_drop_text"))
+        .crossJoin(adrop.agg(F.count("*").cast("long").alias("n_drop_audio")))
+        .crossJoin(idrop.agg(F.count("*").cast("long").alias("n_drop_image")))
+        .crossJoin(vdrop.agg(F.count("*").cast("long").alias("n_drop_video")))
+        .crossJoin(kept.agg(F.count("*").cast("long").alias("n_kept")))
+    )
+    return (
+        kept.groupBy(F.expr("(doc_id div 16) % 8").alias("shard"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "shard", "n_docs", "n_tokens", "n_drop_text", "n_drop_image",
+            "n_drop_audio", "n_drop_video", "n_kept",
+        )
+        .orderBy("shard")
+    )
+
+
 ASOF_NEAREST_ORACLE = """
 WITH views AS (
   SELECT user_id, ts, max(event_id) AS view_event_id

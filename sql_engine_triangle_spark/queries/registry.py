@@ -285,7 +285,6 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     # attribution_split + token_budget_bpe in-window).
     "sim_mmr_diversified",
     "pipeline_repeat_factors",
-    "pipeline_attribution_split",
     "pipeline_token_budget_bpe",
     # --- r9 rotation, governance tier (1-for-1, pre-freeze
     # three-SF bare-session strict-verified): l-diversity audit —
@@ -298,6 +297,16 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     # pipeline capstone (keeper — the most-composed family rep; it
     # embeds the greedy capstone's stages, whose green rows stand)
     "pipeline_corpus_build_decontam",
+    # --- r9 rotation, multimodal-capstone tier (1-for-1, pre-freeze
+    # three-SF bare-session strict-verified): the cross-modality
+    # corpus build — near-dup drops across text (df-capped exact
+    # Jaccard 0.9) / image / audio / video fingerprints, greedy
+    # keep-lowest, group-hash shard layout with exact token budgets;
+    # all four drop branches non-vacuous on the fixture. Displaced:
+    # pipeline_attribution_split (green r7/r8; the pipeline family
+    # keeps quality_dup_calibration + repeat_factors +
+    # token_budget_bpe + corpus_build_decontam + this capstone).
+    "pipeline_multimodal_corpus_build",
     # streaming (keeper: the stateful flagship carries the family)
     "stream_closed_sessions",
 )

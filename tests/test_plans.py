@@ -107,6 +107,11 @@ ALLOWED_NESTED_LOOP = {
     "dedup_audio_fingerprint",  # same 1-row certification broadcast
     "multimodal_video_scenes",  # same 1-row certification broadcast
     "dedup_video_keyframes",  # same 1-row certification broadcast
+    # 1-row drop/kept-count broadcasts onto the 8-row shard frame,
+    # plus the df-capped exact text-pair stage (the allowlisted
+    # quadratic baseline of dedup_minhash_lsh_mid, bounded by the
+    # ubiquitous-shingle cut).
+    "pipeline_multimodal_corpus_build",
     # 1-row broadcast of the per-round selected vector onto the
     # <=20-row re-rank pool (bounded 1 x pool by construction).
     "sim_mmr_diversified",
