@@ -136,6 +136,12 @@ ENTRIES: dict[str, tuple[list[int], str]] = {
         "corpus-sized work is one TakeOrderedAndProject top-20; the "
         "greedy re-rank is 4 bounded rounds on 20 rows: expect flat.",
     ),
+    "pipeline_multimodal_corpus_build": (
+        DEFAULT_SCALES,
+        "three per-row Arrow hash passes + banded joins + the "
+        "df-capped text pair stage + id-only drop union: every stage "
+        "individually measured sublinear; this is the composition.",
+    ),
 }
 # Open-vocab variant (documents only, Heaps-law vocab growth) for the
 # entries whose closed-vocab exponent is a DATA property: the
