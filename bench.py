@@ -239,6 +239,7 @@ EXTRA = [
     "w_holt_linear_int",
     "curation_l_diversity",
     "pipeline_multimodal_corpus_build",
+    "sim_ivfpq_adc_topk",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

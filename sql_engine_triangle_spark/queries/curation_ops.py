@@ -1984,27 +1984,30 @@ def emb_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_train(spark: SparkSession, sf_dir: str):
+def _pq_train(spark: SparkSession, sf_dir: str, subs: DataFrame | None = None):
     """Shared PQ trainer (the engine twin of _PQ_TRAIN_CTES): returns
     (subs, cent, asg) — micro-unit subvectors, final per-subspace
     codebooks (sub, cid, cq), and final assignments (sub, vec_id,
-    cid, sq)."""
+    cid, sq). ``subs`` accepts a precomputed (vec_id, sub, sq)
+    frame — the IVF-PQ entry trains the SAME machinery on coarse
+    RESIDUAL subvectors instead of raw ones."""
     from pyspark.sql.window import Window as Wnd
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    pts = emb.select(
-        "vec_id",
-        F.expr(
-            "transform(cast(embedding as array<double>), "
-            "x -> cast(floor(x * 1000000 + 0.5) as bigint))"
-        ).alias("q"),
-    )
-    subs = pts.select(
-        "vec_id",
-        F.posexplode(
-            F.expr("transform(sequence(0, 3), s -> slice(q, s * 16 + 1, 16))")
-        ).alias("sub", "sq"),
-    ).localCheckpoint()
+    if subs is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        pts = emb.select(
+            "vec_id",
+            F.expr(
+                "transform(cast(embedding as array<double>), "
+                "x -> cast(floor(x * 1000000 + 0.5) as bigint))"
+            ).alias("q"),
+        )
+        subs = pts.select(
+            "vec_id",
+            F.posexplode(
+                F.expr("transform(sequence(0, 3), s -> slice(q, s * 16 + 1, 16))")
+            ).alias("sub", "sq"),
+        ).localCheckpoint()
     w_seed = Wnd.partitionBy("sub").orderBy("vec_id")
     cent = (
         subs.withColumn("rn", F.row_number().over(w_seed))
@@ -2108,6 +2111,292 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "adc_dist",
         F.row_number().over(Wnd.orderBy("adc_dist", "vec_id")).cast("long").alias("rank"),
     ).orderBy("adc_dist", "vec_id")
+
+
+# --- IVF-PQ: coarse quantizer + residual product quantization -------------
+
+IVFPQ_COARSE_ITERS = 2
+IVFPQ_NPROBE = 2
+
+
+def _ivfpq_coarse_iter_sql(cent: str, idx: int) -> str:
+    """One unrolled COARSE k-means iteration over the full 64-dim
+    micro-unit vectors (assign + recenter) — structurally
+    _pq_iter_sql with a single 64-dim subspace; negative residuals
+    never appear here but the recenter's // is the truncating
+    division Spark's div matches on any sign."""
+    return f"""casg{idx} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT p.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY list_sum(list_transform(range(1, 65),
+                       d -> (p.q[d] - c.q[d]) * (p.q[d] - c.q[d]))), c.cid
+           ) AS rn
+    FROM pts p CROSS JOIN {cent} c
+  ) WHERE rn = 1
+),
+ccent{idx} AS MATERIALIZED (
+  SELECT cid, list(coord ORDER BY d) AS q FROM (
+    SELECT a.cid, dims.d,
+           CAST(CAST(sum(p.q[dims.d]) AS BIGINT) // count(*) AS BIGINT) AS coord
+    FROM casg{idx} a JOIN pts p USING (vec_id)
+    CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dims
+    GROUP BY a.cid, dims.d
+  ) GROUP BY cid
+)"""
+
+
+def _ivfpq_res_iter_sql(cent: str, idx: int) -> str:
+    """One unrolled RESIDUAL-PQ training iteration over rsub —
+    _pq_iter_sql retargeted at the residual subvectors (rasg/rcent
+    names so the chain cannot collide with the raw-PQ oracles)."""
+    return f"""rasg{idx} AS MATERIALIZED (
+  SELECT sub, vec_id, cid FROM (
+    SELECT p.sub, p.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY p.sub, p.vec_id
+             ORDER BY list_sum(list_transform(range(1, 17),
+                       d -> (p.sq[d] - c.sq[d]) * (p.sq[d] - c.sq[d]))), c.cid
+           ) AS rn
+    FROM rsub p JOIN {cent} c USING (sub)
+  ) WHERE rn = 1
+),
+rcent{idx} AS MATERIALIZED (
+  SELECT sub, cid, list(coord ORDER BY d) AS sq FROM (
+    SELECT a.sub, a.cid, dims.d,
+           CAST(CAST(sum(p.sq[dims.d]) AS BIGINT) // count(*) AS BIGINT) AS coord
+    FROM rasg{idx} a
+    JOIN rsub p USING (sub, vec_id)
+    CROSS JOIN (SELECT unnest(range(1, 17)) AS d) dims
+    GROUP BY a.sub, a.cid, dims.d
+  ) GROUP BY sub, cid
+)"""
+
+
+_CI, _PI = IVFPQ_COARSE_ITERS, PQ_ITERS
+
+IVFPQ_ADC_ORACLE = (
+    """
+WITH pts AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+),
+ccent0 AS MATERIALIZED (
+  SELECT rn - 1 AS cid, q FROM (
+    SELECT q, row_number() OVER (ORDER BY vec_id) AS rn FROM pts
+  ) WHERE rn <= 4
+),
+"""
+    + ",\n".join(
+        _ivfpq_coarse_iter_sql(f"ccent{i}", i + 1) for i in range(_CI)
+    )
+    + f""",
+rsub AS MATERIALIZED (
+  SELECT p.vec_id, a.cid AS ccid, s.sub,
+         list_transform(range(1, 17),
+                        d -> p.q[s.sub * 16 + d] - c.q[s.sub * 16 + d]) AS sq
+  FROM pts p
+  JOIN casg{_CI} a USING (vec_id)
+  JOIN ccent{_CI} c ON c.cid = a.cid
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) s
+),
+rcent0 AS MATERIALIZED (
+  SELECT sub, rn - 1 AS cid, sq FROM (
+    SELECT sub, sq,
+           row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+    FROM rsub
+  ) WHERE rn <= 4
+),
+"""
+    + ",\n".join(_ivfpq_res_iter_sql(f"rcent{i}", i + 1) for i in range(_PI))
+    + f""",
+q0 AS (SELECT q FROM pts WHERE vec_id = 0),
+probe AS MATERIALIZED (
+  SELECT cid, q FROM (
+    SELECT c.cid, c.q,
+           row_number() OVER (
+             ORDER BY list_sum(list_transform(range(1, 65),
+                       d -> (q0.q[d] - c.q[d]) * (q0.q[d] - c.q[d]))), c.cid
+           ) AS rn
+    FROM ccent{_CI} c, q0
+  ) WHERE rn <= {IVFPQ_NPROBE}
+),
+qres AS MATERIALIZED (
+  SELECT pr.cid AS pcid, s.sub,
+         list_transform(range(1, 17),
+                        d -> q0.q[s.sub * 16 + d] - pr.q[s.sub * 16 + d]) AS qq
+  FROM probe pr CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) s, q0
+),
+lut AS MATERIALIZED (
+  SELECT r.pcid, c.sub, c.cid,
+         CAST(list_sum(list_transform(range(1, 17),
+              d -> (r.qq[d] - c.sq[d]) * (r.qq[d] - c.sq[d]))) AS BIGINT)
+           AS qdist
+  FROM qres r JOIN rcent{_PI} c USING (sub)
+),
+adc AS (
+  SELECT r.vec_id, a.cid AS coarse_cid,
+         CAST(sum(l.qdist) AS BIGINT) AS adc_dist
+  FROM rasg{_PI} r
+  JOIN casg{_CI} a USING (vec_id)
+  JOIN lut l ON l.pcid = a.cid AND l.sub = r.sub AND l.cid = r.cid
+  WHERE r.vec_id <> 0
+  GROUP BY r.vec_id, a.cid
+)
+SELECT vec_id, coarse_cid, adc_dist
+FROM adc
+ORDER BY adc_dist, vec_id
+LIMIT 10
+"""
+)
+
+
+@register(
+    "sim_ivfpq_adc_topk", oracle=IVFPQ_ADC_ORACLE, tags=("LLM-sim", "ML")
+)
+def sim_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ retrieval — the production FAISS composition that
+    completes the ANN stack (coarse quantizer from sim_ivf_topk's
+    tier + residual product quantization from emb_pq_codebook's,
+    fused): a deterministic integer k-means partitions the corpus
+    into 4 coarse cells (2 Lloyd iterations, micro-unit BIGINT
+    squared-L2, lowest-cid tie-break); every vector's RESIDUAL
+    against its cell centroid is product-quantized by the SAME
+    trainer as emb_pq_codebook (via _pq_train's subs hook — one
+    trainer, two entries); the query probes its nprobe=2 nearest
+    cells, builds a per-cell 4x4x16 lookup table of exact BIGINT
+    distances between the query's per-cell residual and the shared
+    residual codebooks, and scores only vectors inside probed cells
+    as the sum of 4 LUT hits. Integer-exact end to end — unlike
+    sim_ivf_topk (whose numpy quantizer needs a validation form),
+    the raw IVF-PQ ranking itself hash-matches: the oracle is the
+    SAME unrolled coarse + residual training chain generated from
+    per-iteration templates (the graph_pagerank discipline).
+    Residual coordinates and recenter sums go NEGATIVE — // and div
+    both truncate toward zero there (verified class-wide).
+
+    Scale shape: coarse training is k-bounded per round; residual
+    encode is one narrow join + per-row arithmetic; query cost is
+    |probed codes| LUT lookups — never per-pair vector math (the
+    IVF-PQ promise: 4 bytes/vector memory, cell-bounded probe work
+    at 100 TB). Probe and LUT frames are k-row bounded broadcasts."""
+    from pyspark.sql.window import Window as Wnd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(cast(embedding as array<double>), "
+            "x -> cast(floor(x * 1000000 + 0.5) as bigint))"
+        ).alias("q"),
+    ).localCheckpoint()
+    # coarse k-means (k=4, 2 iterations) over the full vectors
+    cent = (
+        pts.withColumn("rn", F.row_number().over(Wnd.orderBy("vec_id")))
+        .filter(F.col("rn") <= 4)
+        .select((F.col("rn") - 1).alias("cid"), F.col("q").alias("cq"))
+    )
+    cdist = F.expr(
+        "aggregate(zip_with(q, cq, (a, b) -> (a - b) * (a - b)), 0L, "
+        "(acc, x) -> acc + x)"
+    )
+    w_pt = Wnd.partitionBy("vec_id").orderBy("dist", "cid")
+    casg = None
+    for _ in range(IVFPQ_COARSE_ITERS):
+        casg = (
+            pts.crossJoin(F.broadcast(cent))
+            .withColumn("dist", cdist)
+            .withColumn("rn", F.row_number().over(w_pt))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+        cent = (
+            casg.join(pts, "vec_id")
+            .select("cid", F.posexplode("q").alias("d", "v"))
+            .groupBy("cid", "d")
+            .agg(F.expr("sum(v) div count(*)").alias("coord"))
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(d, coord))), "
+                    "x -> x.coord)"
+                ).alias("cq")
+            )
+            .localCheckpoint()
+        )
+    casg = casg.localCheckpoint()
+    # residual subvectors -> the shared PQ trainer (subs hook)
+    rsub = (
+        pts.join(casg, "vec_id")
+        .join(F.broadcast(cent), "cid")
+        .select(
+            "vec_id",
+            F.col("cid").alias("ccid"),
+            F.expr("zip_with(q, cq, (a, b) -> a - b)").alias("r"),
+        )
+        .select(
+            "vec_id",
+            "ccid",
+            F.posexplode(
+                F.expr("transform(sequence(0, 3), s -> slice(r, s * 16 + 1, 16))")
+            ).alias("sub", "sq"),
+        )
+        .localCheckpoint()
+    )
+    _, rcent, rasg = _pq_train(spark, sf_dir, subs=rsub.select("vec_id", "sub", "sq"))
+    # query probe: nprobe nearest coarse cells to vec_id 0
+    q0 = pts.filter(F.col("vec_id") == 0).select(F.col("q").alias("q0"))
+    probe = (
+        cent.crossJoin(F.broadcast(q0))
+        .withColumn(
+            "dist",
+            F.expr(
+                "aggregate(zip_with(q0, cq, (a, b) -> (a - b) * (a - b)), 0L, "
+                "(acc, x) -> acc + x)"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(Wnd.orderBy("dist", "cid")))
+        .filter(F.col("rn") <= IVFPQ_NPROBE)
+        .select(F.col("cid").alias("pcid"), "cq")
+    )
+    qres = (
+        probe.crossJoin(F.broadcast(q0))
+        .select(
+            "pcid", F.expr("zip_with(q0, cq, (a, b) -> a - b)").alias("qr")
+        )
+        .select(
+            "pcid",
+            F.posexplode(
+                F.expr("transform(sequence(0, 3), s -> slice(qr, s * 16 + 1, 16))")
+            ).alias("sub", "qq"),
+        )
+    )
+    lut = (
+        rcent.join(F.broadcast(qres), "sub")
+        .select(
+            "pcid", "sub", "cid",
+            F.expr(
+                "aggregate(zip_with(qq, cq, (a, b) -> (a - b) * (a - b)), 0L, "
+                "(acc, x) -> acc + x)"
+            ).alias("qdist"),
+        )
+    )
+    adc = (
+        rasg.filter(F.col("vec_id") != 0)
+        .join(casg.select("vec_id", F.col("cid").alias("pcid")), "vec_id")
+        .join(F.broadcast(lut), ["pcid", "sub", "cid"])
+        .groupBy("vec_id", F.col("pcid").alias("coarse_cid"))
+        .agg(F.sum("qdist").cast("long").alias("adc_dist"))
+    )
+    return (
+        adc.orderBy("adc_dist", "vec_id")
+        .limit(10)
+        .select("vec_id", "coarse_cid", "adc_dist")
+        .orderBy("adc_dist", "vec_id")
+    )
 
 
 QUALITY_DUP_CALIBRATION_ORACLE = r"""

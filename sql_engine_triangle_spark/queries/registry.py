@@ -215,7 +215,17 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     # CTEs; power iteration completes the integer-fixpoint family)
     "sim_sparse_cosine_pairs",
     "emb_pq_codebook",
-    "sim_pq_adc_topk",
+    # --- r9 rotation, ANN-composition tier (1-for-1, pre-freeze
+    # three-SF bare-session strict-verified): IVF-PQ retrieval — the
+    # production FAISS composition (deterministic integer coarse
+    # k-means + residual PQ via the shared _pq_train subs hook +
+    # probe/LUT/ADC), integer-exact so the raw ranking hash-matches;
+    # generated unrolled coarse+residual training oracle; independent
+    # numpy pipeline pinned in tests/test_curation_ops.py. Displaced:
+    # sim_pq_adc_topk (green r8; its ADC read path is embedded in
+    # this superset entry, and emb_pq_codebook keeps the raw-PQ
+    # trainer in-window).
+    "sim_ivfpq_adc_topk",
     "ml_power_iteration",
     # Arrow cosine production form (keeper, rule 3 — one rep; its
     # bit-equal twins' green r6 rows stand, equality stays pinned)

@@ -433,3 +433,85 @@ def test_auc_exact_matches_python_midrank(spark):
         assert row["auc_permille"] == int(1000 * 2 * u) // (2 * npos * nneg)
     # mid-rank path must actually be exercised: ties exist
     assert ev.groupby(["week", "cents"]).size().max() > 1
+
+
+def test_ivfpq_matches_independent_numpy_pipeline(spark):
+    """sim_ivfpq_adc_topk re-derived by an independent numpy
+    implementation of the whole IVF-PQ pipeline (coarse integer
+    k-means -> residual PQ training -> probe -> LUT -> ADC) straight
+    from the parquet — a third implementation next to the Spark entry
+    and the generated DuckDB oracle. Integer arithmetic with
+    truncate-toward-zero division throughout."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sql_engine_triangle_spark.queries.curation_ops import (
+        IVFPQ_COARSE_ITERS,
+        IVFPQ_NPROBE,
+        PQ_ITERS,
+    )
+
+    tbl = pq.read_table(f"{SF_DIR_SMALL}/embeddings.parquet").to_pydict()
+    ids = np.array(tbl["vec_id"], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    q = np.floor(
+        np.array([list(v) for v in tbl["embedding"]], dtype=np.float64)[order]
+        * 1_000_000
+        + 0.5
+    ).astype(np.int64)
+
+    def tdiv(a, b):
+        return (np.sign(a) * (np.abs(a) // b)).astype(np.int64)
+
+    # coarse k-means: seeds = 4 lowest vec_ids, lowest-cid tie-break
+    cent = q[:4].copy()
+    for _ in range(IVFPQ_COARSE_ITERS):
+        d = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(2)
+        casg = d.argmin(1)  # argmin takes lowest index on ties
+        cent = np.stack(
+            [tdiv(q[casg == c].sum(0), (casg == c).sum()) for c in range(4)]
+        )
+    res = q - cent[casg]
+    # residual PQ: 4 subspaces x 16 dims, k=4, seeds = lowest vec_ids
+    rsub = res.reshape(len(ids), 4, 16)
+    rcent = rsub[:4].transpose(1, 0, 2).copy()  # (sub, cid, 16)
+    for _ in range(PQ_ITERS):
+        dd = ((rsub[:, :, None, :] - rcent[None, :, :, :]) ** 2).sum(3)
+        rasg = dd.argmin(2)  # (n, sub)
+        rcent = np.stack(
+            [
+                np.stack(
+                    [
+                        tdiv(
+                            rsub[rasg[:, s] == c, s].sum(0),
+                            max(int((rasg[:, s] == c).sum()), 1),
+                        )
+                        for c in range(4)
+                    ]
+                )
+                for s in range(4)
+            ]
+        )
+    # probe + LUT + ADC for query vec 0
+    q0 = q[ids == 0][0]
+    cd = ((q0[None, :] - cent) ** 2).sum(1)
+    probed = np.argsort(cd, kind="stable")[:IVFPQ_NPROBE]
+    scores = {}
+    for pc in probed:
+        qr = (q0 - cent[pc]).reshape(4, 16)
+        lut = ((qr[:, None, :] - rcent) ** 2).sum(2)  # (sub, cid)
+        members = np.where((casg == pc) & (ids != 0))[0]
+        for m in members:
+            scores[int(ids[m])] = (
+                int(pc),
+                int(sum(lut[s, rasg[m, s]] for s in range(4))),
+            )
+    expect = sorted(scores.items(), key=lambda kv: (kv[1][1], kv[0]))[:10]
+    expect = [(vid, cc, dist) for vid, (cc, dist) in expect]
+
+    rows = registry.get("sim_ivfpq_adc_topk").fn(spark, SF_DIR_SMALL).collect()
+    got = [(r.vec_id, r.coarse_cid, r.adc_dist) for r in rows]
+    assert got == expect
+    # the probe constraint is real: every hit lives in a probed cell
+    assert {cc for _, cc, _ in got} <= {int(c) for c in probed}

@@ -93,6 +93,9 @@ ALLOWED_NESTED_LOOP = {
     # k-row (k=8) broadcast centroid frame onto the points each Lloyd
     # iteration — bounded k x N by construction.
     "ml_kmeans_int",
+    # same k-row (k=4) coarse-centroid broadcasts per Lloyd iteration,
+    # plus 1-2-row query/probe broadcasts in the LUT chain.
+    "sim_ivfpq_adc_topk",
     # 1-row broadcast n_edges / n_nodes summary frames onto the 1-row
     # triangle count.
     "graph_triangle_count",
