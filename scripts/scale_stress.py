@@ -142,6 +142,12 @@ ENTRIES: dict[str, tuple[list[int], str]] = {
         "df-capped text pair stage + id-only drop union: every stage "
         "individually measured sublinear; this is the composition.",
     ),
+    "sim_ivfpq_adc_topk": (
+        DEFAULT_SCALES,
+        "coarse train is k-bounded per round; residual encode is one "
+        "narrow join; query cost is probed-cell LUT lookups: expect "
+        "~linear in vectors from the train/encode passes.",
+    ),
 }
 # Open-vocab variant (documents only, Heaps-law vocab growth) for the
 # entries whose closed-vocab exponent is a DATA property: the
