@@ -240,6 +240,7 @@ EXTRA = [
     "curation_l_diversity",
     "pipeline_multimodal_corpus_build",
     "sim_ivfpq_adc_topk",
+    "a_trend_mann_kendall",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

@@ -187,8 +187,15 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     # by the sweep and the sketch tiles carry distinct counting
     # in-window).
     "w_holt_linear_int",
-    # aggregation tier (r7 inbound, retained)
-    "a_equidepth_hist",
+    # --- r9 rotation, robust-trend tier (1-for-1, pre-freeze
+    # three-SF bare-session strict-verified): Mann-Kendall S +
+    # Kendall tau permille + Theil-Sen median slope (exact integer
+    # median pair + bit-identical IEEE slope), day-bounded pairwise
+    # stage; Fraction-exact Python reference pinned. Displaced:
+    # a_equidepth_hist (green r7/r8; observability keeps
+    # a_seasonal_index + w_cusum_drift + maint_partition_skew_report
+    # + this entry in-window).
+    "a_trend_mann_kendall",
     # window tier (inbound; funnel ships with its SQL-API twin; the
     # sessionize/SCD2/winsorize trio are the never-rowed remainder)
     "w_window_funnel",

@@ -3295,3 +3295,136 @@ def w_holt_linear_int(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+TREND_MK_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY event_type, day
+),
+pr AS (
+  SELECT a.event_type,
+         b.x - a.x AS num, b.day - a.day AS den,
+         a.day AS di, b.day AS dj,
+         CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+),
+mk AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(sgn) AS BIGINT) AS mk_s
+  FROM pr GROUP BY event_type
+),
+med AS (
+  SELECT event_type, CAST(num AS BIGINT) AS ts_num,
+         CAST(den AS BIGINT) AS ts_den, num / den AS ts_slope
+  FROM (
+    SELECT pr.*, row_number() OVER (
+      PARTITION BY event_type ORDER BY num / den, di, dj) AS rn,
+      count(*) OVER (PARTITION BY event_type) AS cnt
+    FROM pr
+  ) WHERE rn = (cnt + 1) // 2
+)
+SELECT m.event_type, d.n_days, m.n_pairs, m.mk_s,
+       CAST((1000 * m.mk_s) // m.n_pairs AS BIGINT) AS tau_permille,
+       e.ts_num, e.ts_den, e.ts_slope
+FROM mk m
+JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1) d USING (event_type)
+JOIN med e USING (event_type)
+ORDER BY m.event_type
+"""
+
+
+@register("a_trend_mann_kendall", oracle=TREND_MK_ORACLE, tags=("A5", "W-free"))
+def a_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST trend kit over daily revenue per event type — the
+    nonparametric complement of a_linear_trend's OLS and
+    w_holt_linear_int's smoother: the Mann-Kendall statistic
+    S = sum over day pairs of sign(x_j - x_i) with Kendall's tau as
+    integer permille (1000*S div pairs — negative S exercises the
+    matched truncating division), and the THEIL-SEN median slope —
+    the median over all pairwise slopes (x_j - x_i)/(day_j - day_i),
+    emitted BOTH as the median pair's exact integers (ts_num, ts_den
+    — hash-stable with no float anywhere) and as the IEEE double
+    num/den both engines compute bit-identically (the BM25
+    discipline). The median is the lower-middle rank (cnt+1) div 2
+    under (slope double, day_i, day_j) ordering — fully
+    deterministic, tie-ordered by the pair's days.
+
+    Scale shape: the fact compresses to (type, day) totals in one
+    map-side-combinable aggregation; the pairwise stage is
+    DAY-BOUNDED (n_days^2/2 rows per monitored series — ~435 at a
+    30-day window; a year is ~66k — never corpus-sized), partitioned
+    by the series key with no global exchange. This is the classical
+    monitoring statistic precisely because it is robust to outliers
+    the OLS slope chases."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.unix_date(F.to_date("ts")).cast("long").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("long").alias("x"))
+        .localCheckpoint()  # consumed by both pair sides + n_days
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("di"), F.col("x").alias("xi")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("dj"), F.col("x").alias("xj")
+    )
+    pr = (
+        a.join(b, "event_type")
+        .filter(F.col("di") < F.col("dj"))
+        .select(
+            "event_type",
+            (F.col("xj") - F.col("xi")).alias("num"),
+            (F.col("dj") - F.col("di")).alias("den"),
+            "di",
+            "dj",
+            F.signum(F.col("xj") - F.col("xi")).cast("long").alias("sgn"),
+        )
+        .localCheckpoint()  # consumed by mk + med
+    )
+    mk = pr.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("sgn").cast("long").alias("mk_s"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        (F.col("num") / F.col("den")).asc(), "di", "dj"
+    )
+    wc = Window.partitionBy("event_type")
+    med = (
+        pr.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count("*").over(wc))
+        .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select(
+            "event_type",
+            F.col("num").cast("long").alias("ts_num"),
+            F.col("den").cast("long").alias("ts_den"),
+            (F.col("num") / F.col("den")).alias("ts_slope"),
+        )
+    )
+    n_days = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days")
+    )
+    return (
+        mk.join(n_days, "event_type")
+        .join(med, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            "mk_s",
+            F.expr("(1000 * mk_s) div n_pairs").cast("long").alias("tau_permille"),
+            "ts_num",
+            "ts_den",
+            "ts_slope",
+        )
+        .orderBy("event_type")
+    )

@@ -443,3 +443,50 @@ def test_holt_duckdb_fold_prefix_steps(ddb):
         # st is a fetched Python list here — 0-based, unlike the
         # 1-based SQL subscripts above
         assert (st[0], st[1], st[2]) == (sae, lvl, trd), n
+
+
+def test_mann_kendall_matches_python_reference(spark):
+    """a_trend_mann_kendall vs an independent Python computation of
+    S, tau, and the Theil-Sen median pair (Fraction-exact slope
+    comparison — no float ordering anywhere in the reference), at
+    two SFs; both trend signs must occur so the signed integer
+    division path is exercised."""
+    import math
+    from fractions import Fraction
+
+    import pandas as pd
+
+    saw_pos = saw_neg = False
+    for sf_dir in (SF_DIR_SMALL, SF_DIR):
+        res = (
+            registry.get("a_trend_mann_kendall")
+            .fn(spark, sf_dir)
+            .toPandas()
+            .set_index("event_type")
+        )
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+        ev["cents"] = (ev["value"] * 100 + 0.5).apply(math.floor)
+        ev["day"] = (ev["ts"].dt.normalize() - pd.Timestamp("1970-01-01")).dt.days
+        daily = ev.groupby(["event_type", "day"])["cents"].sum()
+        for et in res.index:
+            s = daily.loc[et].sort_index()
+            days, xs = list(s.index), list(s.values)
+            n = len(days)
+            pairs = [
+                (int(xs[j] - xs[i]), int(days[j] - days[i]), days[i], days[j])
+                for i in range(n)
+                for j in range(i + 1, n)
+            ]
+            mk_s = sum((num > 0) - (num < 0) for num, *_ in pairs)
+            pairs.sort(key=lambda p: (Fraction(p[0], p[1]), p[2], p[3]))
+            ts = pairs[(len(pairs) + 1) // 2 - 1]
+            row = res.loc[et]
+            assert row["n_days"] == n and row["n_pairs"] == len(pairs), et
+            assert row["mk_s"] == mk_s, et
+            q = abs(1000 * mk_s) // len(pairs)
+            assert row["tau_permille"] == (q if mk_s >= 0 else -q), et
+            assert (row["ts_num"], row["ts_den"]) == (ts[0], ts[1]), et
+            assert row["ts_slope"] == ts[0] / ts[1], et
+            saw_pos |= mk_s > 0
+            saw_neg |= mk_s < 0
+    assert saw_pos and saw_neg
