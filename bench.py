@@ -289,6 +289,14 @@ def _cohort_of(name: str) -> str:
     automatically; the partition is total by construction."""
     if name in HEADLINE:
         return "core"
+    if name == "text_bpe_train_merges":
+        # Solo cohort (VERDICT r9 #3): inside the text cohort this
+        # entry read 12.9 s vs 3.4 s solo — 12 argmax-collect rounds
+        # are uniquely sensitive to cohort-accumulated JVM state, and
+        # the battery number was pure contamination (solo_baseline
+        # carried the truth). A fresh JVM of its own makes the
+        # battery row equal the solo truth.
+        return "bpe"
     if name.startswith("tpch_"):
         return "tpch"
     if name.startswith(("dedup_", "sim_", "emb_")):
@@ -300,7 +308,7 @@ def _cohort_of(name: str) -> str:
     return "misc"  # windows/agg/join/maint/graph/stream tier
 
 
-COHORT_ORDER = ["core", "tpch", "dedup_sim", "pipeline", "text", "misc"]
+COHORT_ORDER = ["core", "tpch", "dedup_sim", "pipeline", "text", "bpe", "misc"]
 
 
 def _bench_names() -> list[str]:

