@@ -241,6 +241,10 @@ EXTRA = [
     "pipeline_multimodal_corpus_build",
     "sim_ivfpq_adc_topk",
     "a_trend_mann_kendall",
+    # r10 tier: the third governance gate and the retrieval-quality
+    # eval (shares the IVF-PQ training chain with sim_ivfpq_adc_topk).
+    "curation_t_closeness",
+    "eval_ivfpq_mrr_recall",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.
@@ -299,7 +303,7 @@ def _cohort_of(name: str) -> str:
         return "bpe"
     if name.startswith("tpch_"):
         return "tpch"
-    if name.startswith(("dedup_", "sim_", "emb_")):
+    if name.startswith(("dedup_", "sim_", "emb_", "eval_")):
         return "dedup_sim"
     if name.startswith(("pipeline_", "curation_", "sample_")):
         return "pipeline"

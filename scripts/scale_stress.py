@@ -71,6 +71,7 @@ BASE_ROWS = {
     "embeddings": 2000,
     "events": 100_000,
     "part": 20_000,
+    "orders": 150_000,  # customers derived (n // 10, the fixture law)
 }  # sf0.1-equivalents
 
 # entry -> (scales, note). Scales are multiples of the sf0.1 row
@@ -148,6 +149,30 @@ ENTRIES: dict[str, tuple[list[int], str]] = {
         "narrow join; query cost is probed-cell LUT lookups: expect "
         "~linear in vectors from the train/encode passes.",
     ),
+    # r10 tier (VERDICT r9 #7 + the two new entries): the remaining
+    # unmeasured fingerprint pair, BM25, and the retrieval eval.
+    "text_bm25_topk": (
+        DEFAULT_SCALES,
+        "bigram tf/df aggs + an 8-term broadcast semi join + "
+        "WindowGroupLimit top-10: expect ~linear in documents.",
+    ),
+    "dedup_image_phash": (
+        DEFAULT_SCALES,
+        "per-row Arrow decode+hash + banded Hamming pairing — "
+        "structurally the measured dedup_video_keyframes (0.27/0.51); "
+        "this is the direct measurement replacing that argument.",
+    ),
+    "dedup_audio_fingerprint": (
+        DEFAULT_SCALES,
+        "per-row RIFF/PCM decode -> frame energies -> delta-sign "
+        "bits + banded Hamming pairing; same family as image/video.",
+    ),
+    "eval_ivfpq_mrr_recall": (
+        DEFAULT_SCALES,
+        "train chain shared with sim_ivfpq_adc_topk; panel-bounded "
+        "(<=64 queries) probe/LUT broadcasts + one panel-broadcast "
+        "gold scan: expect ~linear in vectors.",
+    ),
 }
 # Open-vocab variant (documents only, Heaps-law vocab growth) for the
 # entries whose closed-vocab exponent is a DATA property: the
@@ -187,6 +212,12 @@ EVENTS_ENTRIES = {
         DEFAULT_SCALES,
         "one map-side-combinable (type, day) agg + a sequential fold "
         "over ~30-element arrays on 5 rows: expect flat.",
+    ),
+    "a_trend_mann_kendall": (
+        DEFAULT_SCALES,
+        "(type, day) agg then day-bounded pairwise Theil-Sen "
+        "(n_days^2/2 per series, never corpus-sized): expect ~flat "
+        "past the agg's linear scan.",
     ),
 }
 
@@ -233,8 +264,17 @@ OPENK_ENTRIES = {
 }
 
 # variant -> (entry plan, SCALING.json name suffix, tables needed)
+# Orders/customer-fact entries (r10): the governance audits. QI-class
+# cardinality is domain-bounded (~8750) while occupancy grows ∝ n, so
+# both should measure ~linear (one equi-join + shrinking-key aggs).
+OC_ENTRIES = {
+    "curation_l_diversity": (DEFAULT_SCALES, ""),
+    "curation_t_closeness": (DEFAULT_SCALES, ""),
+}
+
 VARIANTS: dict[str, tuple[dict, str, list[str]]] = {
     "x": (ENTRIES, "", ["documents", "embeddings"]),
+    "oc": (OC_ENTRIES, "", ["orders", "customer"]),
     "ov": (OPENVOCAB_ENTRIES, "__openvocab", ["documents"]),
     "ev": (EVENTS_ENTRIES, "", ["events"]),
     "evok": (OPENK_ENTRIES, "__openk", ["events"]),
@@ -284,6 +324,8 @@ def _gen_corpora() -> None:
             spark = get_spark(app_name="scale-stress-gen")
         if variant == "ev":
             dfs = {"events": G.events_like(spark, BASE_ROWS["events"] * scale)}
+        elif variant == "oc":
+            dfs = G.orders_customer_like(spark, BASE_ROWS["orders"] * scale)
         elif variant == "pt":
             dfs = {"part": G.part_like(spark, BASE_ROWS["part"] * scale)}
         elif variant == "ptok":

@@ -416,6 +416,60 @@ def part_like(
     )
 
 
+def orders_customer_like(
+    spark: SparkSession, n_orders: int, seed: int = 42
+) -> dict[str, DataFrame]:
+    """orders+customer-shaped corpora matching the driver fixture's
+    own cross-SF law (measured on the testdata: sf0.01 = 1500
+    customers / 15k orders, sf0.1 = 15000 / 150k — customers ∝ n at
+    EXACTLY ~10 orders per customer): c_custkey dense 0..N-1,
+    c_nationkey uniform over 25, c_mktsegment uniform over the 5
+    TPC-H segments, c_acctbal uniform [-1000, 10000) at 2 dp;
+    o_orderdate a TIMESTAMP uniform over the fixture's 2400 daily
+    values (1995-01-01 .. 2001-08-01, 7 distinct years),
+    o_orderpriority uniform over the 5 ordered strings. The QI-class
+    cardinality of the governance audits (nation x segment x
+    balance-band x year) is therefore DOMAIN-BOUNDED (~8750) at
+    every scale while class occupancy grows ∝ n — the regime their
+    domain-shrinking aggregation trees assume."""
+    n_cust = max(1, n_orders // 10)
+    cust = spark.range(n_cust).withColumn(
+        "_s", F.xxhash64("id", F.lit(seed + 60))
+    )
+    sc = F.col("_s")
+    customer = cust.select(
+        F.col("id").alias("c_custkey"),
+        F.concat(
+            F.lit("Customer#"), F.lpad(F.col("id").cast("string"), 9, "0")
+        ).alias("c_name"),
+        F.floor(_u(sc, 1) * 25).cast("int").alias("c_nationkey"),
+        F.round(_u(sc, 2) * 11000.0 - 1000.0, 2).alias("c_acctbal"),
+        _pick(
+            _u(sc, 3),
+            ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"],
+        ).alias("c_mktsegment"),
+    )
+    ordf = spark.range(n_orders).withColumn(
+        "_s", F.xxhash64("id", F.lit(seed + 61))
+    )
+    so = F.col("_s")
+    orders = ordf.select(
+        F.col("id").alias("o_orderkey"),
+        F.pmod(F.col("id"), F.lit(n_cust)).cast("long").alias("o_custkey"),
+        _pick(_u(so, 1), ["O", "F", "P"]).alias("o_orderstatus"),
+        F.round(_u(so, 2) * 150000.0 + 1000.0, 2).alias("o_totalprice"),
+        (
+            F.lit("1995-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(days=F.floor(_u(so, 3) * 2400).cast("int"))
+        ).alias("o_orderdate"),
+        _pick(
+            _u(so, 4),
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        ).alias("o_orderpriority"),
+    )
+    return {"orders": orders, "customer": customer}
+
+
 def compute_probes(df: DataFrame, date_col: str, distinct_cols: list[str]) -> dict:
     """Ground-truth probes (FIXTURES.md §5, clickhouse/queries.sql):
     row count, date range, distinct cardinalities — one aggregate pass."""

@@ -96,6 +96,14 @@ ALLOWED_NESTED_LOOP = {
     # same k-row (k=4) coarse-centroid broadcasts per Lloyd iteration,
     # plus 1-2-row query/probe broadcasts in the LUT chain.
     "sim_ivfpq_adc_topk",
+    # the eval shares the training chain above, plus a panel-bounded
+    # (<=64-row) query broadcast for probe and gold scans and a 1-row
+    # metrics broadcast onto the panel rows.
+    "eval_ivfpq_mrr_recall",
+    # category-bounded (5-row) broadcasts: the cats grid cross join,
+    # the 5x5 triangle self-join for the global CDF (non-equi by
+    # design), and the 1-row (G, m) totals frame.
+    "curation_t_closeness",
     # 1-row broadcast n_edges / n_nodes summary frames onto the 1-row
     # triangle count.
     "graph_triangle_count",
