@@ -245,6 +245,8 @@ EXTRA = [
     # eval (shares the IVF-PQ training chain with sim_ivfpq_adc_topk).
     "curation_t_closeness",
     "eval_ivfpq_mrr_recall",
+    "eval_bm25_mrr_recall",
+    "ml_calibration_ece",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

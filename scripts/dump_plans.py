@@ -134,6 +134,12 @@ QUERIES = [
     "pipeline_multimodal_corpus_build",
     "sim_ivfpq_adc_topk",
     "a_trend_mann_kendall",
+    # round-10 additions: the third governance gate, both
+    # retrieval-quality evals, and exact calibration.
+    "curation_t_closeness",
+    "eval_ivfpq_mrr_recall",
+    "eval_bm25_mrr_recall",
+    "ml_calibration_ece",
 ]
 
 

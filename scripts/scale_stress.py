@@ -173,6 +173,13 @@ ENTRIES: dict[str, tuple[list[int], str]] = {
         "(<=64 queries) probe/LUT broadcasts + one panel-broadcast "
         "gold scan: expect ~linear in vectors.",
     ),
+    "eval_bm25_mrr_recall": (
+        DEFAULT_SCALES,
+        "bigram tf/df shapes shared with text_bm25_topk; panel "
+        "(<=64) + query-term broadcasts; per-query fan-out bounded "
+        "by the ubiquitous-term cut (df <= max(256, n/10)): expect "
+        "~linear in documents.",
+    ),
 }
 # Open-vocab variant (documents only, Heaps-law vocab growth) for the
 # entries whose closed-vocab exponent is a DATA property: the
@@ -218,6 +225,11 @@ EVENTS_ENTRIES = {
         "(type, day) agg then day-bounded pairwise Theil-Sen "
         "(n_days^2/2 per series, never corpus-sized): expect ~flat "
         "past the agg's linear scan.",
+    ),
+    "ml_calibration_ece": (
+        DEFAULT_SCALES,
+        "one (week, bin) map-side agg + 1-row max broadcast: expect "
+        "scan-flat.",
     ),
 }
 

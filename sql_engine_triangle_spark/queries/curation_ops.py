@@ -3503,3 +3503,120 @@ def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+CALIBRATION_ECE_ORACLE = """
+WITH base AS (
+  SELECT (CAST(strftime(CAST(ts AS DATE), '%d') AS BIGINT) - 1) // 7 AS week,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events WHERE event_type IN ('purchase', 'view')
+),
+cm AS (SELECT CAST(max(cents) AS BIGINT) AS cmax FROM base),
+binned AS (
+  SELECT b.week, (10 * b.cents) // (c.cmax + 1) AS bin,
+         b.pos, b.cents, c.cmax
+  FROM base b CROSS JOIN cm c
+),
+bins AS (
+  SELECT week, CAST(bin AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n_bin,
+         CAST(sum(pos) AS BIGINT) AS pos_bin,
+         CAST(sum(cents) AS BIGINT) AS conf_sum_cents,
+         CAST(max(cmax) AS BIGINT) AS cmax
+  FROM binned GROUP BY week, bin
+),
+wk AS (
+  SELECT week,
+         CAST(sum(n_bin) AS BIGINT) AS n_week,
+         CAST(sum(abs(cmax * pos_bin - conf_sum_cents)) AS BIGINT) AS ece_num,
+         CAST(max(cmax) AS BIGINT) AS cmax
+  FROM bins GROUP BY week
+)
+SELECT b.week, b.bin, b.n_bin, b.pos_bin, b.conf_sum_cents,
+       w.n_week, w.ece_num,
+       CAST(w.cmax * w.n_week AS BIGINT) AS ece_den,
+       CAST((1000 * w.ece_num) // (w.cmax * w.n_week) AS BIGINT)
+         AS ece_permille,
+       w.ece_num / (w.cmax * w.n_week) AS ece
+FROM bins b JOIN wk w ON w.week = b.week
+ORDER BY b.week, b.bin
+"""
+
+
+@register(
+    "ml_calibration_ece", oracle=CALIBRATION_ECE_ORACLE, tags=("A9", "LLM-pipeline")
+)
+def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT expected calibration error — the reliability-diagram
+    metric next to ml_auc_exact (AUC measures ranking; ECE measures
+    whether the score's MAGNITUDE means what it claims): the score
+    p-hat = cents / C (C = the corpus's max cents, a deterministic
+    1-row scalar) is binned into 10 equal-width confidence bins and
+    per week ECE = sum_b (n_b / N) * |acc_b - conf_b|. Clearing
+    denominators keeps it integer-exact end to end:
+    acc_b - conf_b = (C * pos_b - sum_cents_b) / (C * n_b), so
+    ECE = sum_b |C * pos_b - sum_cents_b| / (C * N) — ece_num /
+    ece_den are BIGINTs, ece is the single int/int IEEE division,
+    ece_permille the integer code. Bins are VALUE-based
+    ((10 * cents) div (C + 1)), never rank-based — ntile ties are
+    order-dependent across engines; value bins are deterministic.
+    The proxy classifier is honest-by-construction (monetary value
+    as a purchase 'probability' is badly calibrated — high ECE is
+    the CORRECT reading); the deliverable is the exact metric
+    machinery, the same argument as the retrieval evals. Output is
+    per (week, bin) reliability-diagram rows with the week-level
+    metric as constant columns, so the driver hashes both grains.
+
+    Overflow audit: C * pos_b <= ~7e4 * n; x1000 stays ~1e13 at
+    sf=1 — BIGINT headroom. Scale shape: one map-side-combinable
+    (week, bin) aggregation over the fact, a 1-row max broadcast, a
+    10-row-per-week rollup — no windows, no joins beyond bounded
+    broadcasts."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    base = ev.select(
+        F.expr("(day(ts) - 1) div 7").cast("long").alias("week"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    )
+    cm = base.agg(F.max("cents").cast("long").alias("cmax"))
+    bins = (
+        base.crossJoin(F.broadcast(cm))
+        .select(
+            "week",
+            F.expr("(10 * cents) div (cmax + 1)").cast("long").alias("bin"),
+            "pos",
+            "cents",
+            "cmax",
+        )
+        .groupBy("week", "bin")
+        .agg(
+            F.count("*").cast("long").alias("n_bin"),
+            F.sum("pos").cast("long").alias("pos_bin"),
+            F.sum("cents").cast("long").alias("conf_sum_cents"),
+            F.max("cmax").cast("long").alias("cmax"),
+        )
+    )
+    wk = bins.groupBy("week").agg(
+        F.sum("n_bin").cast("long").alias("n_week"),
+        F.sum(F.abs(F.col("cmax") * F.col("pos_bin") - F.col("conf_sum_cents")))
+        .cast("long")
+        .alias("ece_num"),
+        F.max("cmax").cast("long").alias("cmax_w"),
+    )
+    return (
+        bins.drop("cmax")
+        .join(wk, "week")
+        .select(
+            "week", "bin", "n_bin", "pos_bin", "conf_sum_cents",
+            "n_week", "ece_num",
+            (F.col("cmax_w") * F.col("n_week")).cast("long").alias("ece_den"),
+            F.expr("(1000 * ece_num) div (cmax_w * n_week)")
+            .cast("long")
+            .alias("ece_permille"),
+            (F.col("ece_num") / (F.col("cmax_w") * F.col("n_week"))).alias("ece"),
+        )
+        .orderBy("week", "bin")
+    )

@@ -3706,6 +3706,306 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVAL_BM25_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+base AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 2),
+dl AS (SELECT doc_id, CAST(len(toks) - 1 AS BIGINT) AS dl FROM base),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(2, len(toks) + 1),
+                               i -> toks[i - 1] || ' ' || toks[i])) AS term
+  FROM base
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM bg GROUP BY 1, 2),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scal AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS l_tot
+  FROM dl
+),
+qpanel AS (
+  SELECT doc_id AS qid FROM base WHERE toks[len(toks)] = 'dup'
+  ORDER BY doc_id LIMIT 64
+),
+qterms AS (
+  SELECT DISTINCT q.qid, t.term, d.df
+  FROM qpanel q JOIN tf t ON t.doc_id = q.qid
+  JOIN dft d ON d.term = t.term
+  CROSS JOIN scal s
+  WHERE d.df <= GREATEST(256, s.n_docs // 10)
+),
+scored AS (
+  SELECT qt.qid, tf.doc_id,
+         CAST(sum(CAST(((2 * s.n_docs - 2 * qt.df + 1) * 44 * s.l_tot * tf.tf
+                        * 1000)
+              // ((2 * qt.df + 1) * (20 * s.l_tot * tf.tf + 6 * s.l_tot
+                   + 18 * dl.dl * s.n_docs)) AS BIGINT)) AS BIGINT)
+           AS score_milli
+  FROM qterms qt
+  JOIN tf ON tf.term = qt.term AND tf.doc_id <> qt.qid
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN scal s
+  GROUP BY qt.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score_milli DESC, doc_id) AS rnk
+  FROM scored
+),
+shing AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                      i -> array_to_string(toks[i:i+2], ' ')))
+           AS sh
+  FROM tok
+),
+ex0 AS (SELECT doc_id, unnest(sh) AS s FROM shing),
+shhubs AS (
+  SELECT s FROM (SELECT s, count(*) AS df FROM ex0 GROUP BY s)
+  WHERE df > {SHINGLE_DF_CAP}
+),
+ex AS (
+  SELECT e.doc_id, e.s FROM ex0 e
+  LEFT JOIN shhubs h ON h.s = e.s WHERE h.s IS NULL
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM ex GROUP BY doc_id),
+ginter AS (
+  SELECT q.qid, e2.doc_id, CAST(count(*) AS BIGINT) AS inter
+  FROM qpanel q
+  JOIN ex e1 ON e1.doc_id = q.qid
+  JOIN ex e2 ON e2.s = e1.s AND e2.doc_id <> q.qid
+  GROUP BY q.qid, e2.doc_id
+),
+relevant AS (
+  SELECT g.qid, g.doc_id
+  FROM ginter g
+  JOIN sizes sa ON sa.doc_id = g.qid
+  JOIN sizes sb ON sb.doc_id = g.doc_id
+  WHERE 3 * g.inter >= sa.n_sh + sb.n_sh
+),
+nrel AS (
+  SELECT qid, CAST(count(*) AS BIGINT) AS n_relevant FROM relevant GROUP BY qid
+),
+firstr AS (
+  SELECT rel.qid, CAST(min(r.rnk) AS BIGINT) AS first_rank
+  FROM relevant rel
+  JOIN ranked r ON r.qid = rel.qid AND r.doc_id = rel.doc_id
+  GROUP BY rel.qid
+),
+perq AS (
+  SELECT q.qid,
+         CAST(coalesce(n.n_relevant, 0) AS BIGINT) AS n_relevant,
+         CAST(coalesce(f.first_rank, 0) AS BIGINT) AS first_rank,
+         CAST(CASE WHEN f.first_rank IS NOT NULL AND f.first_rank <= 10
+              THEN 2520 // f.first_rank ELSE 0 END AS BIGINT) AS rr2520,
+         CAST(CASE WHEN f.first_rank IS NOT NULL AND f.first_rank <= 10
+              THEN 1 ELSE 0 END AS BIGINT) AS hit10
+  FROM qpanel q
+  LEFT JOIN nrel n ON n.qid = q.qid
+  LEFT JOIN firstr f ON f.qid = q.qid
+),
+msum AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         CAST(sum(hit10) AS BIGINT) AS hits10,
+         CAST(sum(rr2520) AS BIGINT) AS mrr_num
+  FROM perq
+)
+SELECT p.qid, p.n_relevant, p.first_rank, p.rr2520, p.hit10,
+       m.n_queries, m.hits10,
+       CAST((1000 * m.hits10) // m.n_queries AS BIGINT) AS recall10_permille,
+       m.mrr_num,
+       CAST(2520 * m.n_queries AS BIGINT) AS mrr_den,
+       m.mrr_num / (2520 * m.n_queries) AS mrr
+FROM perq p CROSS JOIN msum m
+ORDER BY p.qid
+"""
+
+
+@register("eval_bm25_mrr_recall", oracle=EVAL_BM25_ORACLE, tags=("LLM-text", "ML"))
+def eval_bm25_mrr_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval for the BM25 ranker — the text-side
+    twin of eval_ivfpq_mrr_recall, completing build -> use -> eval
+    for BOTH retrieval stacks: the query panel is the corpus's own
+    near-duplicate structure (the <=64 lowest dup-marked docs — the
+    fixture marks near-dup copies with a trailing 'dup' token), each
+    query doc's distinct bigrams are the query, the SYSTEM ranking is
+    the additive integer milli-BM25 (the same cleared rational
+    per-term score as text_bm25_topk, quantized to permille and
+    summed as exact integers so the multi-term ranking is
+    engine-identical with doc_id tie-breaks), and RELEVANCE is the
+    corpus's own df-capped 3-gram Jaccard >= 0.5 — the integer
+    inequality 3*inter >= |A|+|B| over the lsh_mid shingle universe,
+    no human labels, no floats.
+
+    Metrics are standard multi-relevant IR: rank of the FIRST
+    relevant doc, MRR = sum(2520 // first_rank) / (2520 * nq) exact
+    rational, recall@10 permille. Fixture values: hits 24/25, 24/25,
+    60/64 and MRR 0.940/0.960/0.781 at sf0.001/0.01/0.1 —
+    non-degenerate both ways (the misses are real: queries whose
+    partner is rank-11+ or whose relevant set is empty under the
+    capped universe). Design note: the query-term cut is the
+    UBIQUITOUS-term cut df <= greatest(256, n_docs // 10) — a flat
+    256 deleted nearly every query term at sf0.1 (closed 31-word
+    vocab puts typical bigram df ~260), collapsing recall to 18/64;
+    the 10%-of-corpus floor is the BM25 idf-floor rationale (terms
+    in >10% of docs carry ~no idf signal) and bounds per-query join
+    fan-out at |q| * n/10 — linear, panel-bounded overall.
+
+    Scale shape: bigram tf/df aggs shared shapes with text_bm25_topk;
+    the panel (<=64 rows), query terms (<=64 * ~50 rows), and scalars
+    ride broadcasts; the relevance stage reuses shingle_rows + the
+    absolute df-cap (hub shingles dropped identically by both
+    engines); perq is panel-sized and localCheckpointed before its
+    two consumers."""
+    from pyspark.sql.window import Window as Wnd
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    base = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .repartition("doc_id")
+        .localCheckpoint()
+    )
+    dl = base.select("doc_id", (F.size("toks") - 1).cast("long").alias("dl"))
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(toks)), "
+                "i -> concat(toks[i-2], ' ', toks[i-1]))"
+            )
+        ).alias("term"),
+    )
+    tf = bg.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    ).localCheckpoint()
+    dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    scal = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("l_tot"),
+    )
+    qpanel = (
+        base.filter(F.expr("element_at(toks, size(toks))") == "dup")
+        .select(F.col("doc_id").alias("qid"))
+        .orderBy("qid")
+        .limit(64)
+        .localCheckpoint()
+    )
+    qterms = (
+        tf.join(F.broadcast(qpanel), F.col("doc_id") == F.col("qid"))
+        .select("qid", "term")
+        .distinct()
+        .join(dft, "term")
+        .crossJoin(F.broadcast(scal))
+        .filter(F.col("df") <= F.greatest(F.lit(256), F.expr("n_docs div 10")))
+        .select("qid", "term", "df")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scal))
+        .withColumn(
+            "sm",
+            F.expr(
+                "((2 * n_docs - 2 * df + 1) * 44 * l_tot * tf * 1000) div "
+                "((2 * df + 1) * (20 * l_tot * tf + 6 * l_tot "
+                "+ 18 * dl * n_docs))"
+            ),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("sm").cast("long").alias("score_milli"))
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Wnd.partitionBy("qid").orderBy(F.desc("score_milli"), "doc_id"))
+        .cast("long"),
+    )
+    ex0 = dedup.shingle_rows(docs, "doc_id", "text", 3).localCheckpoint()
+    shhubs = (
+        ex0.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("s")
+    )
+    ex = ex0.join(F.broadcast(shhubs), "s", "left_anti").localCheckpoint()
+    sizes = ex.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    qsh = ex.join(
+        F.broadcast(qpanel), F.col("doc_id") == F.col("qid")
+    ).select("qid", "s")
+    ginter = (
+        ex.join(F.broadcast(qsh), "s")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    relevant = (
+        ginter.join(
+            sizes.select(F.col("doc_id").alias("qid"), F.col("n_sh").alias("na")),
+            "qid",
+        )
+        .join(sizes.withColumnRenamed("n_sh", "nb"), "doc_id")
+        .filter(3 * F.col("inter") >= F.col("na") + F.col("nb"))
+        .select("qid", "doc_id")
+    )
+    nrel = relevant.groupBy("qid").agg(
+        F.count("*").cast("long").alias("n_relevant")
+    )
+    firstr = (
+        relevant.join(ranked, ["qid", "doc_id"])
+        .groupBy("qid")
+        .agg(F.min("rnk").cast("long").alias("first_rank_nn"))
+    )
+    perq = (
+        qpanel.join(nrel, "qid", "left")
+        .join(firstr, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n_relevant"), F.lit(0))
+            .cast("long")
+            .alias("n_relevant"),
+            F.coalesce(F.col("first_rank_nn"), F.lit(0))
+            .cast("long")
+            .alias("first_rank"),
+            F.when(
+                F.col("first_rank_nn") <= 10, F.expr("2520 div first_rank_nn")
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rr2520"),
+            F.when(F.col("first_rank_nn") <= 10, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("hit10"),
+        )
+        .localCheckpoint()
+    )
+    msum = perq.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum("hit10").cast("long").alias("hits10"),
+        F.sum("rr2520").cast("long").alias("mrr_num"),
+    )
+    return (
+        perq.crossJoin(F.broadcast(msum))
+        .select(
+            "qid", "n_relevant", "first_rank", "rr2520", "hit10",
+            "n_queries", "hits10",
+            F.expr("(1000 * hits10) div n_queries")
+            .cast("long")
+            .alias("recall10_permille"),
+            "mrr_num",
+            (F.lit(2520) * F.col("n_queries")).cast("long").alias("mrr_den"),
+            (F.col("mrr_num") / (F.lit(2520) * F.col("n_queries"))).alias("mrr"),
+        )
+        .orderBy("qid")
+    )
+
+
 def _afp_cell_sql(g: str, g2: str, v: str, f: str) -> str:
     """Closed-form frame amplitude of the tone payloads
     (operators/multimodal.synthesize_tone_assets) — the 1-D analog of

@@ -267,8 +267,19 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     # graph_jaccard_neighbors + graph_label_propagation +
     # ml_power_iteration in-window).
     "multimodal_video_scenes",
-    # text (inbound; tokenize_bpe is the r7-built real-tokenizer tier)
-    "text_inverted_index",
+    # --- r10 rotation, text-retrieval-eval tier (1-for-1, pre-freeze
+    # three-SF bare-session strict-verified): exact MRR + recall@10
+    # for the BM25 ranker — query panel from the corpus's own
+    # dup-marked near-dup structure, additive integer milli-BM25
+    # ranking, relevance = df-capped 3-gram Jaccard >= 0.5 via the
+    # integer inequality 3*inter >= |A|+|B|; non-degenerate at every
+    # SF (hits 24/25, 24/25, 60/64; MRR 0.940/0.960/0.781). With
+    # eval_ivfpq_mrr_recall this completes build -> use -> eval for
+    # BOTH retrieval stacks. Displaced: text_inverted_index (green
+    # r9; the index-build tf/df shapes run INSIDE text_bm25_topk and
+    # this eval, and the standalone build form stays in the
+    # full-registry sweep).
+    "eval_bm25_mrr_recall",
     # --- r9 rotation (2-for-2, pre-freeze three-SF bare-session
     # strict-verified; full record in COVERAGE.md): BM25 retrieval
     # scoring (VERDICT r8 #6 — the index-USE counterpart of
@@ -321,7 +332,16 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     # keeps quality_dup_calibration + repeat_factors +
     # attribution_split + token_budget_bpe in-window).
     "sim_mmr_diversified",
-    "pipeline_repeat_factors",
+    # --- r10 rotation, model-eval tier (1-for-1, pre-freeze three-SF
+    # bare-session strict-verified): exact expected calibration error
+    # — the reliability-diagram metric completing the classifier-eval
+    # pair with ml_auc_exact (AUC = ranking, ECE = magnitude);
+    # integer-cleared |C*pos_b - sum_cents_b| numerators, value-based
+    # bins (never ntile — rank ties are order-dependent across
+    # engines). Displaced: pipeline_repeat_factors (green r9;
+    # pipeline observability stays represented by
+    # quality_dup_calibration + token_budget_bpe + the capstones).
+    "ml_calibration_ece",
     "pipeline_token_budget_bpe",
     # --- r9 rotation, governance tier (1-for-1, pre-freeze
     # three-SF bare-session strict-verified): l-diversity audit —

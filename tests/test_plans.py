@@ -100,6 +100,12 @@ ALLOWED_NESTED_LOOP = {
     # (<=64-row) query broadcast for probe and gold scans and a 1-row
     # metrics broadcast onto the panel rows.
     "eval_ivfpq_mrr_recall",
+    # 1-row scalar broadcasts: (n_docs, l_tot) in the BM25 stats and
+    # the 1-row metrics frame onto the panel rows (a_heavy_hitters /
+    # q4_approx_percentiles molds).
+    "eval_bm25_mrr_recall",
+    # 1-row global max-cents broadcast onto the fact before binning.
+    "ml_calibration_ece",
     # category-bounded (5-row) broadcasts: the cats grid cross join,
     # the 5x5 triangle self-join for the global CDF (non-equi by
     # design), and the 1-row (G, m) totals frame.
