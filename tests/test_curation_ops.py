@@ -463,6 +463,101 @@ def test_auc_exact_matches_python_midrank(spark):
     assert ev.groupby(["week", "cents"]).size().max() > 1
 
 
+def test_calibration_ece_matches_python_reference(spark):
+    """ml_calibration_ece re-derived in pure pandas from the parquet:
+    value-based bins over cents/C, integer-cleared per-week ECE
+    numerator — the third implementation next to the Spark entry and
+    the DuckDB oracle (the ml_auc_exact discipline)."""
+    import math
+
+    import pandas as pd
+
+    from sql_engine_triangle_spark.queries import registry
+    from tests.conftest import SF_DIR_SMALL
+
+    res = (
+        registry.get("ml_calibration_ece").fn(spark, SF_DIR_SMALL).toPandas()
+    )
+    ev = pd.read_parquet(f"{SF_DIR_SMALL}/events.parquet")
+    ev = ev[ev["event_type"].isin(["purchase", "view"])].copy()
+    ev["week"] = (ev["ts"].dt.day - 1) // 7
+    ev["cents"] = (ev["value"] * 100 + 0.5).apply(math.floor).astype("int64")
+    ev["pos"] = (ev["event_type"] == "purchase").astype(int)
+    C = int(ev["cents"].max())
+    ev["bin"] = (10 * ev["cents"]) // (C + 1)
+    got = res.set_index(["week", "bin"]).sort_index()
+    assert len(got) == ev.groupby(["week", "bin"]).ngroups
+    for (wk, g) in ev.groupby("week"):
+        n_week = len(g)
+        ece_num = 0
+        for (b, gb) in g.groupby("bin"):
+            row = got.loc[(wk, b)]
+            assert row["n_bin"] == len(gb) and row["pos_bin"] == gb["pos"].sum()
+            assert row["conf_sum_cents"] == gb["cents"].sum()
+            ece_num += abs(C * int(gb["pos"].sum()) - int(gb["cents"].sum()))
+        row = got.loc[wk].iloc[0]
+        assert row["n_week"] == n_week and row["ece_num"] == ece_num
+        assert row["ece_den"] == C * n_week
+        assert row["ece_permille"] == (1000 * ece_num) // (C * n_week)
+        assert row["ece"] == ece_num / (C * n_week)
+    # the metric must be non-degenerate: some miscalibration exists
+    assert (res["ece_permille"] > 0).all()
+
+
+def test_t_closeness_matches_python_reference(spark):
+    """curation_t_closeness re-derived in pure pandas: dense
+    class x category grid, integer cumulative sums, cleared EMD
+    numerator sum_i |G*C_i - total*GC_i| — third implementation."""
+    import math
+
+    import pandas as pd
+
+    from sql_engine_triangle_spark.queries import registry
+    from tests.conftest import SF_DIR_SMALL
+
+    res = (
+        registry.get("curation_t_closeness")
+        .fn(spark, SF_DIR_SMALL)
+        .toPandas()
+        .set_index("nation")
+    )
+    o = pd.read_parquet(f"{SF_DIR_SMALL}/orders.parquet")
+    c = pd.read_parquet(f"{SF_DIR_SMALL}/customer.parquet")
+    df = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    df["bal_band"] = (df["c_acctbal"] / 1000.0).apply(math.floor).astype("int64")
+    df["yr"] = df["o_orderdate"].dt.year
+    df["r"] = df["o_orderpriority"].str[0].astype(int)
+    cats = sorted(df["r"].unique())
+    G = len(df)
+    gcum = {r: int((df["r"] <= r).sum()) for r in cats}
+    m = len(cats)
+    agg = {}
+    for (nat, seg, band, yr), g in df.groupby(
+        ["c_nationkey", "c_mktsegment", "bal_band", "yr"]
+    ):
+        total = len(g)
+        num = 0
+        for r in cats:
+            ci = int((g["r"] <= r).sum())
+            num += abs(G * ci - total * gcum[r])
+        t_pm = (1000 * num) // ((m - 1) * total * G)
+        a = agg.setdefault(nat, [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += total
+        a[2] = max(a[2], t_pm)
+        if t_pm > 200:
+            a[3] += 1
+            a[4] += total
+    for nat, (ncls, nrows, mx, nfail, risk_rows) in agg.items():
+        row = res.loc[nat]
+        assert row["n_classes"] == ncls and row["n_rows"] == nrows, nat
+        assert row["max_t_permille"] == mx, nat
+        assert row["classes_fail_t200"] == nfail, nat
+        assert row["at_risk_rows"] == risk_rows, nat
+        assert row["risk_permille"] == (1000 * risk_rows) // nrows, nat
+    assert res["classes_fail_t200"].sum() > 0  # non-vacuous
+
+
 def test_ivfpq_matches_independent_numpy_pipeline(spark):
     """sim_ivfpq_adc_topk re-derived by an independent numpy
     implementation of the whole IVF-PQ pipeline (coarse integer

@@ -443,6 +443,101 @@ def test_bm25_topk_python_reference(spark):
             assert (a.score, -a.doc_id) >= (b.score, -b.doc_id), term
 
 
+def test_bm25_eval_matches_python_reference(spark):
+    """eval_bm25_mrr_recall re-derived end-to-end in pure Python from
+    the parquet (tokens -> bigram tf/df -> ubiquitous-term cut ->
+    integer milli-BM25 sum ranking -> capped-shingle Jaccard
+    relevance -> first-relevant MRR/recall) — the third
+    implementation next to the Spark entry and the DuckDB oracle."""
+    import pandas as pd
+
+    from sql_engine_triangle_spark.queries.llm_ops import SHINGLE_DF_CAP
+    from tests.conftest import SF_DIR_SMALL
+
+    res = (
+        registry.get("eval_bm25_mrr_recall")
+        .fn(spark, SF_DIR_SMALL)
+        .toPandas()
+        .set_index("qid")
+        .sort_index()
+    )
+    docs = pd.read_parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    toks = {
+        int(r.doc_id): r.text.strip().lower().split()
+        for r in docs.itertuples()
+    }
+    base = {d: t for d, t in toks.items() if len(t) >= 2}
+    dl = {d: len(t) - 1 for d, t in base.items()}
+    tf: dict = {}
+    for d, t in base.items():
+        for a, b in zip(t, t[1:]):
+            tf.setdefault(d, {}).setdefault(f"{a} {b}", 0)
+            tf[d][f"{a} {b}"] += 1
+    df_map: dict = {}
+    for d, terms in tf.items():
+        for term in terms:
+            df_map[term] = df_map.get(term, 0) + 1
+    n_docs, l_tot = len(base), sum(dl.values())
+    cut = max(256, n_docs // 10)
+    panel = sorted(d for d, t in base.items() if t[-1] == "dup")[:64]
+    # shingle universe with the absolute df-cap (shingle_rows form:
+    # greatest(len-2, 1) window, so <3-token docs emit a short tail)
+    sh = {
+        d: set(
+            " ".join(t[i : i + 3])
+            for i in range(max(len(t) - 2, 1))
+        )
+        for d, t in toks.items()
+    }
+    sdf: dict = {}
+    for s_set in sh.values():
+        for s in s_set:
+            sdf[s] = sdf.get(s, 0) + 1
+    hub = {s for s, c in sdf.items() if c > SHINGLE_DF_CAP}
+    shc = {d: s_set - hub for d, s_set in sh.items()}
+    mrr_num = hits = 0
+    for qid in panel:
+        qterms = {t for t in tf[qid] if df_map[t] <= cut}
+        scores: dict = {}
+        for term in qterms:
+            dfv = df_map[term]
+            for d, terms in tf.items():
+                if d == qid or term not in terms:
+                    continue
+                tfv = terms[term]
+                num = (2 * n_docs - 2 * dfv + 1) * 44 * l_tot * tfv * 1000
+                den = (2 * dfv + 1) * (
+                    20 * l_tot * tfv + 6 * l_tot + 18 * dl[d] * n_docs
+                )
+                scores[d] = scores.get(d, 0) + num // den
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        rank_of = {d: i + 1 for i, (d, _) in enumerate(ranked)}
+        rel = {
+            d
+            for d in shc
+            if d != qid
+            and len(shc[qid] & shc[d]) > 0
+            and 3 * len(shc[qid] & shc[d]) >= len(shc[qid]) + len(shc[d])
+        }
+        first = min((rank_of[d] for d in rel if d in rank_of), default=0)
+        row = res.loc[qid]
+        assert row["n_relevant"] == len(rel), qid
+        assert row["first_rank"] == first, qid
+        if 0 < first <= 10:
+            assert row["rr2520"] == 2520 // first and row["hit10"] == 1
+            mrr_num += 2520 // first
+            hits += 1
+        else:
+            assert row["rr2520"] == 0 and row["hit10"] == 0
+    nq = len(panel)
+    row = res.iloc[0]
+    assert row["n_queries"] == nq and row["hits10"] == hits
+    assert row["mrr_num"] == mrr_num and row["mrr_den"] == 2520 * nq
+    assert row["recall10_permille"] == (1000 * hits) // nq
+    assert row["mrr"] == mrr_num / (2520 * nq)
+    assert 0 < hits <= nq  # non-degenerate both ways on this fixture
+
+
 def test_mmr_diversified_python_reference(spark):
     """sim_mmr_diversified re-derived with an independent numpy
     greedy over the raw parquet: int8 codes, integer dots, the same
