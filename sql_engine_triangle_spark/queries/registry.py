@@ -196,9 +196,16 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     # a_seasonal_index + w_cusum_drift + maint_partition_skew_report
     # + this entry in-window).
     "a_trend_mann_kendall",
-    # window tier (inbound; funnel ships with its SQL-API twin; the
-    # sessionize/SCD2/winsorize trio are the never-rowed remainder)
-    "w_window_funnel",
+    # --- r11 rotation, LM-quality tier (1-for-1, pre-freeze three-SF
+    # bare-session strict-verified): stupid-backoff bigram→unigram LM
+    # quality filter (VERDICT r10 #6 — the CCNet-standard perplexity
+    # filter the text stack lacked; even-doc_id reference partition,
+    # ppm-quantized cleared rationals, both backoff branches
+    # reachable, keep-cut non-vacuous at every SF). Displaced:
+    # w_window_funnel (green r8-r10; the window family keeps
+    # w_sessionize + w_scd2_history + w_rolling_median + w_cusum_drift
+    # + w_holt_linear_int + w_pattern_match_regex in-window).
+    "text_lm_stupid_backoff",
     "w_sessionize",
     "w_scd2_history",
     # --- r10 rotation, governance tier (1-for-1, pre-freeze three-SF

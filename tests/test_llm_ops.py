@@ -580,3 +580,63 @@ def test_mmr_diversified_python_reference(spark):
     sel_ids = [p[1] for p in picks]
     assert len(set(sel_ids)) == MMR_K
     assert set(sel_ids) <= set(int(i) for i in pool_ids)
+
+
+def test_lm_stupid_backoff_matches_python_reference(spark):
+    """Independent pure-Python recomputation of the stupid-backoff LM
+    filter at sf0.001: train bigram/context/unigram counts on even
+    doc_ids, score every doc with exact integer floor divisions
+    (1e6*cb//cf; 2e6*cu//(5*N); 4e6//(25*V)), and compare every
+    output column — so the Spark form and the DuckDB oracle can't
+    share a structural bug."""
+    import re as _re
+    from collections import Counter
+
+    import pandas as pd
+
+    from sql_engine_triangle_spark.queries.llm_ops import LM_KEEP_PPM
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    toks = {
+        r.doc_id: _re.split(r"\s+", str(r.text).strip().lower())
+        for r in docs.itertuples()
+    }
+    b2, cf, uni = Counter(), Counter(), Counter()
+    n_tok = 0
+    for did, ts in toks.items():
+        if did % 2 != 0:
+            continue
+        n_tok += len(ts)
+        uni.update(ts)
+        for w1, w2 in zip(ts, ts[1:]):
+            b2[(w1, w2)] += 1
+            cf[w1] += 1
+    v_tok = len(uni)
+
+    expect = {}
+    for did, ts in toks.items():
+        if len(ts) < 2:
+            continue
+        qs, nb, no = [], 0, 0
+        for w1, w2 in zip(ts, ts[1:]):
+            if (w1, w2) in b2:
+                qs.append(1_000_000 * b2[(w1, w2)] // cf[w1])
+            elif w2 in uni:
+                qs.append(2 * 1_000_000 * uni[w2] // (5 * n_tok))
+                nb += 1
+            else:
+                qs.append(4 * 1_000_000 // (25 * v_tok))
+                no += 1
+        score = sum(qs) // len(qs)
+        expect[did] = (len(qs), nb, no, score, score >= LM_KEEP_PPM)
+
+    res = registry.get("text_lm_stupid_backoff").fn(spark, sf).collect()
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_backoff_uni, r.n_oov, r.score_ppm, r.kept)
+        for r in res
+    }
+    assert got == expect
+    # the filter is non-vacuous and both backoff branches are reachable
+    assert any(v[4] for v in got.values()) and not all(v[4] for v in got.values())
+    assert sum(v[1] for v in got.values()) > 0

@@ -298,3 +298,19 @@ def test_mad_outliers_broadcasts_scalars(spark):
     fact-sized shuffle join."""
     df = _q(spark, "a_mad_outliers")
     assert pa.has_broadcast_join(df)
+
+
+def test_every_window_entry_has_a_plan_section():
+    """PLANS.md window contract (VERDICT r10 #3): every driver-window
+    entry must have a checked-in EXPLAIN section. dump_plans.py now
+    derives its query list mechanically from registry._PRIORITY_WINDOW
+    (two consecutive rounds the hand-maintained list missed entries);
+    this guard asserts the committed ARTIFACT satisfies the contract,
+    so a window rotation without a PLANS.md regeneration fails the
+    suite instead of shipping a hole."""
+    with open("/root/repo/PLANS.md") as f:
+        headers = {
+            ln[3:].strip() for ln in f if ln.startswith("## ")
+        }
+    missing = [n for n in registry._PRIORITY_WINDOW if n not in headers]
+    assert not missing, f"window entries missing PLANS.md sections: {missing}"

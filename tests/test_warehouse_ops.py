@@ -506,3 +506,89 @@ def test_mann_kendall_matches_python_reference(spark):
             saw_pos |= mk_s > 0
             saw_neg |= mk_s < 0
     assert saw_pos and saw_neg
+
+
+def test_jaccard_hub_cap_inactive_on_fixture(spark):
+    """The r11 per-node neighbor cap (JACCARD_HUB_CAP lowest-id
+    neighbors before the wedge self-join) bounds wedge fan-out at
+    V * cap^2 on any degree distribution. Certify it is INACTIVE on
+    the driver fixture at the largest SF — the closed k∈[0,100)
+    content domain bounds degree at 99 — so every recorded driver
+    row stands unchanged."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from sql_engine_triangle_spark.catalog import load_table
+    from sql_engine_triangle_spark.queries.warehouse_ops import JACCARD_HUB_CAP
+
+    ev = load_table(spark, "/root/testdata/sf0.1", "events")
+    kcol = F.get_json_object(F.col("props"), "$.k").cast("int")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "ts", "event_id", kcol.alias("k")).withColumn(
+        "nk", F.lead("k").over(w)
+    )
+    und = (
+        seq.filter(F.col("nk").isNotNull() & (F.col("nk") != F.col("k")))
+        .select(F.least("k", "nk").alias("a"), F.greatest("k", "nk").alias("b"))
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("w")).unionAll(
+        und.select(F.col("b").alias("w"))
+    )
+    mx = adj.groupBy("w").count().agg(F.max("count").alias("mx")).collect()[0]["mx"]
+    assert mx < JACCARD_HUB_CAP, (mx, JACCARD_HUB_CAP)
+
+
+def test_jaccard_hub_cap_active_matches_oracle(spark, tmp_path):
+    """Cap-ACTIVE certification on a synthetic 3-hub star graph whose
+    hubs have degree 201 > JACCARD_HUB_CAP: the Spark entry and the
+    DuckDB oracle must agree bit-for-bit under the identical
+    deterministic row_number cut (leaves above the cap boundary drop
+    out of every hub's capped list on BOTH engines)."""
+    import duckdb
+    import pandas as pd
+
+    from sql_engine_triangle_spark.queries.warehouse_ops import (
+        JACCARD_HUB_CAP,
+        JACCARD_NEIGHBORS_ORACLE,
+    )
+    from sql_engine_triangle_spark.queries import registry as reg
+
+    # Hubs 0,1,2; leaves 10..210. Per-leaf visit block [0,i,1,i,2,i]
+    # yields star edges {0,i},{1,i},{2,i} only — hub degree 201.
+    rows = []
+    eid = 0
+    for i in range(10, 211):
+        for node in (0, i, 1, i, 2, i):
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=eid),
+                    "user_id": 1,
+                    "event_type": "view",
+                    "value": 1.0,
+                    "props": '{"k": %d}' % node,
+                }
+            )
+            eid += 1
+    pdf = pd.DataFrame(rows)
+    d = tmp_path / "hubgraph"
+    (d / "events.parquet").mkdir(parents=True)
+    pdf.to_parquet(d / "events.parquet" / "part-0.parquet", index=False)
+
+    res = reg.get("graph_jaccard_neighbors").fn(spark, str(d)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    ora = con.execute(JACCARD_NEIGHBORS_ORACLE).fetchdf()
+    assert len(res) == len(ora) > 0
+    a = res.sort_values(list(res.columns)).reset_index(drop=True)
+    b = ora[res.columns].sort_values(list(res.columns)).reset_index(drop=True)
+    assert (a.astype(str) == b.astype(str)).all().all()
+    # the cut is genuinely active: hubs keep only JACCARD_HUB_CAP
+    # members, so every surviving leaf pair sits below the boundary
+    hub_pair = res[(res["a"] == 0) & (res["b"] == 1)]
+    assert len(hub_pair) == 1 and hub_pair.iloc[0]["deg_a"] == 201
+    leaves = res[res["a"] >= 10]
+    assert (leaves["b"] < 10 + JACCARD_HUB_CAP).all()
