@@ -247,11 +247,14 @@ EXTRA = [
     "eval_ivfpq_mrr_recall",
     "eval_bm25_mrr_recall",
     "ml_calibration_ece",
-    # r11 tier (pre-baseline rule — benched AND rotated the round it
-    # is built): the stupid-backoff LM quality filter (VERDICT r10
+    # r11 tier (pre-baseline rule — benched AND rotated the round they
+    # are built): the stupid-backoff LM quality filter (VERDICT r10
     # #6), benched in the text cohort next to its MLE precursor
-    # text_bigram_logprob.
+    # text_bigram_logprob; and the cross-modal link consistency eval
+    # (VERDICT r10 #7), benched next to the fingerprint stacks it
+    # composes.
     "text_lm_stupid_backoff",
+    "eval_crossmodal_consistency",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

@@ -95,11 +95,14 @@ ENTRIES: dict[str, tuple[list[int], str]] = {
         "(was Theta(n^2/8) with the fixture constant, tail 1.15).",
     ),
     "dedup_semantic": (
-        [1, 4, 10],
-        "interpreted-JVM-fold-per-pair comparison carrier, measured "
-        "at reduced scales; pair count is linear by sizing since r10 "
-        "(seed_k_for) but the per-pair fold constant is ~100x the "
-        "Arrow kernel's — the production form is dedup_semantic_arrow.",
+        [1, 4, 10, 30],
+        "interpreted-JVM-fold-per-pair comparison carrier; pair count "
+        "is linear by sizing since r10 (seed_k_for) but the per-pair "
+        "fold constant is ~100x the Arrow kernel's — the production "
+        "form is dedup_semantic_arrow. Extended to 30x (VERDICT r10 "
+        "Missing #3): 1-10x sits in the transitional regime where k "
+        "still floors at 8-9, so linear-by-sizing needed the 30x "
+        "point (k=29) measured, not argued.",
     ),
     "sim_sparse_cosine_pairs": (
         [1, 2, 4],
@@ -179,6 +182,20 @@ ENTRIES: dict[str, tuple[list[int], str]] = {
         "(<=64) + query-term broadcasts; per-query fan-out bounded "
         "by the ubiquitous-term cut (df <= max(256, n/10)): expect "
         "~linear in documents.",
+    ),
+    # r11 tier: the two new entries.
+    "text_lm_stupid_backoff": (
+        DEFAULT_SCALES,
+        "one token pass -> bigram/unigram count aggs + shuffle "
+        "equi-joins on vocab-keyed frames + one doc agg: expect "
+        "~linear in documents.",
+    ),
+    "eval_crossmodal_consistency": (
+        DEFAULT_SCALES,
+        "composition of three measured pair stages (banded image/"
+        "audio Hamming + the df-capped text self-join) + a "
+        "pair-count-sized flag aggregation: expect the capstone's "
+        "shape (~sublinear).",
     ),
 }
 # Open-vocab variant (documents only, Heaps-law vocab growth) for the

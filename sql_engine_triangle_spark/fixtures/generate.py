@@ -425,8 +425,11 @@ def orders_customer_like(
     EXACTLY ~10 orders per customer): c_custkey dense 0..N-1,
     c_nationkey uniform over 25, c_mktsegment uniform over the 5
     TPC-H segments, c_acctbal uniform [-1000, 10000) at 2 dp;
-    o_orderdate a TIMESTAMP uniform over the fixture's 2400 daily
-    values (1995-01-01 .. 2001-08-01, 7 distinct years),
+    o_orderdate a TIMESTAMP uniform over 2400 daily values
+    (1995-01-01 .. 2001-07-27; the driver fixture's own domain is
+    2405 values ending 2001-08-01 — ADVICE r10 — the 5-day clip is
+    immaterial to the 7-distinct-years QI law the governance audits
+    depend on, and the cached oc corpora were measured on this law),
     o_orderpriority uniform over the 5 ordered strings. The QI-class
     cardinality of the governance audits (nation x segment x
     balance-band x year) is therefore DOMAIN-BOUNDED (~8750) at

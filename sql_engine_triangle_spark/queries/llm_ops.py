@@ -4767,6 +4767,224 @@ def pipeline_multimodal_corpus_build(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+CROSSMODAL_ORACLE = (
+    r"""
+WITH d AS (
+  SELECT doc_id, doc_id // 16 AS g,
+         (doc_id // 16) % 251 AS g1,
+         (doc_id // 16 // 251) % 251 AS g2,
+         doc_id % 16 AS v
+  FROM documents
+),"""
+    + _banded_drop_ctes("i", _PH_L_DUCK, _PH_R_DUCK, 56)
+    + ","
+    + _banded_drop_ctes("a", _AFP_L_DUCK, _AFP_R_DUCK, 56)
+    + r""",
+ipairs AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ib a JOIN ib b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.h, b.h)) <= 6
+),
+apairs AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ab a JOIN ab b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.h, b.h)) <= 6
+),
+ttok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+tshing AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                      i -> array_to_string(toks[i:i+2], ' ')))
+           AS sh
+  FROM ttok
+),
+tex AS (SELECT doc_id, unnest(sh) AS s FROM tshing),
+thub AS (SELECT s FROM tex GROUP BY s HAVING count(*) > __SHINGLE_DF_CAP__),
+texc AS (SELECT doc_id, s FROM tex ANTI JOIN thub USING (s)),
+tsizes AS (SELECT doc_id, count(*) AS n_sh FROM texc GROUP BY doc_id),
+tinter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM texc a JOIN texc b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+tpairs AS MATERIALIZED (
+  SELECT doc_a, doc_b
+  FROM tinter
+  JOIN tsizes sa ON sa.doc_id = doc_a
+  JOIN tsizes sb ON sb.doc_id = doc_b
+  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.9
+),
+tagged AS (
+  SELECT doc_id, partner, max(in_t) AS in_t, max(in_i) AS in_i,
+         max(in_a) AS in_a
+  FROM (
+    SELECT doc_a AS doc_id, doc_b AS partner, 1 AS in_t, 0 AS in_i, 0 AS in_a
+    FROM tpairs
+    UNION ALL
+    SELECT doc_b, doc_a, 1, 0, 0 FROM tpairs
+    UNION ALL
+    SELECT doc_a, doc_b, 0, 1, 0 FROM ipairs
+    UNION ALL
+    SELECT doc_b, doc_a, 0, 1, 0 FROM ipairs
+    UNION ALL
+    SELECT doc_a, doc_b, 0, 0, 1 FROM apairs
+    UNION ALL
+    SELECT doc_b, doc_a, 0, 0, 1 FROM apairs
+  )
+  GROUP BY doc_id, partner
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(in_t) AS BIGINT) AS n_text_partners,
+         CAST(sum(in_i) AS BIGINT) AS n_image_partners,
+         CAST(sum(in_a) AS BIGINT) AS n_audio_partners,
+         CAST(sum(in_t * in_i) AS BIGINT) AS n_text_image,
+         CAST(sum(in_i * in_a) AS BIGINT) AS n_image_audio
+  FROM tagged
+  GROUP BY doc_id
+)
+SELECT doc_id, n_text_partners, n_image_partners, n_audio_partners,
+       n_text_image, n_image_audio,
+       CASE WHEN n_image_partners + n_audio_partners - n_image_audio = 0
+            THEN CAST(0 AS BIGINT)
+            ELSE CAST((1000 * n_image_audio)
+                      // (n_image_partners + n_audio_partners
+                          - n_image_audio) AS BIGINT)
+       END AS img_audio_permille,
+       n_image_audio > 0 AS cross_confirmed
+FROM per_doc
+ORDER BY doc_id
+"""
+).replace("__SHINGLE_DF_CAP__", str(SHINGLE_DF_CAP))
+
+
+@register(
+    "eval_crossmodal_consistency",
+    oracle=CROSSMODAL_ORACLE,
+    tags=("LLM-mm", "LLM-dedup", "ML"),
+)
+def eval_crossmodal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal link consistency eval (VERDICT r10 #7) — the
+    observability twin of pipeline_multimodal_corpus_build: the
+    capstone dedups each modality INDEPENDENTLY; this entry asks
+    whether the modalities' near-dup structures actually agree,
+    per document. For every doc, the partner set under each of three
+    existing fingerprint stacks — text (df-capped exact 3-gram
+    Jaccard >= 0.9, the capstone's own text stage), image (pooled
+    dHash, banded Hamming <= 6), audio (energy-delta fingerprint,
+    same pairing) — and the pairwise intersections: n_text_image
+    (does a text near-dup also share the image fingerprint?) and
+    n_image_audio (do the two binary modalities corroborate each
+    other?), plus the image↔audio Jaccard as an integer permille
+    and a cross_confirmed flag.
+
+    Fixture read (and why the audit is non-vacuous BOTH ways): the
+    binary payloads are group-keyed, so image and audio partner sets
+    agree heavily (permille ~1000 with a small divergence tail where
+    one modality's 56-bit banding surfaces a pair the other misses),
+    while the TEXT dup structure is the corpus's own near-dup
+    marking, which is nearly orthogonal to groups (at sf0.01: 25
+    text pairs, exactly 1 within a group) — so n_text_image is a
+    genuine agreement signal, not a tautology. On a real multimodal
+    corpus this is the caption-vs-image consistency audit run before
+    trusting single-modality dedup drops.
+
+    Scale shape: the three pair stages are exactly the capstone's
+    (bucket-bounded banded joins; the df-capped text self-join
+    bounded at cap^2 * |shingle space|); the union/flag aggregation
+    is pair-count-sized with map-side combine; output is doc-sized.
+    Oracle: the SAME rendered cell templates and CTE chains as the
+    per-modality entries and the capstone, composed — a drift in any
+    layer fails one of the three entries."""
+    docs = load_table(spark, sf_dir, "documents")
+    iph = multimodal.image_dhash(
+        multimodal.synthesize_texture_assets(docs)
+    ).localCheckpoint()
+    afp = multimodal.audio_fingerprint(
+        multimodal.synthesize_tone_assets(docs)
+    ).localCheckpoint()
+    ipairs = _banded_hamming_pairs(iph, "phash", max_hamming=6).select(
+        "doc_a", "doc_b"
+    )
+    apairs = _banded_hamming_pairs(afp, "afp", max_hamming=6).select(
+        "doc_a", "doc_b"
+    )
+    ex_raw = dedup.shingle_rows(docs, "doc_id", "text", 3).localCheckpoint()
+    hubs = (
+        ex_raw.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("s")
+    )
+    ex = ex_raw.join(F.broadcast(hubs), "s", "left_anti").localCheckpoint()
+    tpairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.9, round_digits=None, exploded=ex
+    ).select("doc_a", "doc_b")
+
+    def sym(p: DataFrame, t: int, i: int, a: int) -> DataFrame:
+        flags = [
+            F.lit(t).alias("in_t"),
+            F.lit(i).alias("in_i"),
+            F.lit(a).alias("in_a"),
+        ]
+        return p.select(
+            F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("partner"), *flags
+        ).unionAll(
+            p.select(
+                F.col("doc_b").alias("doc_id"),
+                F.col("doc_a").alias("partner"),
+                *flags,
+            )
+        )
+
+    tagged = (
+        sym(tpairs, 1, 0, 0)
+        .unionAll(sym(ipairs, 0, 1, 0))
+        .unionAll(sym(apairs, 0, 0, 1))
+        .groupBy("doc_id", "partner")
+        .agg(
+            F.max("in_t").alias("in_t"),
+            F.max("in_i").alias("in_i"),
+            F.max("in_a").alias("in_a"),
+        )
+    )
+    per_doc = tagged.groupBy("doc_id").agg(
+        F.sum("in_t").cast("long").alias("n_text_partners"),
+        F.sum("in_i").cast("long").alias("n_image_partners"),
+        F.sum("in_a").cast("long").alias("n_audio_partners"),
+        F.sum(F.col("in_t") * F.col("in_i")).cast("long").alias("n_text_image"),
+        F.sum(F.col("in_i") * F.col("in_a")).cast("long").alias("n_image_audio"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_text_partners",
+        "n_image_partners",
+        "n_audio_partners",
+        "n_text_image",
+        "n_image_audio",
+        F.when(
+            F.col("n_image_partners")
+            + F.col("n_audio_partners")
+            - F.col("n_image_audio")
+            == 0,
+            F.lit(0).cast("long"),
+        )
+        .otherwise(
+            F.expr(
+                "(1000 * n_image_audio) div "
+                "(n_image_partners + n_audio_partners - n_image_audio)"
+            ).cast("long")
+        )
+        .alias("img_audio_permille"),
+        (F.col("n_image_audio") > 0).alias("cross_confirmed"),
+    ).orderBy("doc_id")
+
+
 ASOF_NEAREST_ORACLE = """
 WITH views AS (
   SELECT user_id, ts, max(event_id) AS view_event_id

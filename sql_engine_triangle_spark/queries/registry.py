@@ -273,7 +273,18 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     # graph_degree_distribution (green r7/r8; the graph family keeps
     # graph_jaccard_neighbors + graph_label_propagation +
     # ml_power_iteration in-window).
-    "multimodal_video_scenes",
+    # --- r11 rotation, cross-modal-eval tier (1-for-1, pre-freeze
+    # three-SF bare-session strict-verified): cross-modal link
+    # consistency eval (VERDICT r10 #7) — per-doc partner-set
+    # agreement across the text / image / audio fingerprint stacks,
+    # integer permille + intersection counts, composed from the
+    # capstone's own pair stages so a drift in any layer fails one of
+    # the three entries. Displaced: multimodal_video_scenes (green
+    # r9/r10; the mm family keeps dedup_image_phash +
+    # dedup_audio_fingerprint + dedup_video_keyframes +
+    # pipeline_multimodal_corpus_build + this eval in-window, and the
+    # video decode path stays exercised by dedup_video_keyframes).
+    "eval_crossmodal_consistency",
     # --- r10 rotation, text-retrieval-eval tier (1-for-1, pre-freeze
     # three-SF bare-session strict-verified): exact MRR + recall@10
     # for the BM25 ranker — query panel from the corpus's own

@@ -640,3 +640,25 @@ def test_lm_stupid_backoff_matches_python_reference(spark):
     # the filter is non-vacuous and both backoff branches are reachable
     assert any(v[4] for v in got.values()) and not all(v[4] for v in got.values())
     assert sum(v[1] for v in got.values()) > 0
+
+
+def test_crossmodal_consistency_ties_to_per_modality_entries(spark):
+    """Cross-entry consistency: the eval's per-doc partner counts must
+    be exactly the symmetrized pair counts of the standalone
+    dedup_image_phash / dedup_audio_fingerprint entries (same banded
+    pairing) — each undirected pair contributes 2 to the summed
+    partner counts — and the image↔audio permille must hit both
+    agreement (1000) and divergence (<1000) rows on the fixture."""
+    sf = "/root/testdata/sf0.001"
+    res = registry.get("eval_crossmodal_consistency").fn(spark, sf).toPandas()
+    n_img_pairs = registry.get("dedup_image_phash").fn(spark, sf).count()
+    n_aud_pairs = registry.get("dedup_audio_fingerprint").fn(spark, sf).count()
+    assert int(res["n_image_partners"].sum()) == 2 * n_img_pairs
+    assert int(res["n_audio_partners"].sum()) == 2 * n_aud_pairs
+    # intersections are bounded by each side
+    assert (res["n_text_image"] <= res[["n_text_partners", "n_image_partners"]].min(axis=1)).all()
+    assert (res["n_image_audio"] <= res[["n_image_partners", "n_audio_partners"]].min(axis=1)).all()
+    # non-vacuous both ways: full agreement rows AND a divergence tail
+    assert (res["img_audio_permille"] == 1000).any()
+    assert (res["img_audio_permille"] < 1000).any()
+    assert (res["n_text_partners"] > 0).any()
