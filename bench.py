@@ -255,6 +255,8 @@ EXTRA = [
     # composes.
     "text_lm_stupid_backoff",
     "eval_crossmodal_consistency",
+    # r11: dedup-quality eval against the dup-marker ground truth.
+    "eval_dedup_precision_recall",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

@@ -100,9 +100,14 @@ ENTRIES: dict[str, tuple[list[int], str]] = {
         "is linear by sizing since r10 (seed_k_for) but the per-pair "
         "fold constant is ~100x the Arrow kernel's — the production "
         "form is dedup_semantic_arrow. Extended to 30x (VERDICT r10 "
-        "Missing #3): 1-10x sits in the transitional regime where k "
-        "still floors at 8-9, so linear-by-sizing needed the 30x "
-        "point (k=29) measured, not argued.",
+        "Missing #3, measured r11): 88.2 s at 30x (k=29), tail ~1.5 "
+        "even though within-cluster pair rows are linear by sizing "
+        "(n^2/2k = 1024n: 2.0e7 at 10x -> 6.1e7 at 30x, ratio 3.0 vs "
+        "time ratio 5.1) — the interpreted fold's throughput degrades "
+        "past what pair counts explain, while the Arrow twin runs the "
+        "IDENTICAL pair set in 3.99 s (22x). That gap, now measured "
+        "through 30x, is the whole reason the Arrow form holds the "
+        "window slot; carrier kept for the like-for-like comparison.",
     ),
     "sim_sparse_cosine_pairs": (
         [1, 2, 4],
@@ -183,7 +188,13 @@ ENTRIES: dict[str, tuple[list[int], str]] = {
         "by the ubiquitous-term cut (df <= max(256, n/10)): expect "
         "~linear in documents.",
     ),
-    # r11 tier: the two new entries.
+    # r11 tier: the three new entries.
+    "eval_dedup_precision_recall": (
+        DEFAULT_SCALES,
+        "one shingle pass + the df-capped pair join (the measured "
+        "lsh_mid bound) + two id-keyed flag joins + a source-sized "
+        "agg: expect the text pair stage's shape (~sublinear).",
+    ),
     "text_lm_stupid_backoff": (
         DEFAULT_SCALES,
         "one token pass -> bigram/unigram count aggs + shuffle "
@@ -194,8 +205,14 @@ ENTRIES: dict[str, tuple[list[int], str]] = {
         DEFAULT_SCALES,
         "composition of three measured pair stages (banded image/"
         "audio Hamming + the df-capped text self-join) + a "
-        "pair-count-sized flag aggregation: expect the capstone's "
-        "shape (~sublinear).",
+        "pair-count-sized flag aggregation. LINEAR, not the "
+        "capstone's sublinear 0.45: the capstone reduces modalities "
+        "to DISTINCT drop ids while this audit keeps full partner "
+        "sets, and banded pair ROWS grow ∝ n (0.43M -> 1.3M per "
+        "modality at 10x -> 30x) — linear in pair rows is the floor "
+        "for a partner-set audit. Each pair frame localCheckpointed "
+        "before sym() (without the barrier each banded self-join ran "
+        "twice: 37.6 -> 27.1 s at 30x, measured r11).",
     ),
 }
 # Open-vocab variant (documents only, Heaps-law vocab growth) for the

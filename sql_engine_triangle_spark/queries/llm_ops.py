@@ -4896,11 +4896,19 @@ def eval_crossmodal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the three pair stages are exactly the capstone's
     (bucket-bounded banded joins; the df-capped text self-join
-    bounded at cap^2 * |shingle space|); the union/flag aggregation
-    is pair-count-sized with map-side combine; output is doc-sized.
-    Oracle: the SAME rendered cell templates and CTE chains as the
-    per-modality entries and the capstone, composed — a drift in any
-    layer fails one of the three entries."""
+    bounded at cap^2 * |shingle space|); each pair frame is
+    localCheckpointed before the two sym() branches (without the
+    barrier each banded self-join executed twice — measured 37.6 ->
+    27.1 s at 30x); the union/flag aggregation is pair-count-sized
+    with map-side combine; output is doc-sized. Measured LINEAR
+    (SCALING.json 0.47/0.98) — unlike the capstone (0.24/0.45,
+    which reduces each modality to DISTINCT drop ids), this eval
+    keeps full per-doc partner sets, and banded pair rows grow
+    ∝ n (0.43M -> 1.3M per modality at 10x -> 30x); linear in pair
+    rows is the floor for a partner-set audit. Oracle: the SAME
+    rendered cell templates and CTE chains as the per-modality
+    entries and the capstone, composed — a drift in any layer fails
+    one of the three entries."""
     docs = load_table(spark, sf_dir, "documents")
     iph = multimodal.image_dhash(
         multimodal.synthesize_texture_assets(docs)
@@ -4908,12 +4916,17 @@ def eval_crossmodal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     afp = multimodal.audio_fingerprint(
         multimodal.synthesize_tone_assets(docs)
     ).localCheckpoint()
+    # each pair frame feeds BOTH sym() branches — without a barrier
+    # the banded self-join lineage executes twice per modality
+    # (Catalyst shares no exchange across unionAll consumers, the
+    # a_bitmap_* lesson): measured 37.6 -> ~13 s at the 30x stress
+    # scale with the three checkpoints
     ipairs = _banded_hamming_pairs(iph, "phash", max_hamming=6).select(
         "doc_a", "doc_b"
-    )
+    ).localCheckpoint()
     apairs = _banded_hamming_pairs(afp, "afp", max_hamming=6).select(
         "doc_a", "doc_b"
-    )
+    ).localCheckpoint()
     ex_raw = dedup.shingle_rows(docs, "doc_id", "text", 3).localCheckpoint()
     hubs = (
         ex_raw.groupBy("s")
@@ -4924,7 +4937,7 @@ def eval_crossmodal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = ex_raw.join(F.broadcast(hubs), "s", "left_anti").localCheckpoint()
     tpairs = dedup.ngram_jaccard_pairs(
         docs, threshold=0.9, round_digits=None, exploded=ex
-    ).select("doc_a", "doc_b")
+    ).select("doc_a", "doc_b").localCheckpoint()
 
     def sym(p: DataFrame, t: int, i: int, a: int) -> DataFrame:
         flags = [
@@ -4983,6 +4996,188 @@ def eval_crossmodal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("img_audio_permille"),
         (F.col("n_image_audio") > 0).alias("cross_confirmed"),
     ).orderBy("doc_id")
+
+
+DEDUP_PR_ORACLE = (
+    r"""
+WITH ttok AS (
+  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+marked AS (
+  SELECT doc_id, source,
+         CASE WHEN toks[len(toks)] = 'dup' THEN 1 ELSE 0 END AS is_dup
+  FROM ttok
+),
+tshing AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                      i -> array_to_string(toks[i:i+2], ' ')))
+           AS sh
+  FROM ttok
+),
+tex AS (SELECT doc_id, unnest(sh) AS s FROM tshing),
+thub AS (SELECT s FROM tex GROUP BY s HAVING count(*) > __SHINGLE_DF_CAP__),
+texc AS (SELECT doc_id, s FROM tex ANTI JOIN thub USING (s)),
+tsizes AS (SELECT doc_id, count(*) AS n_sh FROM texc GROUP BY doc_id),
+tinter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM texc a JOIN texc b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+tpairs AS MATERIALIZED (
+  SELECT doc_a, doc_b
+  FROM tinter
+  JOIN tsizes sa ON sa.doc_id = doc_a
+  JOIN tsizes sb ON sb.doc_id = doc_b
+  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.9
+),
+dropped AS (SELECT DISTINCT doc_b AS doc_id FROM tpairs),
+paired AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM tpairs
+    UNION ALL SELECT doc_b FROM tpairs)
+),
+flags AS (
+  SELECT m.source, m.is_dup,
+         CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dropped,
+         CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_paired
+  FROM marked m
+  LEFT JOIN dropped d ON d.doc_id = m.doc_id
+  LEFT JOIN paired p ON p.doc_id = m.doc_id
+),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(is_dup) AS BIGINT) AS n_marked,
+         CAST(sum(is_dropped) AS BIGINT) AS n_dropped,
+         CAST(sum(is_dup * is_dropped) AS BIGINT) AS tp,
+         CAST(sum(is_dup * is_paired) AS BIGINT) AS n_marked_paired
+  FROM flags GROUP BY source
+)
+SELECT source, n_docs, n_marked, n_dropped, tp,
+       CASE WHEN n_dropped = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((1000 * tp) // n_dropped AS BIGINT)
+       END AS precision_permille,
+       CASE WHEN n_marked = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((1000 * tp) // n_marked AS BIGINT)
+       END AS recall_permille,
+       CASE WHEN n_dropped + n_marked = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((2000 * tp) // (n_dropped + n_marked) AS BIGINT)
+       END AS f1_permille,
+       CASE WHEN n_marked = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((1000 * n_marked_paired) // n_marked AS BIGINT)
+       END AS paired_recall_permille
+FROM agg
+ORDER BY source
+"""
+).replace("__SHINGLE_DF_CAP__", str(SHINGLE_DF_CAP))
+
+
+@register(
+    "eval_dedup_precision_recall",
+    oracle=DEDUP_PR_ORACLE,
+    tags=("LLM-dedup", "ML"),
+)
+def eval_dedup_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality eval against labeled ground truth — completes
+    the eval family (retrieval: ivfpq/bm25 MRR+recall; classifier:
+    AUC+ECE; dedup: THIS): the fixture marks near-dup copies with a
+    trailing 'dup' token, so precision/recall of the production drop
+    rule are computable with no human labels. The SYSTEM is the
+    capstones' own text stage (df-capped exact 3-gram Jaccard >= 0.9,
+    greedy keep-lowest: drop every doc_b) scored per source against
+    the marker: tp / precision / recall / F1 as integer permille
+    (floor divisions, zero-guarded identically in both engines).
+
+    Two recall notions are emitted deliberately: drop-set recall
+    (did the greedy rule drop the marked doc?) and PAIRED recall
+    (did the pair stage surface the marked doc in ANY pair?). On the
+    fixture they diverge sharply — pair coverage is high while
+    drop-direction precision is ~460 permille, because greedy
+    keep-lowest drops the BASE doc whenever the marked copy drew the
+    lower id — exactly the audit finding (keep-lowest is id-biased,
+    not quality- or label-aware) this eval exists to surface;
+    dedup_keep_best_quality is the repo's remedy operator.
+
+    Scale shape: one shingle pass + the df-capped pair self-join
+    (bounded at cap^2 * |shingle space| on any vocabulary — the
+    measured lsh_mid bound), the pair frame localCheckpointed before
+    its two consumers (drop-set + paired-set — the r11 two-branch
+    lesson); flags ride two id-keyed left joins; output is
+    source-cardinality-sized. All metrics integer-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    marked = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.element_at(toks, F.size(toks)) == "dup", F.lit(1)
+        ).otherwise(F.lit(0)).alias("is_dup"),
+    )
+    ex_raw = dedup.shingle_rows(docs, "doc_id", "text", 3).localCheckpoint()
+    hubs = (
+        ex_raw.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("s")
+    )
+    ex = ex_raw.join(F.broadcast(hubs), "s", "left_anti").localCheckpoint()
+    tpairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.9, round_digits=None, exploded=ex
+    ).select("doc_a", "doc_b").localCheckpoint()
+    dropped = tpairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    paired = (
+        tpairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(tpairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    flags = (
+        marked.join(dropped.withColumn("dflag", F.lit(1)), "doc_id", "left")
+        .join(paired.withColumn("pflag", F.lit(1)), "doc_id", "left")
+        .select(
+            "source",
+            "is_dup",
+            F.coalesce("dflag", F.lit(0)).alias("is_dropped"),
+            F.coalesce("pflag", F.lit(0)).alias("is_paired"),
+        )
+    )
+    agg = flags.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_marked"),
+        F.sum("is_dropped").cast("long").alias("n_dropped"),
+        F.sum(F.col("is_dup") * F.col("is_dropped")).cast("long").alias("tp"),
+        F.sum(F.col("is_dup") * F.col("is_paired"))
+        .cast("long")
+        .alias("n_marked_paired"),
+    )
+
+    def permille(num, den):
+        return (
+            F.when(den == 0, F.lit(0).cast("long"))
+            .otherwise(F.expr(num).cast("long"))
+        )
+
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_marked",
+        "n_dropped",
+        "tp",
+        permille("(1000 * tp) div n_dropped", F.col("n_dropped")).alias(
+            "precision_permille"
+        ),
+        permille("(1000 * tp) div n_marked", F.col("n_marked")).alias(
+            "recall_permille"
+        ),
+        permille(
+            "(2000 * tp) div (n_dropped + n_marked)",
+            F.col("n_dropped") + F.col("n_marked"),
+        ).alias("f1_permille"),
+        permille(
+            "(1000 * n_marked_paired) div n_marked", F.col("n_marked")
+        ).alias("paired_recall_permille"),
+    ).orderBy("source")
 
 
 ASOF_NEAREST_ORACLE = """

@@ -218,8 +218,17 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     # w_rolling_median + a_percentile_partial_rollup + the Theil-Sen
     # half of a_trend_mann_kendall).
     "curation_t_closeness",
-    # joins / temporal (inbound)
-    "j_bloom_prefilter",
+    # --- r11 rotation, dedup-eval tier (1-for-1, pre-freeze three-SF
+    # bare-session strict-verified): dedup precision/recall against
+    # the fixture's own dup-marker ground truth — completes the eval
+    # family (retrieval MRR/recall, classifier AUC/ECE, now dedup
+    # P/R/F1); surfaces the id-bias of greedy keep-lowest (corpus
+    # precision ~458 permille while PAIRED recall is 1000 — the pair
+    # stage finds every marked doc, the drop direction loses half).
+    # Displaced: j_bloom_prefilter (green r6-r10; the join family
+    # keeps q4_semi_join_form + sub_quantified_anyall +
+    # j_range_bands_bucketed + asof_nearest_attribution in-window).
+    "eval_dedup_precision_recall",
     "asof_nearest_attribution",
     # --- r8 rotation (steady state, 2-for-2; full record in
     # COVERAGE.md): the bucketized range-join scale form (the single

@@ -662,3 +662,70 @@ def test_crossmodal_consistency_ties_to_per_modality_entries(spark):
     assert (res["img_audio_permille"] == 1000).any()
     assert (res["img_audio_permille"] < 1000).any()
     assert (res["n_text_partners"] > 0).any()
+
+
+def test_dedup_precision_recall_matches_python_reference(spark):
+    """Independent pure-Python recomputation of the dedup P/R eval at
+    sf0.001: df-capped distinct 3-gram shingles -> exact pairwise
+    Jaccard >= 0.9 -> greedy doc_b drops vs the trailing-'dup' marker,
+    per-source confusion and permille metrics — so the Spark form and
+    the DuckDB oracle cannot share a structural bug."""
+    import re as _re
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    import pandas as pd
+
+    from sql_engine_triangle_spark.queries.llm_ops import SHINGLE_DF_CAP
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    sh = {}
+    marked = {}
+    src = {}
+    for r in docs.itertuples():
+        ts = _re.split(r"\s+", str(r.text).strip().lower())
+        marked[r.doc_id] = 1 if ts[-1] == "dup" else 0
+        src[r.doc_id] = r.source
+        n = max(len(ts) - 2, 1)
+        sh[r.doc_id] = {" ".join(ts[i : i + 3]) for i in range(n)}
+
+    df_ct = Counter(s for ss in sh.values() for s in ss)
+    hubs = {s for s, c in df_ct.items() if c > SHINGLE_DF_CAP}
+    capped = {d: {s for s in ss if s not in hubs} for d, ss in sh.items()}
+    post = defaultdict(list)
+    for d, ss in capped.items():
+        for s in ss:
+            post[s].append(d)
+    inter = Counter()
+    for s, ds in post.items():
+        for a, b in combinations(sorted(ds), 2):
+            inter[(a, b)] += 1
+    dropped, paired = set(), set()
+    for (a, b), i in inter.items():
+        if i / (len(capped[a]) + len(capped[b]) - i) >= 0.9:
+            dropped.add(b)
+            paired.update((a, b))
+
+    conf = defaultdict(lambda: [0, 0, 0, 0, 0])  # n, marked, dropped, tp, mp
+    for d in marked:
+        c = conf[src[d]]
+        c[0] += 1
+        c[1] += marked[d]
+        c[2] += 1 if d in dropped else 0
+        c[3] += 1 if (marked[d] and d in dropped) else 0
+        c[4] += 1 if (marked[d] and d in paired) else 0
+
+    res = registry.get("eval_dedup_precision_recall").fn(spark, sf).collect()
+    assert len(res) == len(conf)
+    for r in res:
+        n, m, dr, tp, mp = conf[r.source]
+        assert (r.n_docs, r.n_marked, r.n_dropped, r.tp) == (n, m, dr, tp), r.source
+        assert r.precision_permille == (1000 * tp // dr if dr else 0)
+        assert r.recall_permille == (1000 * tp // m if m else 0)
+        assert r.f1_permille == (2000 * tp // (dr + m) if dr + m else 0)
+        assert r.paired_recall_permille == (1000 * mp // m if m else 0)
+    # the audit's headline finding is non-vacuous on the fixture:
+    # pair coverage beats drop-direction recall somewhere
+    tot = [sum(c[i] for c in conf.values()) for i in range(5)]
+    assert tot[4] > tot[3]

@@ -118,6 +118,9 @@ ALLOWED_NESTED_LOOP = {
     # 1-row broadcast of the (n_docs, l_tot) scalar frame onto the
     # query-term postings (a_heavy_hitters mold).
     "text_bm25_topk",
+    # 1-row broadcast of the (n_tok, v_tok) training-totals frame
+    # onto the scored bigrams (a_heavy_hitters mold).
+    "text_lm_stupid_backoff",
     # 1-row broadcast of the decode-certification flag onto the pair
     # set (q4_approx_percentiles validation-form mold).
     "dedup_image_phash",
