@@ -188,6 +188,31 @@ ENTRIES: dict[str, tuple[list[int], str]] = {
         "by the ubiquitous-term cut (df <= max(256, n/10)): expect "
         "~linear in documents.",
     ),
+    # r11 extension tier: the remaining top-25-bench entries without
+    # a direct SCALING row (each previously argued via a measured
+    # structural twin; now measured directly).
+    "dedup_minhash_lsh": (
+        DEFAULT_SCALES,
+        "the banded-LSH production pair generator at threshold 0.9 "
+        "(equality-with-exact validation form): banding + bucket join "
+        "— the stage lsh_mid embeds; expect its sublinear shape.",
+    ),
+    "dedup_incremental": (
+        DEFAULT_SCALES,
+        "new-batch-vs-corpus asymmetric LSH probe (md5-bucket split): "
+        "the single-probe core of pipeline_incremental_admission "
+        "(measured 0.34/0.34); expect the same.",
+    ),
+    "pipeline_quality_dup_calibration": (
+        DEFAULT_SCALES,
+        "banded pair yield histogram x quality-gate join: "
+        "pair-count-sized aggs over the measured LSH stage.",
+    ),
+    "dedup_pair_histogram": (
+        DEFAULT_SCALES,
+        "banded-pair Jaccard-decile histogram — pair-count-sized, "
+        "expect the LSH stage's shape.",
+    ),
     # r11 tier: the three new entries.
     "eval_dedup_precision_recall": (
         DEFAULT_SCALES,
@@ -236,6 +261,12 @@ OPENVOCAB_ENTRIES = {
 # the sum(deg^2) wedge bound assumes), per the measure-both lesson
 # from the openvocab work.
 EVENTS_ENTRIES = {
+    "graph_pagerank": (
+        DEFAULT_SCALES,
+        "iterative scatter power-iteration over the closed-domain "
+        "transition graph: domain-bounded rank frame, fixed rounds — "
+        "expect flat (r11 extension tier).",
+    ),
     "graph_jaccard_neighbors": (
         DEFAULT_SCALES,
         "closed k-domain: graph saturates to ~K_100, wedge stage "
@@ -296,6 +327,12 @@ PARTOK_ENTRIES = {
 }
 
 OPENK_ENTRIES = {
+    "graph_pagerank": (
+        DEFAULT_SCALES,
+        "natural-graph regime (nodes ∝ n, constant degree): per-round "
+        "edge-scatter join is node-partitioned; rank frame ∝ n — "
+        "expect ~linear per fixed round count (r11 extension tier).",
+    ),
     "graph_jaccard_neighbors": (
         DEFAULT_SCALES,
         "constant-degree regime: wedge rows ∝ n (V*d^2/2 — 5M at 1x, "

@@ -2955,8 +2955,10 @@ shing AS (
                                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
   FROM tok
 ),
-ex AS (SELECT doc_id, unnest(sh) AS s FROM shing),
-sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shing),
+ex0 AS (SELECT doc_id, unnest(sh) AS s FROM shing),
+hub AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) > __SHINGLE_DF_CAP__),
+ex AS (SELECT doc_id, s FROM ex0 ANTI JOIN hub USING (s)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -2969,7 +2971,7 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 GROUP BY 1
 ORDER BY band
-"""
+""".replace("__SHINGLE_DF_CAP__", str(SHINGLE_DF_CAP))
 
 
 @register("dedup_pair_histogram", oracle=PAIR_HISTOGRAM_ORACLE, tags=("LLM-dedup", "A5"))
@@ -2981,13 +2983,36 @@ def dedup_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     whether 0.5 or 0.8 is the right operating point). The band is
     computed as ``(inter*10) div union`` — INTEGER-exact, no float
     Jaccard near a decile edge can flip across engines (the
-    float-free lift discipline). Shape: one shingle pass, the
-    gram-key co-occurrence aggregation (map-side combined — the
-    dedup_common_spans scale argument: fan-out bounded by shingle
-    frequency, not corpus size), two broadcast-size joins, one
-    11-group rollup."""
+    float-free lift discipline).
+
+    De-weaked r11 (found by the extension measurement tier: the
+    UNCAPPED shingle self-join read tail 1.58 / 173 s at 30x — the
+    identical Σdf² class the r9 lsh_mid de-weak fixed): the
+    ubiquitous-shingle cut (df > SHINGLE_DF_CAP dropped, both
+    engines) bounds the co-occurrence join at cap² per shingle on
+    ANY vocabulary — and since every OPERATING entry (lsh_mid, the
+    capstones, drop-witness) thresholds over the capped universe,
+    the capped histogram is the distribution the operator actually
+    needs. Cut certified inactive on the driver fixture (max df 25
+    at sf0.1 — test_shingle_df_cap_inactive_on_fixture), so every
+    recorded driver row stands. Post-cap measured 4.6/3.5/5.0 s at
+    1/10/30x — FLAT (tail 0.31, from tail 1.58): on the closed-vocab
+    stress corpora the cut is genuinely active (most shingles are
+    corpus-ubiquitous — the lsh_mid capped-universe behavior,
+    deterministic and identical on both engines). Shape: one
+    shingle pass (checkpointed —
+    it feeds the hub cut, sizes, and both join sides), the gram-key
+    co-occurrence aggregation (map-side combined), two doc-keyed
+    joins, one 11-group rollup."""
     docs = load_table(spark, sf_dir, "documents")
-    exploded = dedup.shingle_rows(docs, "doc_id", "text", 3)
+    ex0 = dedup.shingle_rows(docs, "doc_id", "text", 3).localCheckpoint()
+    hubs = (
+        ex0.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("s")
+    )
+    exploded = ex0.join(F.broadcast(hubs), "s", "left_anti").localCheckpoint()
     sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = exploded.select(F.col("doc_id").alias("doc_a"), "s")
     b = exploded.select(F.col("doc_id").alias("doc_b"), "s")
