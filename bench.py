@@ -257,6 +257,14 @@ EXTRA = [
     "eval_crossmodal_consistency",
     # r11: dedup-quality eval against the dup-marker ground truth.
     "eval_dedup_precision_recall",
+    # r11 session-2 tier (pre-baseline rule — benched AND rotated the
+    # round they are built): temperature mixture allocation, DSIR
+    # importance selection, the trained odds-ratio quality filter,
+    # and the midrank-Spearman signal-agreement eval.
+    "sample_temperature_mixture",
+    "curation_dsir_importance",
+    "ml_odds_ratio_classifier",
+    "eval_rank_agreement",
     # dedup_keep_best_quality intentionally NOT benched: it is
     # dedup_clusters_lsh (iterative CC, also unbenched) + one window;
     # bench tracks the pair-generation scale path instead.

@@ -239,6 +239,33 @@ ENTRIES: dict[str, tuple[list[int], str]] = {
         "before sym() (without the barrier each banded self-join ran "
         "twice: 37.6 -> 27.1 s at 30x, measured r11).",
     ),
+    # r11 session-2 tier: the four data-mixture/eval entries, benched
+    # and rotated the round they are built.
+    "sample_temperature_mixture": (
+        DEFAULT_SCALES,
+        "lang-sized stats aggs + broadcast allocation + one "
+        "lang-partitioned selection window over doc rows: expect "
+        "~linear in documents (window shuffle dominates).",
+    ),
+    "curation_dsir_importance": (
+        DEFAULT_SCALES,
+        "bigram explode -> vocab-keyed ratio join + doc agg + the "
+        "banded two-phase global rank (score bands are bounded "
+        "metadata): expect ~linear in bigram rows.",
+    ),
+    "ml_odds_ratio_classifier": (
+        DEFAULT_SCALES,
+        "token explode -> one conditional-count training agg + "
+        "vocab-keyed scoring join on the held-out half + doc agg: "
+        "expect ~linear in token rows.",
+    ),
+    "eval_rank_agreement": (
+        DEFAULT_SCALES,
+        "two value-keyed count aggs (token-length support + the "
+        "0..1000 permille domain, bounded frames) broadcast back + "
+        "one global map-side-combinable agg: expect scan-flat to "
+        "~linear.",
+    ),
 }
 # Open-vocab variant (documents only, Heaps-law vocab growth) for the
 # entries whose closed-vocab exponent is a DATA property: the

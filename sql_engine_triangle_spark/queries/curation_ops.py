@@ -3620,3 +3620,333 @@ def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week", "bin")
     )
+
+
+#: Decision threshold on the mean token odds-ratio (ppm). A doc of
+#: pure class-neutral tokens scores ~1e6 (odds parity); the trailing
+#: 'dup' marker token (absent from every negative training doc)
+#: carries an odds ratio of ~1e6·c_dup·(nn+v)/(np+v), which lifts a
+#: marked doc's MEAN well above parity. Measured held-out separation
+#: on the fixture: negatives max ~1.10e6, positives min ~3.89e6 at
+#: every SF — the 2e6 cut sits in a >3x-wide margin.
+ODDS_CLS_THRESHOLD_PPM = 2_000_000
+
+ODDS_CLS_ORACLE = r"""
+WITH lab AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+ytok AS (
+  SELECT doc_id,
+         CASE WHEN toks[len(toks)] = 'dup' THEN 1 ELSE 0 END AS y,
+         unnest(toks) AS t
+  FROM lab
+),
+train AS (SELECT * FROM ytok WHERE doc_id % 2 = 0),
+c AS (
+  SELECT t,
+         CAST(sum(y) AS BIGINT) AS cpos,
+         CAST(sum(1 - y) AS BIGINT) AS cneg
+  FROM train GROUP BY t
+),
+tot AS (
+  SELECT CAST(sum(y) AS BIGINT) AS np,
+         CAST(sum(1 - y) AS BIGINT) AS nn,
+         CAST(count(DISTINCT t) AS BIGINT) AS v
+  FROM train
+),
+sc AS (
+  SELECT ytok.doc_id, ytok.y,
+         (1000000 * (COALESCE(c.cpos, 0) + 1) * (tot.nn + tot.v))
+           // ((COALESCE(c.cneg, 0) + 1) * (tot.np + tot.v)) AS q,
+         CASE WHEN COALESCE(c.cneg, 0) = 0 THEN 1 ELSE 0 END AS pos_only
+  FROM ytok
+  LEFT JOIN c ON c.t = ytok.t
+  CROSS JOIN tot
+  WHERE ytok.doc_id % 2 = 1
+),
+ds AS (
+  SELECT doc_id,
+         CAST(max(y) AS BIGINT) AS label,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(pos_only) AS BIGINT) AS n_pos_only_tokens,
+         CAST(CAST(sum(q) AS BIGINT) // count(*) AS BIGINT) AS score_ppm
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, label, n_tokens, n_pos_only_tokens, score_ppm,
+       score_ppm >= 2000000 AS pred
+FROM ds
+ORDER BY doc_id
+"""
+
+
+@register(
+    "ml_odds_ratio_classifier",
+    oracle=ODDS_CLS_ORACLE,
+    tags=("ML", "LLM-text"),
+)
+def ml_odds_ratio_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained text quality classifier, integer-exact: the
+    fastText-shaped filter of LLM data pipelines (train a cheap
+    linear classifier on labeled docs, score everything, keep above
+    a cut) as a quantized MEAN TOKEN ODDS-RATIO model. Labels are the
+    fixture's trailing-'dup' marker (the same ground-truth rule as
+    eval_dedup_precision_recall); training is the even-doc_id
+    partition, and ONLY held-out (odd) docs are scored, so the
+    smoothing branches see genuinely-unseen class counts.
+
+    Scoring is deliberately log-free so every value is a cleared
+    integer: per token, the add-one-smoothed class odds
+    q = (1e6·(cpos+1)·(nn+V)) div ((cneg+1)·(np+V)) — ppm of
+    P̂(t|pos)/P̂(t|neg) — and the doc score is the exact integer mean
+    sum(q) div n_tokens (sum-of-odds replaces NB's product: the
+    text_lm_stupid_backoff quantize-then-sum discipline; a product
+    would overflow and a log would be transcendental). The marker
+    token has cneg = 0 (pos_only — emitted per doc, nonzero exactly
+    on marked docs), giving it a ~1e6-scale odds ratio that dominates
+    the mean: measured held-out separation is total at every SF
+    (neg max ~1.10e6 vs pos min ~3.89e6), so the 2e6 threshold
+    classifies the held-out half perfectly — an honest property of
+    an injected, perfectly-discriminative marker, stated as such.
+
+    Overflow envelope (eval_bm25 discipline): the largest product is
+    1e6·(cpos+1)·(nn+V) ≤ 1e6·np·nn; at the 30x stress scale
+    np ≈ 3.8e5, nn ≈ 7.1e6 → ~9e16, inside BIGINT with ~100x margin;
+    past ~1e9 training tokens per class, drop LM-style to a sampled
+    training partition or lower the ppm scale. DuckDB's sum(q) is
+    HUGEINT → cast before the integer division (CLAUDE.md r5 trap).
+
+    Plan: ONE token explode feeds the training aggregation (single
+    groupBy with conditional sums — no second pass) and the held-out
+    scoring side; class totals ride a 1-row broadcast cross join;
+    the per-token join is a shuffle equi-join (vocab grows with the
+    corpus at 100 TB — broadcast would OOM); output is doc-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    ytok = docs.select(
+        "doc_id",
+        F.when(F.element_at(toks, F.size(toks)) == "dup", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("y"),
+        F.explode(toks).alias("t"),
+    )
+    train = ytok.filter(F.col("doc_id") % 2 == 0)
+    c = train.groupBy("t").agg(
+        F.sum("y").cast("long").alias("cpos"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("cneg"),
+    )
+    tot = train.agg(
+        F.sum("y").cast("long").alias("np"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("nn"),
+        F.countDistinct("t").cast("long").alias("v"),
+    )
+    sc = (
+        ytok.filter(F.col("doc_id") % 2 == 1)
+        .join(c, "t", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "y",
+            F.expr(
+                "(1000000 * (COALESCE(cpos, 0) + 1) * (nn + v))"
+                " div ((COALESCE(cneg, 0) + 1) * (np + v))"
+            ).alias("q"),
+            (F.coalesce(F.col("cneg"), F.lit(0)) == 0)
+            .cast("long")
+            .alias("pos_only"),
+        )
+    )
+    assert ODDS_CLS_THRESHOLD_PPM == 2_000_000  # mirrored in the oracle text
+    return (
+        sc.groupBy("doc_id")
+        .agg(
+            F.max("y").cast("long").alias("label"),
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("pos_only").cast("long").alias("n_pos_only_tokens"),
+            F.expr("sum(q) div count(*)").cast("long").alias("score_ppm"),
+        )
+        .withColumn("pred", F.col("score_ppm") >= F.lit(ODDS_CLS_THRESHOLD_PPM))
+        .orderBy("doc_id")
+    )
+
+
+DSIR_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+lab AS (
+  SELECT doc_id, toks,
+         CASE WHEN toks[len(toks)] = 'dup' THEN 1 ELSE 0 END AS marked
+  FROM tok
+),
+big AS (
+  SELECT doc_id, marked,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS f
+  FROM lab
+),
+c AS (
+  SELECT f,
+         CAST(count(*) AS BIGINT) AS craw,
+         CAST(sum(1 - marked) AS BIGINT) AS ctgt
+  FROM big GROUP BY f
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS nraw,
+         CAST(sum(1 - marked) AS BIGINT) AS ntgt,
+         CAST(count(DISTINCT f) AS BIGINT) AS v
+  FROM big
+),
+sc AS (
+  SELECT big.doc_id, big.marked,
+         (1000000 * (c.ctgt + 1) * (tot.nraw + tot.v))
+           // ((c.craw + 1) * (tot.ntgt + tot.v)) AS q
+  FROM big JOIN c USING (f) CROSS JOIN tot
+),
+ds AS (
+  SELECT doc_id,
+         CAST(max(marked) AS BIGINT) AS marked,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(CAST(sum(q) AS BIGINT) // count(*) AS BIGINT) AS score_ppm
+  FROM sc GROUP BY doc_id
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) // 4 AS b FROM ds),
+cum AS (
+  SELECT ds.*,
+         CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id) - 1
+              AS BIGINT) AS cum_before
+  FROM ds
+)
+SELECT doc_id, marked, n_bigrams, score_ppm, cum_before,
+       cum_before < (SELECT b FROM nd) AS selected
+FROM cum
+ORDER BY doc_id
+"""
+
+
+@register(
+    "curation_dsir_importance",
+    oracle=DSIR_ORACLE,
+    tags=("LLM-pipeline", "A5"),
+)
+def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped importance selection (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by how target-like its hashed n-gram feature
+    distribution is, then keep the top-B. Features are word bigrams
+    (the paper's hashed n-grams; the fixture's 31-token vocabulary
+    needs no hashing — at 100 TB, bucket f by a portable hash first);
+    the target distribution is the CLEAN partition (docs without the
+    trailing-'dup' marker — the labeled reference corpus), raw is the
+    whole corpus. Per feature, the smoothed importance ratio
+    q = (1e6·(c_tgt+1)·(N_raw+V)) div ((c_raw+1)·(N_tgt+V)) — ppm of
+    P̂_tgt(f)/P̂_raw(f) — and the doc weight is the exact integer mean
+    (the quantize-then-sum discipline: DSIR's log-sum is
+    transcendental, the linear-domain mean is hash-checkable; since
+    target ⊆ raw, q ≤ 1e6·(N_raw+V)/(N_tgt+V) ≈ 1.06e6 on the
+    fixture, so scores are bounded). Measured effect at every SF:
+    the top-quartile selection contains ZERO marked docs
+    (25/25/250 marked in-corpus) — the marker bigrams are the one
+    real distributional difference in the synthetic corpus and the
+    importance weights find exactly them.
+
+    The top-B cut needs a GLOBAL rank: built with the
+    pipeline_token_budget two-phase decomposition — row_numbers
+    inside score BANDS (score_ppm div 4096, monotone in the sort
+    key, ≤ ~260 bands at the fixture's ~1.06e6 score ceiling;
+    band count scales with N_raw/N_tgt, bounded metadata) plus
+    prefix-summed band offsets broadcast back. No document-scale
+    Exchange SinglePartition. B = n_docs div 4 rides a 1-row
+    broadcast. Overflow envelope: 1e6·(c_tgt+1)·(N_raw+V) at the 30x
+    stress scale is ~6e16 (c_tgt ≈ 8.2e3, N_raw ≈ 7.4e6), ~150x
+    inside BIGINT; past ~1e9 raw bigrams, hash-bucket features and
+    shard the ratio table."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    lab = (
+        docs.select("doc_id", toks.alias("toks"))
+        .repartition("doc_id")  # materialize toks once (shingle_rows lesson)
+        .select(
+            "doc_id",
+            F.when(
+                F.element_at(F.col("toks"), F.size("toks")) == "dup", F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("marked"),
+            "toks",
+        )
+    )
+    big = lab.select(
+        "doc_id",
+        "marked",
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(toks)),"
+                " i -> concat(toks[i-2], ' ', toks[i-1]))"
+            )
+        ).alias("f"),
+    )
+    c = big.groupBy("f").agg(
+        F.count("*").cast("long").alias("craw"),
+        F.sum(F.lit(1) - F.col("marked")).cast("long").alias("ctgt"),
+    )
+    tot = big.agg(
+        F.count("*").cast("long").alias("nraw"),
+        F.sum(F.lit(1) - F.col("marked")).cast("long").alias("ntgt"),
+        F.countDistinct("f").cast("long").alias("v"),
+    )
+    ds = (
+        big.join(c, "f")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "marked",
+            F.expr(
+                "(1000000 * (ctgt + 1) * (nraw + v))"
+                " div ((craw + 1) * (ntgt + v))"
+            ).alias("q"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("marked").cast("long").alias("marked"),
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.expr("sum(q) div count(*)").cast("long").alias("score_ppm"),
+        )
+        .withColumn("_band", F.expr("score_ppm div 4096"))
+        .localCheckpoint()  # two downstream consumers (rank + totals)
+    )
+    w_in = (
+        Window.partitionBy("_band")
+        .orderBy(F.desc("score_ppm"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ds.withColumn(
+        "_local_off", F.coalesce(F.count("*").over(w_in), F.lit(0))
+    )
+    totals = ds.groupBy("_band").agg(F.count("*").alias("_total"))
+    w_b = Window.orderBy(F.desc("_band")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_band",
+        F.coalesce(F.sum("_total").over(w_b), F.lit(0)).alias("_band_off"),
+    )
+    b = ds.agg(F.expr("count(*) div 4").alias("_b"))
+    return (
+        local.join(F.broadcast(offsets), "_band")
+        .withColumn(
+            "cum_before", (F.col("_band_off") + F.col("_local_off")).cast("long")
+        )
+        .join(F.broadcast(b))
+        .select(
+            "doc_id",
+            "marked",
+            "n_bigrams",
+            "score_ppm",
+            "cum_before",
+            (F.col("cum_before") < F.col("_b")).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )

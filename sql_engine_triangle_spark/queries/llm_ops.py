@@ -13,6 +13,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sql_engine_triangle_spark.catalog import load_table
 from sql_engine_triangle_spark.operators import (
@@ -1999,6 +2000,144 @@ def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(10000)
     )
     return docs.filter(bucket < rate).select("doc_id", "lang").orderBy("doc_id")
+
+
+#: Temperature-sampling budget: select half the corpus. The exact
+#: allocation machinery (isqrt weights, largest-remainder) is what
+#: the entry exists to exercise; B = n div 2 keeps every lang's
+#: quota strictly between 0 and n_lang on the fixture.
+TEMP_MIX_ALPHA_DOC = "alpha = 1/2 (isqrt weights)"
+
+SAMPLE_TEMP_ORACLE = """
+WITH lc AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, n,
+         CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wt
+  FROM lc
+),
+tot AS (
+  SELECT CAST(CAST(sum(n) AS BIGINT) // 2 AS BIGINT) AS b,
+         CAST(sum(wt) AS BIGINT) AS wsum
+  FROM w
+),
+quota AS (
+  SELECT lang, n, wt, b,
+         CAST((b * wt) // wsum AS BIGINT) AS q,
+         CAST((b * wt) % wsum AS BIGINT) AS rem
+  FROM w CROSS JOIN tot
+),
+qtot AS (SELECT CAST(sum(q) AS BIGINT) AS qsum FROM quota),
+alloc AS (
+  SELECT lang, n, wt,
+         CAST(q + CASE WHEN row_number()
+                            OVER (ORDER BY rem DESC, lang) <= b - qsum
+                       THEN 1 ELSE 0 END AS BIGINT) AS alloc
+  FROM quota CROSS JOIN qtot
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.lang,
+       a.n AS lang_n_docs,
+       a.wt AS lang_weight,
+       a.alloc AS lang_alloc,
+       CAST((1000 * a.alloc) // a.n AS BIGINT) AS lang_rate_permille
+FROM ranked r JOIN alloc a USING (lang)
+WHERE r.rk <= a.alloc
+ORDER BY r.doc_id
+"""
+
+
+@register(
+    "sample_temperature_mixture",
+    oracle=SAMPLE_TEMP_ORACLE,
+    tags=("LLM-pipeline", "A5"),
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling with EXACT integer quota
+    allocation — the UniMax / multilingual-T5 rebalancing step
+    (sample language l with probability ∝ n_l^α, α = 1/2) that the
+    fixed-rate entries (sample_stratified / sample_weighted_mix)
+    hard-code: here the rates are COMPUTED from the corpus. Weights
+    are integer square roots; a global budget B = n div 2 is split by
+    the largest-remainder (Hamilton) method: quota_l = (B·w_l) div W,
+    and the B − Σquota leftover seats go to the largest remainders
+    (ties broken by lang asc — exercised on the fixture: at sf0.001
+    three langs tie at rem = 22 for the 3rd seat). Each language then
+    contributes its alloc lowest doc_ids (deterministic, no rand()).
+    The fixture's skew makes the temperature visible: en samples at
+    ~36% while the low-resource langs sample at ~60%.
+
+    Integer-exactness of isqrt: floor(sqrt(CAST(n AS DOUBLE))) is
+    portable because IEEE sqrt is correctly rounded and, for
+    non-square n < 2^52, |sqrt(n) − round(sqrt(n))| ≥ 1/(2·sqrt(n)+1),
+    which exceeds half an ulp for sqrt(n) < 2^26 — no engine can land
+    on the wrong side of an integer. All quotas/remainders are BIGINT
+    floor-division/mod on positives (Spark div/% == DuckDB ///%).
+
+    Plan: one lang-cardinality aggregate (partial+final), two 1-row
+    totals riding broadcast cross joins, the remainder ranking a
+    window over the lang-sized frame (bounded single partition), and
+    per-lang row_number for the selection — the only doc-scale
+    shuffle is the lang-partitioned window. At 100 TB the selection
+    window partitions by lang; skewed langs amortize over AQE."""
+    docs = load_table(spark, sf_dir, "documents")
+    lc = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    w = lc.withColumn(
+        "wt", F.expr("CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)")
+    )
+    tot = w.agg(
+        F.expr("sum(n) div 2").cast("long").alias("b"),
+        F.sum("wt").cast("long").alias("wsum"),
+    )
+    quota = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        "wt",
+        "b",
+        F.expr("(b * wt) div wsum").cast("long").alias("q"),
+        F.expr("(b * wt) % wsum").cast("long").alias("rem"),
+    )
+    qtot = quota.agg(F.sum("q").cast("long").alias("qsum"))
+    alloc = (
+        quota.crossJoin(F.broadcast(qtot))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.col("rem").desc(), "lang")),
+        )
+        .select(
+            "lang",
+            "n",
+            "wt",
+            (
+                F.col("q")
+                + F.when(F.col("rk") <= F.col("b") - F.col("qsum"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+    )
+    ranked = docs.select("doc_id", "lang").withColumn(
+        "rk", F.row_number().over(Window.partitionBy("lang").orderBy("doc_id"))
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "lang")
+        .filter(F.col("rk") <= F.col("alloc"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n").alias("lang_n_docs"),
+            F.col("wt").alias("lang_weight"),
+            F.col("alloc").alias("lang_alloc"),
+            F.expr("(1000 * alloc) div n").cast("long").alias("lang_rate_permille"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 EMB_NORM_ORACLE = """
@@ -5388,4 +5527,149 @@ def text_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bpe_per_100w"),
         )
         .orderBy("doc_id")
+    )
+
+
+RANK_AGREE_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS a,
+         CAST((1000 * len(list_distinct(toks))) // len(toks) AS BIGINT) AS b
+  FROM tok WHERE len(toks) > 0
+),
+ra AS (
+  SELECT a,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(COALESCE(sum(count(*)) OVER (
+                ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) AS BIGINT) AS lt
+  FROM sig GROUP BY a
+),
+rb AS (
+  SELECT b,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(COALESCE(sum(count(*)) OVER (
+                ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) AS BIGINT) AS lt
+  FROM sig GROUP BY b
+),
+joined AS (
+  SELECT sig.doc_id,
+         (2 * ra.lt + ra.cnt + 1) AS r2a,
+         (2 * rb.lt + rb.cnt + 1) AS r2b
+  FROM sig JOIN ra USING (a) JOIN rb USING (b)
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum((r2a - r2b) * (r2a - r2b)) AS BIGINT) AS sum_d2
+  FROM joined
+)
+SELECT n,
+       (SELECT CAST(count(*) AS BIGINT) FROM ra) AS n_distinct_a,
+       (SELECT CAST(count(*) AS BIGINT) FROM rb) AS n_distinct_b,
+       sum_d2,
+       CAST(2 * n * (n * n - 1) - 3 * sum_d2 AS BIGINT) AS rho_num,
+       CAST(2 * n * (n * n - 1) AS BIGINT) AS rho_den,
+       CAST(2 * n * (n * n - 1) - 3 * sum_d2 AS DOUBLE)
+         / CAST(2 * n * (n * n - 1) AS DOUBLE) AS rho
+FROM agg
+"""
+
+
+@register(
+    "eval_rank_agreement",
+    oracle=RANK_AGREE_ORACLE,
+    tags=("ML", "LLM-text"),
+)
+def eval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank agreement between two quality signals — the eval that
+    tells a pipeline whether a cheap filter orders documents the same
+    way as an expensive one before swapping it in. Signals here:
+    document length (token count) vs type-token ratio (distinct
+    tokens permille — the repetition signal); on the fixture they are
+    strongly anti-correlated (rho ≈ −0.978 at every SF: the 31-token
+    vocabulary saturates, so longer docs repeat more).
+
+    Statistic: the textbook Spearman Σd² form computed on MIDRANKS
+    (average ranks for ties), exact: midranks are half-integers, so
+    the entry works in DOUBLED ranks r2 = 2·rank_avg = 2·|{<v}| +
+    cnt(v) + 1 (integers), where Σd² picks up a factor 4 and
+    rho = 1 − 3·Σd²/(2n(n²−1)) — emitted as the exact cleared
+    rational (rho_num, rho_den) plus the bit-identical IEEE quotient
+    (int/int division — the BM25 discipline). With ties this Σd² form
+    is the standard approximation to Pearson-on-midranks, stated as
+    such (the exact Pearson form needs n·Σr² ~ 4n⁴ intermediates —
+    BIGINT-overflows past ~60k docs, while this form survives to
+    ~1.3M; tie mass is emitted via n_distinct_a/b so a consumer can
+    judge the approximation). Overflow envelope: 2n(n²−1) ≤ 9.2e18
+    at n ≈ 1.66e6 docs; past that, evaluate on a sampled panel.
+
+    Plan: ranks are VALUE-keyed, not row-keyed — per-value counts
+    (bounded frames: token-length support and the 0..1000 permille
+    domain) get prefix-summed into |{<v}| over dimension-sized
+    windows, then broadcast-join back to rows. No document-scale
+    Exchange SinglePartition anywhere; one map-side-combinable final
+    aggregate. Output is ONE row."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    sig = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("a"),
+            F.expr(
+                "CAST((1000 * size(array_distinct(toks)))"
+                " div size(toks) AS BIGINT)"
+            ).alias("b"),
+        )
+    )
+
+    def doubled_ranks(col: str) -> DataFrame:
+        counts = sig.groupBy(col).agg(F.count("*").cast("long").alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return counts.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+                + F.col("cnt")
+                + 1
+            ).alias(f"r2{col}"),
+            F.lit(1).alias(f"one_{col}"),
+        )
+
+    ra, rb = doubled_ranks("a"), doubled_ranks("b")
+    na = ra.agg(F.count("*").cast("long").alias("n_distinct_a"))
+    nb = rb.agg(F.count("*").cast("long").alias("n_distinct_b"))
+    agg = (
+        sig.join(F.broadcast(ra.drop("one_a")), "a")
+        .join(F.broadcast(rb.drop("one_b")), "b")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum((F.col("r2a") - F.col("r2b")) * (F.col("r2a") - F.col("r2b")))
+            .cast("long")
+            .alias("sum_d2"),
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n",
+            "n_distinct_a",
+            "n_distinct_b",
+            "sum_d2",
+            F.expr("2 * n * (n * n - 1) - 3 * sum_d2")
+            .cast("long")
+            .alias("rho_num"),
+            F.expr("2 * n * (n * n - 1)").cast("long").alias("rho_den"),
+            F.expr(
+                "CAST(2 * n * (n * n - 1) - 3 * sum_d2 AS DOUBLE)"
+                " / CAST(2 * n * (n * n - 1) AS DOUBLE)"
+            ).alias("rho"),
+        )
     )

@@ -153,10 +153,28 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     # maint_partition_skew_report).
     "sub_quantified_anyall",
     "a_cms_partial_rollup",
-    "curation_k_anonymity",
-    "emb_dim_stats",
-    "w_pattern_match_regex",
-    "w_rolling_median",
+    # --- r11 session-2 rotation, data-mixture tier (4-for-4,
+    # pre-freeze three-SF bare-session strict-verified; full record
+    # in COVERAGE.md). In: sample_temperature_mixture (UniMax
+    # temperature rebalancing with exact isqrt weights + Hamilton
+    # largest-remainder seats — the remainder TIE-BREAK is exercised
+    # at sf0.001), curation_dsir_importance (DSIR-shaped importance
+    # resampling toward the clean partition; top-quartile via the
+    # banded two-phase global rank; zero marked docs selected at
+    # every SF), ml_odds_ratio_classifier (trained quality filter:
+    # quantized mean token odds-ratio, held-out scoring, total
+    # separation measured at every SF), eval_rank_agreement (midrank
+    # Spearman between length and type-token ratio as an exact
+    # cleared rational; rho ~ -0.978). Displaced (all green r8-r11,
+    # families stay represented): curation_k_anonymity (governance
+    # keeps l_diversity + t_closeness), emb_dim_stats (embeddings
+    # keep semantic_arrow + both ivfpq entries + power_iteration +
+    # mmr), w_pattern_match_regex and w_rolling_median (window family
+    # keeps sessionize + scd2 + cusum + holt).
+    "sample_temperature_mixture",
+    "curation_dsir_importance",
+    "ml_odds_ratio_classifier",
+    "eval_rank_agreement",
     "graph_jaccard_neighbors",
     "graph_label_propagation",
     "maint_data_quality_checks",

@@ -650,3 +650,132 @@ def test_ivfpq_matches_independent_numpy_pipeline(spark):
     assert got == expect
     # the probe constraint is real: every hit lives in a probed cell
     assert {cc for _, cc, _ in got} <= {int(c) for c in probed}
+
+
+def test_odds_ratio_classifier_matches_python_reference(spark):
+    """Independent pure-Python recomputation of the quantized mean
+    odds-ratio classifier at sf0.001: even-doc training counts,
+    add-one smoothed integer odds per token, exact mean, threshold.
+    Also pins the measured fixture property the docstring claims:
+    held-out separation is total (pred == label on every odd doc),
+    and pos_only tokens appear exactly on marked docs."""
+    import re as _re
+    from collections import Counter
+
+    import pandas as pd
+
+    from sql_engine_triangle_spark.queries.curation_ops import (
+        ODDS_CLS_THRESHOLD_PPM,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    toks = {
+        r.doc_id: _re.split(r"\s+", str(r.text).strip().lower())
+        for r in docs.itertuples()
+    }
+    y = {d: 1 if ts[-1] == "dup" else 0 for d, ts in toks.items()}
+    cpos, cneg = Counter(), Counter()
+    np_ = nn = 0
+    vocab = set()
+    for d, ts in toks.items():
+        if d % 2 != 0:
+            continue
+        vocab.update(ts)
+        for t in ts:
+            if y[d]:
+                cpos[t] += 1
+                np_ += 1
+            else:
+                cneg[t] += 1
+                nn += 1
+    v = len(vocab)
+
+    expect = {}
+    for d, ts in toks.items():
+        if d % 2 != 1:
+            continue
+        qs = [
+            (1_000_000 * (cpos[t] + 1) * (nn + v))
+            // ((cneg[t] + 1) * (np_ + v))
+            for t in ts
+        ]
+        pos_only = sum(1 for t in ts if cneg[t] == 0)
+        score = sum(qs) // len(qs)
+        expect[d] = (
+            y[d],
+            len(ts),
+            pos_only,
+            score,
+            score >= ODDS_CLS_THRESHOLD_PPM,
+        )
+
+    res = registry.get("ml_odds_ratio_classifier").fn(spark, sf).collect()
+    got = {
+        r.doc_id: (r.label, r.n_tokens, r.n_pos_only_tokens, r.score_ppm, r.pred)
+        for r in res
+    }
+    assert got == expect
+    assert all(bool(lab) == pred for lab, _, _, _, pred in got.values())
+    assert any(lab == 1 for lab, *_ in got.values())
+    for lab, _, pos_only, _, _ in got.values():
+        assert (pos_only > 0) == (lab == 1)
+
+
+def test_dsir_importance_matches_python_reference(spark):
+    """Independent pure-Python recomputation of the DSIR importance
+    selection at sf0.001 (bigram ratio table, exact integer means,
+    top-quartile by (score DESC, doc_id)) — and the measured marker
+    avoidance: ZERO marked docs inside the selected quartile."""
+    import re as _re
+    from collections import Counter
+
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    toks = {
+        r.doc_id: _re.split(r"\s+", str(r.text).strip().lower())
+        for r in docs.itertuples()
+    }
+    marked = {d: 1 if ts[-1] == "dup" else 0 for d, ts in toks.items()}
+    craw, ctgt = Counter(), Counter()
+    nraw = ntgt = 0
+    for d, ts in toks.items():
+        for f in (f"{a} {b}" for a, b in zip(ts, ts[1:])):
+            craw[f] += 1
+            nraw += 1
+            if not marked[d]:
+                ctgt[f] += 1
+                ntgt += 1
+    v = len(craw)
+
+    score, nb = {}, {}
+    for d, ts in toks.items():
+        fs = [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+        if not fs:
+            continue
+        qs = [
+            (1_000_000 * (ctgt[f] + 1) * (nraw + v))
+            // ((craw[f] + 1) * (ntgt + v))
+            for f in fs
+        ]
+        score[d] = sum(qs) // len(qs)
+        nb[d] = len(fs)
+    order = sorted(score, key=lambda d: (-score[d], d))
+    b = len(order) // 4
+    cum = {d: i for i, d in enumerate(order)}
+
+    res = registry.get("curation_dsir_importance").fn(spark, sf).collect()
+    got = {
+        r.doc_id: (r.marked, r.n_bigrams, r.score_ppm, r.cum_before, r.selected)
+        for r in res
+    }
+    expect = {
+        d: (marked[d], nb[d], score[d], cum[d], cum[d] < b) for d in score
+    }
+    assert got == expect
+    sel = [d for d, r in got.items() if r[4]]
+    assert len(sel) == b
+    assert sum(marked[d] for d in sel) == 0, "selection must avoid marked docs"
+    assert sum(marked.values()) > 0

@@ -729,3 +729,97 @@ def test_dedup_precision_recall_matches_python_reference(spark):
     # pair coverage beats drop-direction recall somewhere
     tot = [sum(c[i] for c in conf.values()) for i in range(5)]
     assert tot[4] > tot[3]
+
+
+def test_temperature_mixture_matches_python_reference(spark):
+    """Independent pure-Python recomputation of the UniMax-style
+    temperature allocation at sf0.001: math.isqrt weights, Hamilton
+    largest-remainder seats with the (rem DESC, lang ASC) tie-break,
+    then the alloc lowest doc_ids per lang. sf0.001 is the round
+    where three langs tie at the same remainder for the last seat —
+    the tie-break is load-bearing, not decorative."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    n_by_lang = Counter(docs["lang"])
+    total = sum(n_by_lang.values())
+    b = total // 2
+    wt = {l: math.isqrt(n) for l, n in n_by_lang.items()}
+    wsum = sum(wt.values())
+    quota = {l: (b * w) // wsum for l, w in wt.items()}
+    rem = {l: (b * w) % wsum for l, w in wt.items()}
+    leftover = b - sum(quota.values())
+    assert leftover > 0, "largest-remainder branch must be exercised"
+    order = sorted(n_by_lang, key=lambda l: (-rem[l], l))
+    alloc = {
+        l: quota[l] + (1 if i < leftover else 0) for i, l in enumerate(order)
+    }
+    # the fixture's three-way remainder tie makes lang order decisive
+    assert len({rem[l] for l in n_by_lang}) < len(n_by_lang)
+    expect = set()
+    for lang, grp in docs.groupby("lang"):
+        ids = sorted(grp["doc_id"])[: alloc[lang]]
+        expect.update((int(i), lang) for i in ids)
+
+    res = registry.get("sample_temperature_mixture").fn(spark, sf).collect()
+    got = {(r.doc_id, r.lang) for r in res}
+    assert got == expect
+    for r in res:
+        assert r.lang_n_docs == n_by_lang[r.lang]
+        assert r.lang_weight == wt[r.lang]
+        assert r.lang_alloc == alloc[r.lang]
+        assert r.lang_rate_permille == 1000 * alloc[r.lang] // n_by_lang[r.lang]
+    # the temperature is visible: the dominant lang samples at a
+    # strictly lower rate than every low-resource lang
+    rates = {r.lang: r.lang_rate_permille for r in res}
+    dom = max(n_by_lang, key=lambda l: (n_by_lang[l], l))
+    assert all(rates[dom] < v for l, v in rates.items() if l != dom)
+
+
+def test_rank_agreement_matches_python_reference(spark):
+    """Independent pure-Python midrank Spearman at sf0.001 (doubled
+    ranks, exact cleared rational) — and the signals must genuinely
+    disagree in order (rho strongly negative) with real tie mass on
+    both sides."""
+    import re as _re
+
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    sig = []
+    for r in docs.itertuples():
+        ts = _re.split(r"\s+", str(r.text).strip().lower())
+        if not ts:
+            continue
+        sig.append((len(ts), 1000 * len(set(ts)) // len(ts)))
+
+    def doubled_ranks(vals):
+        from collections import Counter
+
+        cnt = Counter(vals)
+        lt, seen = {}, 0
+        for v in sorted(cnt):
+            lt[v] = seen
+            seen += cnt[v]
+        return {v: 2 * lt[v] + cnt[v] + 1 for v in cnt}
+
+    ra = doubled_ranks([a for a, _ in sig])
+    rb = doubled_ranks([b for _, b in sig])
+    n = len(sig)
+    sum_d2 = sum((ra[a] - rb[b]) ** 2 for a, b in sig)
+    rho_num = 2 * n * (n * n - 1) - 3 * sum_d2
+    rho_den = 2 * n * (n * n - 1)
+
+    row = registry.get("eval_rank_agreement").fn(spark, sf).collect()[0]
+    assert (row.n, row.sum_d2) == (n, sum_d2)
+    assert (row.rho_num, row.rho_den) == (rho_num, rho_den)
+    assert row.rho == rho_num / rho_den
+    assert (row.n_distinct_a, row.n_distinct_b) == (len(ra), len(rb))
+    # real ties on both signals, and strong anti-correlation
+    assert len(ra) < n and len(rb) < n
+    assert row.rho < -0.9

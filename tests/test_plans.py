@@ -161,6 +161,19 @@ ALLOWED_NESTED_LOOP = {
     "pipeline_quality_dup_calibration",
     # 1-row broadcast boundary + total frames onto the 10-row curve.
     "pipeline_token_lorenz",
+    # 1-row broadcast budget/weight-sum totals onto the lang-sized
+    # allocation frame, then the bounded alloc table broadcast onto
+    # doc rows (equi-join — only the totals are nested-loop).
+    "sample_temperature_mixture",
+    # 1-row broadcast corpus totals (N_raw/N_tgt/V) onto the bigram
+    # ratio join; 1-row budget onto the banded rank output.
+    "curation_dsir_importance",
+    # 1-row broadcast class totals (np/nn/V) onto the held-out
+    # scoring join.
+    "ml_odds_ratio_classifier",
+    # 1-row broadcast distinct-value counts onto the 1-row Spearman
+    # aggregate (1 x 1 by construction).
+    "eval_rank_agreement",
 }
 
 
