@@ -406,9 +406,17 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     candidate_filtered_verify: bool = False,
     exploded: DataFrame | None = None,
+    checkpoint_aggs: bool = True,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
     ``exploded`` as in ngram_jaccard_pairs (shared shingle pass).
+
+    ``checkpoint_aggs`` lazily checkpoints the two bounded per-doc
+    aggregates (signatures, shingle sets) that otherwise plan once
+    per consumer — see the inline notes. Callers embedding this
+    generator in a larger multi-stage plan can pass False when their
+    own barriers make the extra materialization jobs net-negative
+    (measured per call site in the r11 optimization round).
 
     Pipeline: signatures → per-band bucket key (xxhash64 of the band's
     rows) → explode bands → candidate pairs from bucket equi-join →
@@ -439,9 +447,19 @@ def minhash_lsh_pairs(
     if exploded is None:
         exploded = shingle_rows(docs, id_col, text_col, n)
     sig_agg = exploded.groupBy("doc_id").agg(*_minhash_min_cols(num_perms))
+    # Lazy-checkpoint the per-doc signature frame (|docs| rows × 64
+    # ints — bounded metadata): the band self-join's two sides are
+    # DIFFERENT subtrees to Catalyst (one feeds the probe, one the
+    # broadcast build), so without the barrier the whole
+    # scan→tokenize→explode→64-min aggregation runs TWICE per action
+    # (r11 optimization round, measured in the *_before plan: nodes
+    # (1-9)/(10-18) duplicated). eager=False defers materialization
+    # to the first action, so plan construction stays job-free.
     sigs = sig_agg.select(
         "doc_id", F.array(*[F.col(f"m{p}") for p in range(num_perms)]).alias("sig")
     )
+    if checkpoint_aggs:
+        sigs = sigs.localCheckpoint(eager=False)
     band_keys = _band_keys_expr(bands, rows)
     # Candidate generation on bare ids only — the shingle arrays are
     # joined back AFTER pair dedup so the band self-join and the
@@ -468,7 +486,15 @@ def minhash_lsh_pairs(
             .distinct()
         )
         verify_src = verify_src.join(F.broadcast(cand_ids), "doc_id", "semi")
+    # Same duplicated-consumer fix for the verify side: sh feeds both
+    # the doc_a and the doc_b join, and Catalyst plans the collect_set
+    # aggregation once per consumer (nodes (24-31)/(34-41) in the
+    # before plan) — the shingle-set frame is |docs| rows of ~100
+    # short strings, bounded, so one lazy materialization replaces a
+    # second full scan→explode→collect_set pass.
     sh = verify_src.groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
+    if checkpoint_aggs:
+        sh = sh.localCheckpoint(eager=False)
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -99,62 +99,86 @@ def connected_components_star(
     )
     if not e.head(1):
         return e.select(F.col("u").alias("vid"), F.col("v").alias("component"))
-    # symmetric representation: both directions present
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    sym = sym.localCheckpoint()
+    # CANONICAL DIRECTED state (r11 optimization round): the round
+    # state is kept as "down" edges (v < u on every row) instead of
+    # the symmetric set. Both stars' outputs are down-form by
+    # construction — large-star attaches strictly-larger neighbors to
+    # a hub that is <= u, small-star attaches smaller neighbors (and
+    # u) to the minimum of the smaller neighborhood — so the previous
+    # union(swap).distinct() after EACH star re-shuffled 2x rows per
+    # round for nothing. The symmetric view large-star needs is
+    # rebuilt as a free union of the two disjoint directions (down is
+    # distinct and the directions cannot collide, so no distinct is
+    # needed). Two exchanges per round are removed; every
+    # intermediate halves. Output values are unchanged: the final
+    # aggregation below runs on the reconstructed symmetric set,
+    # exactly the original expression.
+    down = (
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
 
-    def signature(sym_edges: DataFrame) -> tuple:
-        canon = sym_edges.filter(F.col("u") < F.col("v"))
-        row = canon.agg(
+    def _sym(down_edges: DataFrame) -> DataFrame:
+        return down_edges.union(
+            down_edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    def signature(down_edges: DataFrame) -> tuple:
+        # canonical pair of a down edge (u, v) with v < u is (v, u) —
+        # same hash stream as the historical sym.filter(u < v) form.
+        row = down_edges.agg(
             F.count("*").alias("n"),
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+            F.sum(F.xxhash64("v", "u").cast("decimal(38,0)")).alias("h"),
         ).collect()[0]
         return (row["n"], row["h"])
 
-    def large_star(sym_edges: DataFrame) -> DataFrame:
-        # per-u hub: min(neighbors ∪ {u}); attach strictly-larger
-        # neighbors to the hub
+    def large_star(down_edges: DataFrame) -> DataFrame:
+        # per-u hub over ALL neighbors: min(N(u) ∪ {u}); attach
+        # strictly-larger neighbors to the hub. Output rows are
+        # (v_old, m) with m <= u < v_old, i.e. down-form.
+        sym_edges = _sym(down_edges)
         m = sym_edges.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
-        out = (
+        return (
             sym_edges.join(m, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        return out.union(
-            out.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct()
 
-    def small_star(sym_edges: DataFrame) -> DataFrame:
-        # per-u over smaller neighbors only: hub = min(N<(u) ∪ {u});
-        # attach u and its smaller neighbors to the hub
-        smaller = sym_edges.filter(F.col("v") < F.col("u"))
-        m = smaller.groupBy("u").agg(F.min("v").alias("m"))
-        to_hub = (
-            smaller.join(m, "u")
+    def small_star(down_edges: DataFrame) -> DataFrame:
+        # the smaller-neighbor set of u IS the down edge list; hub =
+        # min(N<(u)); attach u and its smaller neighbors to the hub.
+        # Output rows are (v_old, m) and (u, m) with m the minimum of
+        # u's smaller neighborhood — down-form again.
+        m = down_edges.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            down_edges.join(m, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(m.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        return to_hub.union(
-            to_hub.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct()
 
-    sig = signature(sym)
+    sig = signature(down)
     for _ in range(max_iter):
-        sym = small_star(large_star(sym)).localCheckpoint()
-        new_sig = signature(sym)
+        down = small_star(large_star(down)).localCheckpoint()
+        new_sig = signature(down)
         if new_sig == sig:
             break
         sig = new_sig
     # stars: every non-center vertex has its component min among its
-    # neighbors; centers label themselves
+    # neighbors; centers label themselves. Computed on the symmetric
+    # view — the exact historical expression, so the output contract
+    # (one row per vertex, centers self-labeled) is unchanged.
     return (
-        sym.groupBy("u")
+        _sym(down)
+        .groupBy("u")
         .agg(F.least(F.min("v"), F.first("u")).alias("component"))
         .select(F.col("u").alias("vid"), "component")
     )

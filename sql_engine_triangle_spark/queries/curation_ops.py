@@ -741,9 +741,22 @@ def _corpus_build(
     (component min is 1)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = textops.tokens(F.col("text"))
+    # Lazy-checkpoint the tokenized base BEFORE the dup-bigram gate
+    # (r11 optimization round): predicate pushdown substitutes the
+    # `toks` alias into the gate's bigram lambda when it pushes the
+    # filter below the projection, so the regex split re-ran TWICE
+    # PER BIGRAM ELEMENT inside the pushed-down Filter (measured
+    # 5.8-6.9 s for the gate alone at sf0.1; a repartition barrier
+    # does NOT help because filters push through exchanges). Cutting
+    # lineage makes `toks` a leaf attribute the filter cannot inline
+    # into: gate cost drops to ~0.4 s, and every downstream consumer
+    # (LSH shingles, decontam 8-grams) reads the same materialized
+    # tokens. `text` is not carried — no downstream stage re-tokenizes.
+    base = docs.select(
+        "doc_id", "source", "n_chars", toks.alias("toks")
+    ).localCheckpoint(eager=False)
     feat = (
-        docs.select("doc_id", "source", "text", "n_chars", toks.alias("toks"))
-        .withColumn("n_tokens", F.size("toks"))
+        base.withColumn("n_tokens", F.size("toks"))
         .filter(F.col("n_tokens") >= 10)
         .withColumn(
             "quality_milli", F.expr("(1000 * n_chars) div n_tokens")
@@ -760,7 +773,7 @@ def _corpus_build(
         - F.size(F.array_distinct("bigrams")).cast("double")
         / F.size("bigrams").cast("double")
         <= 0.5
-    ).select("doc_id", "source", "text", "toks", "n_tokens", "quality_milli")
+    ).select("doc_id", "source", "toks", "n_tokens", "quality_milli")
 
     # The SCALE-PATH pair generator: banded MinHash-LSH candidates,
     # exact-Jaccard verified. At threshold 0.9 the per-pair band-miss
@@ -790,9 +803,15 @@ def _corpus_build(
                 lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 3)),
             )
         )
+        # toks is a checkpoint-leaf attribute now, so the historical
+        # CollapseProject re-split hazard cannot occur; the explicit-
+        # COUNT doc_id repartition remains for parallelism (the
+        # checkpointed base inherits the 1-task scan's single
+        # partition, and an AQE-coalescible keyed repartition would
+        # serialize the shingle fan-out — the r10 AQE lesson).
         exploded = (
             stage1.select("doc_id", "toks")
-            .repartition("doc_id")
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
             .select("doc_id", F.explode(sh).alias("s"))
         )
     pairs = dedup.minhash_lsh_pairs(
@@ -854,7 +873,7 @@ def _corpus_build(
         )
         contaminated = (
             train.select("doc_id", "toks")
-            .repartition("doc_id")
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
             .select("doc_id", F.explode(sh8).alias("s"))
             .join(F.broadcast(eval_grams), "s", "left_semi")
             .select("doc_id")
