@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sql_engine_triangle_spark.catalog import load_table
+from sql_engine_triangle_spark.concurrency import checkpoint_all
 from sql_engine_triangle_spark.operators import (
     dedup,
     multimodal,
@@ -236,13 +237,16 @@ def dedup_minhash_lsh_mid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s")
     )
     ex = ex_raw.join(F.broadcast(hubs), "s", "left_anti").localCheckpoint()
-    exact = dedup.ngram_jaccard_pairs(
-        docs, threshold=0.5, round_digits=None, exploded=ex
-    ).localCheckpoint()
-    lsh = (
-        dedup.minhash_lsh_pairs(docs, threshold=0.5, exploded=ex)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
+    # The two pair generators read only the materialized capped
+    # shingle frame — independent lineages, materialized as
+    # concurrent jobs (guide §2.6, see concurrency module).
+    exact, lsh = checkpoint_all(
+        dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, round_digits=None, exploded=ex
+        ),
+        dedup.minhash_lsh_pairs(docs, threshold=0.5, exploded=ex).select(
+            "doc_a", "doc_b"
+        ),
     )
     n_extra = lsh.join(exact, ["doc_a", "doc_b"], "left_anti").agg(
         F.count("*").alias("n_extra")
@@ -4236,20 +4240,24 @@ def eval_bm25_mrr_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("term"),
     )
-    tf = bg.groupBy("doc_id", "term").agg(
-        F.count("*").cast("long").alias("tf")
-    ).localCheckpoint()
+    # tf, the query panel, and the relevance-side shingle pass read
+    # only the materialized base / raw docs — independent lineages,
+    # materialized as concurrent jobs (guide §2.6; the serial eager
+    # chain made per-job overhead this entry's floor).
+    tf, qpanel, ex0 = checkpoint_all(
+        bg.groupBy("doc_id", "term").agg(
+            F.count("*").cast("long").alias("tf")
+        ),
+        base.filter(F.expr("element_at(toks, size(toks))") == "dup")
+        .select(F.col("doc_id").alias("qid"))
+        .orderBy("qid")
+        .limit(64),
+        dedup.shingle_rows(docs, "doc_id", "text", 3),
+    )
     dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     scal = dl.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("l_tot"),
-    )
-    qpanel = (
-        base.filter(F.expr("element_at(toks, size(toks))") == "dup")
-        .select(F.col("doc_id").alias("qid"))
-        .orderBy("qid")
-        .limit(64)
-        .localCheckpoint()
     )
     qterms = (
         tf.join(F.broadcast(qpanel), F.col("doc_id") == F.col("qid"))
@@ -4282,7 +4290,6 @@ def eval_bm25_mrr_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Wnd.partitionBy("qid").orderBy(F.desc("score_milli"), "doc_id"))
         .cast("long"),
     )
-    ex0 = dedup.shingle_rows(docs, "doc_id", "text", 3).localCheckpoint()
     shhubs = (
         ex0.groupBy("s")
         .agg(F.count("*").alias("df"))
@@ -4854,40 +4861,39 @@ def pipeline_multimodal_corpus_build(spark: SparkSession, sf_dir: str) -> DataFr
     replays the same rendered cell templates, so a drift in either
     layer fails one of the two."""
     docs = load_table(spark, sf_dir, "documents")
-    iph = multimodal.image_dhash(
-        multimodal.synthesize_texture_assets(docs)
-    ).localCheckpoint()
-    afp = multimodal.audio_fingerprint(
-        multimodal.synthesize_tone_assets(docs)
-    ).localCheckpoint()
-    vkf = multimodal.video_keyframe_dhash(
-        multimodal.synthesize_video_assets(docs)
-    ).localCheckpoint()
-    idrop = (
-        _banded_hamming_pairs(iph, "phash", max_hamming=6)
-        .select(F.col("doc_b").alias("doc_id")).distinct().localCheckpoint()
-    )
-    adrop = (
-        _banded_hamming_pairs(afp, "afp", max_hamming=6)
-        .select(F.col("doc_b").alias("doc_id")).distinct().localCheckpoint()
-    )
-    vdrop = (
-        _banded_hamming_pairs(vkf, "phash", max_hamming=6)
-        .select(F.col("doc_b").alias("doc_id")).distinct().localCheckpoint()
+    # The capstone's checkpoint chain is mostly INDEPENDENT lineages —
+    # materialize each phase's checkpoints as concurrent driver jobs
+    # (guide §2.6; sequential eager checkpoints made per-job overhead
+    # the entry's floor — see concurrency.checkpoint_all).
+    # Phase 1: the three Arrow fingerprint passes + the shingle pass.
+    iph, afp, vkf, ex_raw = checkpoint_all(
+        multimodal.image_dhash(multimodal.synthesize_texture_assets(docs)),
+        multimodal.audio_fingerprint(multimodal.synthesize_tone_assets(docs)),
+        multimodal.video_keyframe_dhash(multimodal.synthesize_video_assets(docs)),
+        dedup.shingle_rows(docs, "doc_id", "text", 3),
     )
     # text stage: df-capped exact 3-gram Jaccard at 0.9 (the
     # dedup_minhash_lsh_mid shingle universe — cap certified inactive
     # on the fixture, scale-bounded on any vocabulary); at 100 TB the
     # banded-LSH candidate set replaces the exact self-join, same
     # drop definition
-    ex_raw = dedup.shingle_rows(docs, "doc_id", "text", 3).localCheckpoint()
     hubs = (
         ex_raw.groupBy("s")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > SHINGLE_DF_CAP)
         .select("s")
     )
-    ex = ex_raw.join(F.broadcast(hubs), "s", "left_anti").localCheckpoint()
+    # Phase 2: the three banded drop sets + the df-capped shingle
+    # frame (all read only phase-1 checkpoints).
+    idrop, adrop, vdrop, ex = checkpoint_all(
+        _banded_hamming_pairs(iph, "phash", max_hamming=6)
+        .select(F.col("doc_b").alias("doc_id")).distinct(),
+        _banded_hamming_pairs(afp, "afp", max_hamming=6)
+        .select(F.col("doc_b").alias("doc_id")).distinct(),
+        _banded_hamming_pairs(vkf, "phash", max_hamming=6)
+        .select(F.col("doc_b").alias("doc_id")).distinct(),
+        ex_raw.join(F.broadcast(hubs), "s", "left_anti"),
+    )
     tdrop = (
         dedup.ngram_jaccard_pairs(
             docs, threshold=0.9, round_digits=None, exploded=ex
@@ -5074,31 +5080,36 @@ def eval_crossmodal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     entries and the capstone, composed — a drift in any layer fails
     one of the three entries."""
     docs = load_table(spark, sf_dir, "documents")
-    iph = multimodal.image_dhash(
-        multimodal.synthesize_texture_assets(docs)
-    ).localCheckpoint()
-    afp = multimodal.audio_fingerprint(
-        multimodal.synthesize_tone_assets(docs)
-    ).localCheckpoint()
-    # each pair frame feeds BOTH sym() branches — without a barrier
-    # the banded self-join lineage executes twice per modality
-    # (Catalyst shares no exchange across unionAll consumers, the
-    # a_bitmap_* lesson): measured 37.6 -> ~13 s at the 30x stress
-    # scale with the three checkpoints
-    ipairs = _banded_hamming_pairs(iph, "phash", max_hamming=6).select(
-        "doc_a", "doc_b"
-    ).localCheckpoint()
-    apairs = _banded_hamming_pairs(afp, "afp", max_hamming=6).select(
-        "doc_a", "doc_b"
-    ).localCheckpoint()
-    ex_raw = dedup.shingle_rows(docs, "doc_id", "text", 3).localCheckpoint()
+    # Phase 1 (concurrent jobs — guide §2.6, see concurrency module):
+    # the two Arrow fingerprint passes + the shingle pass are
+    # independent lineages.
+    iph, afp, ex_raw = checkpoint_all(
+        multimodal.image_dhash(multimodal.synthesize_texture_assets(docs)),
+        multimodal.audio_fingerprint(multimodal.synthesize_tone_assets(docs)),
+        dedup.shingle_rows(docs, "doc_id", "text", 3),
+    )
     hubs = (
         ex_raw.groupBy("s")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > SHINGLE_DF_CAP)
         .select("s")
     )
-    ex = ex_raw.join(F.broadcast(hubs), "s", "left_anti").localCheckpoint()
+    # Phase 2: each pair frame feeds BOTH sym() branches — without a
+    # barrier the banded self-join lineage executes twice per modality
+    # (Catalyst shares no exchange across unionAll consumers, the
+    # a_bitmap_* lesson): measured 37.6 -> ~13 s at the 30x stress
+    # scale with the three checkpoints. ipairs/apairs read only
+    # phase-1 checkpoints, so they materialize concurrently with the
+    # df-capped shingle frame.
+    ipairs, apairs, ex = checkpoint_all(
+        _banded_hamming_pairs(iph, "phash", max_hamming=6).select(
+            "doc_a", "doc_b"
+        ),
+        _banded_hamming_pairs(afp, "afp", max_hamming=6).select(
+            "doc_a", "doc_b"
+        ),
+        ex_raw.join(F.broadcast(hubs), "s", "left_anti"),
+    )
     tpairs = dedup.ngram_jaccard_pairs(
         docs, threshold=0.9, round_digits=None, exploded=ex
     ).select("doc_a", "doc_b").localCheckpoint()
