@@ -370,8 +370,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 100
     )
     banded, sh = dedup.lsh_index_side(docs)
-    bb = banded.withColumn("_bk", bucket)
-    sb = sh.withColumn("_bk", bucket)
+    # Each index frame is consumed twice (batch slice + corpus
+    # slice), re-running the shingle/signature side-build per
+    # consumer — materialize both ONCE, as concurrent jobs (guide
+    # §2.6; the pipeline_incremental_admission discipline applied to
+    # the one-shot form).
+    bb, sb = checkpoint_all(
+        banded.withColumn("_bk", bucket), sh.withColumn("_bk", bucket)
+    )
     return dedup.cross_verify_pairs(
         bb.filter(F.col("_bk") >= 80),
         sb.filter(F.col("_bk") >= 80),
@@ -483,8 +489,10 @@ def pipeline_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFram
     # (dedup.write_minhash_index — equivalence + lifecycle locked by
     # tests/test_dedup_index.py).
     banded, sh = dedup.lsh_index_side(docs)
-    banded = banded.withColumn("_bk", bucket_of(F.col("doc_id"))).localCheckpoint()
-    sh = sh.withColumn("_bk", bucket_of(F.col("doc_id"))).localCheckpoint()
+    banded, sh = checkpoint_all(
+        banded.withColumn("_bk", bucket_of(F.col("doc_id"))),
+        sh.withColumn("_bk", bucket_of(F.col("doc_id"))),
+    )
     bk = F.col("_bk")
 
     def dup_ids(batch_pred, banded_corp, sh_corp) -> DataFrame:
@@ -3571,7 +3579,15 @@ def sim_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("term"),
     )
-    tf = bg.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("cnt"))
+    # tf feeds five consumers (doc count, df cap, norms, both join
+    # sides) — materialize the bounded (doc, term, cnt) frame once
+    # instead of re-running the explode+aggregation per consumer
+    # (r11 optimization round; the no-exchange-reuse lesson).
+    tf = (
+        bg.groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
     nd = tf.agg(F.countDistinct("doc_id").alias("n"))
     kept_terms = (
         tf.groupBy("term")
@@ -4013,7 +4029,15 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("term"),
     )
-    tf = bg.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    # tf feeds the df/query-term chain AND the scoring join —
+    # materialize the bounded (doc, term, tf) frame once instead of
+    # re-running the explode+aggregation per consumer (r11
+    # optimization round; the no-exchange-reuse lesson).
+    tf = (
+        bg.groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .localCheckpoint()
+    )
     dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     q = dft.orderBy(F.desc("df"), "term").limit(8)
     scal = dl.agg(
