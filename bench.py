@@ -323,7 +323,15 @@ def _cohort_of(name: str) -> str:
         return "bpe"
     if name.startswith("tpch_"):
         return "tpch"
-    if name.startswith(("dedup_", "sim_", "emb_", "eval_")):
+    if name.startswith("eval_"):
+        # Split out of dedup_sim (r12, VERDICT r11 #1 cohort audit):
+        # the r11 build session appended ~14 s of checkpoint-heavy
+        # eval_* entries to the dedup_sim battery — the r7/r8
+        # battery-size contamination class — and the driver's 32-core
+        # dedup_sim rows inflated 1.3-3.5x while the same code read
+        # clean solo. The composed evals get their own fresh JVM.
+        return "evals"
+    if name.startswith(("dedup_", "sim_", "emb_")):
         return "dedup_sim"
     if name.startswith(("pipeline_", "curation_", "sample_")):
         return "pipeline"
@@ -332,12 +340,47 @@ def _cohort_of(name: str) -> str:
     return "misc"  # windows/agg/join/maint/graph/stream tier
 
 
-COHORT_ORDER = ["core", "tpch", "dedup_sim", "pipeline", "text", "bpe", "misc"]
+COHORT_ORDER = [
+    "core", "tpch", "dedup_sim", "evals", "pipeline", "text", "bpe", "misc"
+]
 
 
 def _bench_names() -> list[str]:
     names = [n for n in HEADLINE + EXTRA if n in registry.names()]
     return names + list(BARE_OPS)
+
+
+def _release_persisted(spark) -> None:
+    """UNTIMED hygiene between runs (r12 measurement fix, declared in
+    OPTIMIZATION_r12.md): drop every persisted block the previous run
+    left behind. fn() is rebuilt inside every timed run, so each run
+    materializes its own localCheckpoints — but the PREVIOUS run's
+    checkpoint blocks stay pinned in the BlockManager until the
+    driver-side DataFrames are GC'd and the ContextCleaner catches
+    up. Over a battery they accumulate (dozens of frames x runs), and
+    at high core counts the resulting memory/GC pressure inflates
+    later runs: the r11 driver's 32-core dedup_sim cohort read
+    1.3-3.5x its own 8-core and solo numbers on identical code
+    (VERDICT r11 "What's wrong" #1), and this session reproduced the
+    same inflation in miniature (battery 2.48/4.61/5.33 vs solo
+    2.05/3.50/3.86 on the lsh/lsh_mid/semantic trio). Blocking
+    unpersist so no removal work bleeds into the next timed run.
+    Nothing a run needs can be released here: no frame survives
+    between runs by construction (the no-cross-run-caching
+    contract). Deliberately NO gc.collect(): poking the Python GC
+    also feeds the JVM ContextCleaner a burst of broadcast/shuffle
+    cleanups that its single thread then processes DURING the next
+    timed run (measured on the iterative trainer entries:
+    sim_ivfpq_adc_topk 3.1 -> 4.4-5.5 s with a gc poke here); the
+    explicit unpersist below needs no Python GC — it enumerates the
+    JVM-side persisted-RDD registry directly and removes the blocks
+    synchronously."""
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in jmap.values():
+            jrdd.unpersist(True)
+    except Exception:  # noqa: BLE001 - hygiene must never fail a bench
+        pass
 
 
 def _run_cohort(cohort: str) -> None:
@@ -369,6 +412,7 @@ def _run_cohort(cohort: str) -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
         n = fn(spark, sf_dir).count()  # row count for the log only
+        _release_persisted(spark)
         run()  # warmup: steady-state per-query wall-clock, matching
         # how the reference lab reports warm timings (BASELINE.md).
         # Min of two timed runs: even a cohort-sized sweep has GC/JIT
@@ -377,10 +421,12 @@ def _run_cohort(cohort: str) -> None:
         # per-query lab timings correspond to.
         ts = []
         for _ in range(2):
+            _release_persisted(spark)  # untimed, before the clock
             t0 = time.time()
             run()
             ts.append(time.time() - t0)
         dt = min(ts)
+        _release_persisted(spark)
         timings[name] = round(dt, 3)
         print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
 
@@ -411,6 +457,7 @@ def _run_solo(name: str, n_runs: int = 3) -> None:
     run()
     ts = []
     for _ in range(n_runs):
+        _release_persisted(spark)  # untimed, before the clock
         t0 = time.time()
         run()
         ts.append(round(time.time() - t0, 3))

@@ -307,6 +307,13 @@ EVENTS_ENTRIES = {
     "w_pattern_match_regex": (DEFAULT_SCALES, ""),
     "a_cms_partial_rollup": (DEFAULT_SCALES, ""),
     "ml_auc_exact": (DEFAULT_SCALES, ""),
+    "a_mad_outliers": (
+        DEFAULT_SCALES,
+        "exact two-pass MAD: the med/mad scalars ride broadcasts and "
+        "the dev frame re-derives from the fact scan under each of "
+        "its two consumers (r12 tier — measured to decide VERDICT "
+        "r11 #6's proposed dev-frame checkpoint at scale).",
+    ),
     "w_holt_linear_int": (
         DEFAULT_SCALES,
         "one map-side-combinable (type, day) agg + a sequential fold "

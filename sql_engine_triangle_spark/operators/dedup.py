@@ -67,7 +67,7 @@ def shingle_rows(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     needs anyway."""
     toks = textops.tokens(F.col(text_col))
     base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).repartition(
-        "doc_id"
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
     )
     sh = F.array_distinct(
         F.transform(
@@ -88,7 +88,7 @@ def shingle_pos_rows(
     inlined split re-evaluates per shingle otherwise)."""
     toks = textops.tokens(F.col(text_col))
     base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).repartition(
-        "doc_id"
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
     )
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(F.col("toks")) - (n - 1), F.lit(1))),
@@ -116,7 +116,11 @@ def repeated_passage_stats(docs: DataFrame, n: int = 8) -> DataFrame:
     per-island agg) on ONE doc_id exchange."""
     from pyspark.sql.window import Window
 
-    posg = shingle_pos_rows(docs, "doc_id", "text", n).localCheckpoint(eager=False)
+    from sql_engine_triangle_spark.concurrency import scale_checkpoint
+
+    posg = scale_checkpoint(
+        shingle_pos_rows(docs, "doc_id", "text", n), eager=False
+    )
     rep = posg.groupBy("s").agg(F.count("*").alias("cnt")).filter(F.col("cnt") >= 2)
     cov = posg.join(rep.select("s"), "s").select(
         "doc_id",

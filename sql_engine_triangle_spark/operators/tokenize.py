@@ -276,6 +276,15 @@ def bpe_train_merges(docs: DataFrame, rounds: int = BPE_MERGE_ROUNDS) -> DataFra
     words = docs.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
     ).filter(F.col("word") != "")
+    # Eager per-round checkpoints are deliberate: an r12 A/B of the
+    # lazy form (fold materializing inside the argmax TakeOrdered
+    # job, halving driver jobs) measured CONSISTENTLY ~1 s slower at
+    # sf0.1 (5.8-6.3 vs 4.9-5.1 interleaved min-of-3) — the fused
+    # fold+explode+agg+topk stage schedules worse than two small
+    # jobs. Kept eager; the r12 change is only deferring each
+    # round's merge application to the TOP of the next round, which
+    # drops the final round's never-consumed fold checkpoint (one
+    # whole job of interpreted-HOF work on the widest frame).
     seqs = (
         words.groupBy("word")
         .agg(F.count("*").cast("long").alias("freq"))
@@ -283,7 +292,29 @@ def bpe_train_merges(docs: DataFrame, rounds: int = BPE_MERGE_ROUNDS) -> DataFra
         .localCheckpoint()
     )
     records: list[tuple[int, str, str, str, int]] = []
+    pending: tuple[str, str] | None = None
     for r in range(1, rounds + 1):
+        if pending is not None:
+            pa_l, pb_l, m_l = (
+                F.lit(pending[0]),
+                F.lit(pending[1]),
+                F.lit(pending[0] + pending[1]),
+            )
+            fold = F.aggregate(
+                F.col("toks"),
+                F.array().cast("array<string>"),
+                lambda acc, t: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == pa_l)
+                    & (t == pb_l),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(m_l)
+                    ),
+                ).otherwise(F.concat(acc, F.array(t))),
+            )
+            seqs = seqs.select(
+                "word", "freq", fold.alias("toks")
+            ).localCheckpoint()
         pairs = (
             seqs.filter(F.size("toks") >= 2)
             .select(
@@ -303,20 +334,7 @@ def bpe_train_merges(docs: DataFrame, rounds: int = BPE_MERGE_ROUNDS) -> DataFra
             break
         pa, pb, occ = best[0]["pa"], best[0]["pb"], int(best[0]["occ"])
         records.append((r, pa, pb, pa + pb, occ))
-        pa_l, pb_l, m_l = F.lit(pa), F.lit(pb), F.lit(pa + pb)
-        fold = F.aggregate(
-            F.col("toks"),
-            F.array().cast("array<string>"),
-            lambda acc, t: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == pa_l)
-                & (t == pb_l),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(m_l)
-                ),
-            ).otherwise(F.concat(acc, F.array(t))),
-        )
-        seqs = seqs.select("word", "freq", fold.alias("toks")).localCheckpoint()
+        pending = (pa, pb)
     return spark.createDataFrame(
         records, "merge_round int, pa string, pb string, merged string, occ long"
     )

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sql_engine_triangle_spark.catalog import load_table
+from sql_engine_triangle_spark.concurrency import scale_checkpoint
 from sql_engine_triangle_spark.operators import dedup, similarity, textops, tokenize
 from sql_engine_triangle_spark.queries.registry import register
 
@@ -726,7 +727,6 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _corpus_build(
     spark: SparkSession, sf_dir: str, clustering: str,
-    share_tokens: bool = True,
     decontam: bool = False,
 ) -> DataFrame:
     """Shared capstone builder. ``clustering`` picks the near-dup drop
@@ -752,9 +752,10 @@ def _corpus_build(
     # into: gate cost drops to ~0.4 s, and every downstream consumer
     # (LSH shingles, decontam 8-grams) reads the same materialized
     # tokens. `text` is not carried — no downstream stage re-tokenizes.
-    base = docs.select(
-        "doc_id", "source", "n_chars", toks.alias("toks")
-    ).localCheckpoint(eager=False)
+    base = scale_checkpoint(
+        docs.select("doc_id", "source", "n_chars", toks.alias("toks")),
+        eager=False,
+    )
     feat = (
         base.withColumn("n_tokens", F.size("toks"))
         .filter(F.col("n_tokens") >= 10)
@@ -781,39 +782,46 @@ def _corpus_build(
     # pair set deterministically equals the oracle's exact quadratic
     # pairs — the composition runs the production generator while the
     # oracle replays the baseline.
-    # NOTE: sharing a localCheckpoint'd shingle pass with the
+    # NOTE: sharing an EAGER localCheckpoint'd shingle pass with the
     # generator (the dedup_minhash_lsh_mid pattern) was A/B-measured
     # here and REJECTED: 8.7 -> 12.9 s at sf0.1 — with a single
     # consumer chain the eager materialization costs more than the
-    # subtree reuse saves.
-    exploded = None
-    if share_tokens:
-        # Reuse the gate's token arrays for the shingle pass instead
-        # of letting shingle_rows re-tokenize from text — measured
-        # 9.5 -> 8.6 s at sf0.1 (one tokenize per row instead of
-        # two; identical output). Same repartition barrier as
-        # shingle_rows (without it, CollapseProject inlines the
-        # split into the shingle lambda, re-splitting per shingle —
-        # the measured 10x hazard in dedup.shingle_rows' docstring).
-        sh = F.array_distinct(
-            F.transform(
-                F.sequence(
-                    F.lit(1), F.greatest(F.size(F.col("toks")) - 2, F.lit(1))
-                ),
-                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 3)),
-            )
+    # subtree reuse saves. That rejection is about EAGER per-stage
+    # materialization jobs only; it does not contradict the LAZY
+    # checkpoint_aggs default inside minhash_lsh_pairs (which defers
+    # materialization to the first action and dedups the sig/sh
+    # aggregations across their two consumers each — ADVICE r11
+    # asked for this distinction to be recorded here). The capstones
+    # keep the default: with the shared exploded frame below, the
+    # sig/sh inputs are checkpoint-leaf reads either way, and the
+    # r12 32-core reconcile (OPTIMIZATION_r12.md) cleared the lazy
+    # default of the suspected high-core-count penalty.
+    # Reuse the gate's token arrays for the shingle pass instead
+    # of letting shingle_rows re-tokenize from text — measured
+    # 9.5 -> 8.6 s at sf0.1 (one tokenize per row instead of
+    # two; identical output). Same repartition barrier as
+    # shingle_rows (without it, CollapseProject inlines the
+    # split into the shingle lambda, re-splitting per shingle —
+    # the measured 10x hazard in dedup.shingle_rows' docstring).
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(F.col("toks")) - 2, F.lit(1))
+            ),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 3)),
         )
-        # toks is a checkpoint-leaf attribute now, so the historical
-        # CollapseProject re-split hazard cannot occur; the explicit-
-        # COUNT doc_id repartition remains for parallelism (the
-        # checkpointed base inherits the 1-task scan's single
-        # partition, and an AQE-coalescible keyed repartition would
-        # serialize the shingle fan-out — the r10 AQE lesson).
-        exploded = (
-            stage1.select("doc_id", "toks")
-            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-            .select("doc_id", F.explode(sh).alias("s"))
-        )
+    )
+    # toks is a checkpoint-leaf attribute now, so the historical
+    # CollapseProject re-split hazard cannot occur; the explicit-
+    # COUNT doc_id repartition remains for parallelism (the
+    # checkpointed base inherits the 1-task scan's single
+    # partition, and an AQE-coalescible keyed repartition would
+    # serialize the shingle fan-out — the r10 AQE lesson).
+    exploded = (
+        stage1.select("doc_id", "toks")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(sh).alias("s"))
+    )
     pairs = dedup.minhash_lsh_pairs(
         stage1, threshold=0.9, n=3, exploded=exploded
     )
@@ -2046,15 +2054,27 @@ def _pq_train(spark: SparkSession, sf_dir: str, subs: DataFrame | None = None):
         "aggregate(zip_with(sq, cq, (a, b) -> (a - b) * (a - b)), 0L, "
         "(acc, x) -> acc + x)"
     )
-    w_pt = Wnd.partitionBy("sub", "vec_id").orderBy("dist", "cid")
     asg = None
     for _ in range(PQ_ITERS):
+        # argmin-by-(dist, cid) as a min-struct AGGREGATION instead of
+        # a row_number window (r12, guide §2.3): the window form
+        # exchanged and sorted all k candidate rows per (sub, vec_id);
+        # min(struct) partial-aggregates them map-side, so the shuffle
+        # carries one row per key and no sort runs. Lexicographic
+        # struct order == the window's (dist, cid) orderBy; (dist,
+        # cid) is unique per key, so the carried sq never decides and
+        # the selected row is IDENTICAL.
         asg = (
             subs.join(F.broadcast(cent), "sub")
             .withColumn("dist", dist)
-            .withColumn("rn", F.row_number().over(w_pt))
-            .filter(F.col("rn") == 1)
-            .select("sub", "vec_id", "cid", "sq")
+            .groupBy("sub", "vec_id")
+            .agg(F.min(F.struct("dist", "cid", "sq")).alias("m"))
+            .select(
+                "sub",
+                "vec_id",
+                F.col("m.cid").alias("cid"),
+                F.col("m.sq").alias("sq"),
+            )
         )
         cent = (
             asg.select("sub", "cid", F.posexplode("sq").alias("d", "v"))
@@ -2465,14 +2485,25 @@ def sim_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_train(spark: SparkSession, sf_dir: str):
+def _ivfpq_train(spark: SparkSession, sf_dir: str, overlap=None):
     """The shared IVF-PQ training chain (factored r10 so the
     retrieval-quality eval scores the SAME index sim_ivfpq_adc_topk
     serves): micro-unit integer vectors, coarse k=4 Lloyd k-means
     (IVFPQ_COARSE_ITERS rounds), per-vector residuals against the
     assigned cell, residual PQ via _pq_train's subs hook. Returns
     (pts, cent, casg, rcent, rasg) — every frame deterministic and
-    integer-exact, replayed by the generated oracle CTE chain."""
+    integer-exact, replayed by the generated oracle CTE chain.
+
+    ``overlap`` (r12, guide §2.6 / VERDICT r11 #4): an optional
+    ``pts -> result`` callback whose jobs depend ONLY on the
+    checkpointed pts frame. It runs on a driver thread CONCURRENTLY
+    with the sequential coarse/PQ rounds (which cannot overlap each
+    other — each round consumes the previous round's centroids), so
+    its materializations back-fill the executor tails of the trainer
+    jobs instead of serializing after them. The callback's result is
+    returned as a sixth element. Results are unchanged: the callback
+    computes exactly the frames it would have computed after the
+    trainer."""
     from pyspark.sql.window import Window as Wnd
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2483,6 +2514,13 @@ def _ivfpq_train(spark: SparkSession, sf_dir: str):
             "x -> cast(floor(x * 1000000 + 0.5) as bigint))"
         ).alias("q"),
     ).localCheckpoint()
+    fut = None
+    pool = None
+    if overlap is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        fut = pool.submit(overlap, pts)
     # coarse k-means (k=4, 2 iterations) over the full vectors
     cent = (
         pts.withColumn("rn", F.row_number().over(Wnd.orderBy("vec_id")))
@@ -2493,15 +2531,18 @@ def _ivfpq_train(spark: SparkSession, sf_dir: str):
         "aggregate(zip_with(q, cq, (a, b) -> (a - b) * (a - b)), 0L, "
         "(acc, x) -> acc + x)"
     )
-    w_pt = Wnd.partitionBy("vec_id").orderBy("dist", "cid")
     casg = None
     for _ in range(IVFPQ_COARSE_ITERS):
+        # min-struct argmin instead of the per-vec_id row_number
+        # window (r12, guide §2.3) — same rewrite as _pq_train's
+        # assign stage: map-side partial aggregation collapses the k
+        # candidate rows per vector before the exchange, no sort.
         casg = (
             pts.crossJoin(F.broadcast(cent))
             .withColumn("dist", cdist)
-            .withColumn("rn", F.row_number().over(w_pt))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid")
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cid"))
         )
         cent = (
             casg.join(pts, "vec_id")
@@ -2537,6 +2578,10 @@ def _ivfpq_train(spark: SparkSession, sf_dir: str):
         .localCheckpoint()
     )
     _, rcent, rasg = _pq_train(spark, sf_dir, subs=rsub.select("vec_id", "sub", "sq"))
+    if overlap is not None:
+        res = fut.result()
+        pool.shutdown()
+        return pts, cent, casg, rcent, rasg, res
     return pts, cent, casg, rcent, rasg
 
 
@@ -2581,13 +2626,46 @@ def eval_ivfpq_mrr_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     lesson)."""
     from pyspark.sql.window import Window as Wnd
 
-    pts, cent, casg, rcent, rasg = _ivfpq_train(spark, sf_dir)
-    qs = (
-        pts.filter(
-            (F.col("vec_id") % 25 == 0) & (F.expr("vec_id div 25") < 64)
+    # The query panel and the GOLD full-scan depend only on the
+    # checkpointed pts frame — independent of every coarse/PQ round,
+    # so they materialize on a driver thread CONCURRENTLY with the
+    # trainer (r12, guide §2.6 / VERDICT r11 #4) instead of
+    # serializing after it.
+    def _panel_and_gold(pts):
+        qs = (
+            pts.filter(
+                (F.col("vec_id") % 25 == 0) & (F.expr("vec_id div 25") < 64)
+            )
+            .select(F.col("vec_id").alias("qid"), F.col("q").alias("qv"))
+            .localCheckpoint()
         )
-        .select(F.col("vec_id").alias("qid"), F.col("q").alias("qv"))
-        .localCheckpoint()
+        gdist = F.expr(
+            "aggregate(zip_with(qv, q, (a, b) -> (a - b) * (a - b)), 0L, "
+            "(acc, x) -> acc + x)"
+        )
+        # min-struct argmin over the panel-broadcast corpus scan
+        # instead of a per-qid row_number window (r12, guide §2.3):
+        # the window form shuffled and sorted |panel| x |corpus| rows;
+        # min(struct) partial-aggregates them map-side to one row per
+        # qid. Lexicographic (dist, vec_id) == the window's orderBy;
+        # unique per qid, so the selected gold row is IDENTICAL.
+        gold = (
+            pts.crossJoin(F.broadcast(qs))
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select("qid", "vec_id", gdist.cast("long").alias("dist"))
+            .groupBy("qid")
+            .agg(F.min(F.struct("dist", "vec_id")).alias("g"))
+            .select(
+                "qid",
+                F.col("g.vec_id").alias("gold_id"),
+                F.col("g.dist").alias("gold_dist"),
+            )
+            .localCheckpoint()
+        )
+        return qs, gold
+
+    pts, cent, casg, rcent, rasg, (qs, gold) = _ivfpq_train(
+        spark, sf_dir, overlap=_panel_and_gold
     )
     cdist = F.expr(
         "aggregate(zip_with(qv, cq, (a, b) -> (a - b) * (a - b)), 0L, "
@@ -2628,25 +2706,6 @@ def eval_ivfpq_mrr_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = adc.withColumn(
         "rnk",
         F.row_number().over(Wnd.partitionBy("qid").orderBy("adc_dist", "vec_id")),
-    )
-    gdist = F.expr(
-        "aggregate(zip_with(qv, q, (a, b) -> (a - b) * (a - b)), 0L, "
-        "(acc, x) -> acc + x)"
-    )
-    gold = (
-        pts.crossJoin(F.broadcast(qs))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", gdist.cast("long").alias("dist"))
-        .withColumn(
-            "rn",
-            F.row_number().over(Wnd.partitionBy("qid").orderBy("dist", "vec_id")),
-        )
-        .filter(F.col("rn") == 1)
-        .select(
-            "qid",
-            F.col("vec_id").alias("gold_id"),
-            F.col("dist").alias("gold_dist"),
-        )
     )
     perq = (
         gold.join(
@@ -3747,7 +3806,7 @@ def ml_odds_ratio_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (shingle_rows lesson): without the barrier the label expression
     # — which references toks twice — re-runs the regex split per
     # GENERATED row (~50x per doc; measured 3.7 s vs 1.3 s at sf0.1).
-    lab = docs.select("doc_id", toks.alias("toks")).repartition("doc_id")
+    lab = docs.select("doc_id", toks.alias("toks")).repartition(spark.sparkContext.defaultParallelism, "doc_id")
     ytok = lab.select(
         "doc_id",
         F.when(
@@ -3893,7 +3952,7 @@ def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = textops.tokens(F.col("text"))
     lab = (
         docs.select("doc_id", toks.alias("toks"))
-        .repartition("doc_id")  # materialize toks once (shingle_rows lesson)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")  # materialize toks once (shingle_rows lesson)
         .select(
             "doc_id",
             F.when(

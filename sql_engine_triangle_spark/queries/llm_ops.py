@@ -16,7 +16,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sql_engine_triangle_spark.catalog import load_table
-from sql_engine_triangle_spark.concurrency import checkpoint_all
+from sql_engine_triangle_spark.concurrency import (
+    checkpoint_all,
+    scale_checkpoint,
+)
 from sql_engine_triangle_spark.operators import (
     dedup,
     multimodal,
@@ -229,14 +232,14 @@ def dedup_minhash_lsh_mid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three flag aggregations and the output row set read materialized
     # pairs instead of re-running anything (measured 6.9 s naive →
     # 6.0 s per-output checkpoints → ~5 s shared-shingles at sf0.1).
-    ex_raw = dedup.shingle_rows(docs, "doc_id", "text", 3).localCheckpoint()
+    ex_raw = scale_checkpoint(dedup.shingle_rows(docs, "doc_id", "text", 3))
     hubs = (
         ex_raw.groupBy("s")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > SHINGLE_DF_CAP)
         .select("s")
     )
-    ex = ex_raw.join(F.broadcast(hubs), "s", "left_anti").localCheckpoint()
+    ex = scale_checkpoint(ex_raw.join(F.broadcast(hubs), "s", "left_anti"))
     # The two pair generators read only the materialized capped
     # shingle frame — independent lineages, materialized as
     # concurrent jobs (guide §2.6, see concurrency module).
@@ -2777,7 +2780,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     big = (
         docs.select("doc_id", toks.alias("toks"))
-        .repartition("doc_id")  # materialize toks (see shingle_rows)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")  # materialize toks (see shingle_rows)
         .select("doc_id", F.explode(bigrams).alias("bg"))
     )
     bfreq = big.groupBy("bg").agg(F.count("*").alias("cb"))
@@ -2911,7 +2914,7 @@ def text_lm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = (
         docs.select("doc_id", textops.tokens(F.col("text")).alias("toks"))
-        .repartition("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     big = toks.select(
         "doc_id",
@@ -3156,14 +3159,14 @@ def dedup_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence aggregation (map-side combined), two doc-keyed
     joins, one 11-group rollup."""
     docs = load_table(spark, sf_dir, "documents")
-    ex0 = dedup.shingle_rows(docs, "doc_id", "text", 3).localCheckpoint()
+    ex0 = scale_checkpoint(dedup.shingle_rows(docs, "doc_id", "text", 3))
     hubs = (
         ex0.groupBy("s")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > SHINGLE_DF_CAP)
         .select("s")
     )
-    exploded = ex0.join(F.broadcast(hubs), "s", "left_anti").localCheckpoint()
+    exploded = scale_checkpoint(ex0.join(F.broadcast(hubs), "s", "left_anti"))
     sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = exploded.select(F.col("doc_id").alias("doc_a"), "s")
     b = exploded.select(F.col("doc_id").alias("doc_b"), "s")
@@ -3569,7 +3572,7 @@ def sim_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         docs.select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") >= 2)
-        .repartition("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     bg = base.select(
         "doc_id",
@@ -3583,10 +3586,10 @@ def sim_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides) — materialize the bounded (doc, term, cnt) frame once
     # instead of re-running the explode+aggregation per consumer
     # (r11 optimization round; the no-exchange-reuse lesson).
-    tf = (
-        bg.groupBy("doc_id", "term")
-        .agg(F.count("*").cast("long").alias("cnt"))
-        .localCheckpoint()
+    tf = scale_checkpoint(
+        bg.groupBy("doc_id", "term").agg(
+            F.count("*").cast("long").alias("cnt")
+        )
     )
     nd = tf.agg(F.countDistinct("doc_id").alias("n"))
     kept_terms = (
@@ -3672,7 +3675,7 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         docs.select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") >= 2)
-        .repartition("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     bg = base.select(
         "doc_id",
@@ -3681,7 +3684,8 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "transform(sequence(2, size(toks)), i -> concat(toks[i-2], ' ', toks[i-1]))"
             )
         ).alias("term"),
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct()
+    bg = scale_checkpoint(bg, eager=False)
     stats = bg.groupBy("term").agg(
         F.count("*").cast("long").alias("df"),
         F.min("doc_id").cast("long").alias("min_doc"),
@@ -3879,7 +3883,7 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = docs.select(
         "doc_id",
         F.expr(f"transform(sequence(0, 62), j -> {cell_j})").alias("cells"),
-    ).repartition("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
     closed = F.expr(
         "aggregate(sequence(0, 55), 0L, (acc, i) -> acc + "
         "(CASE WHEN element_at(cells, cast((i div 8) * 9 + (i % 8) + 2 as int)) "
@@ -4016,7 +4020,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         docs.select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") >= 2)
-        .repartition("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     dl = base.select(
         "doc_id", (F.size("toks") - 1).cast("long").alias("dl")
@@ -4033,10 +4037,10 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the bounded (doc, term, tf) frame once instead of
     # re-running the explode+aggregation per consumer (r11
     # optimization round; the no-exchange-reuse lesson).
-    tf = (
-        bg.groupBy("doc_id", "term")
-        .agg(F.count("*").cast("long").alias("tf"))
-        .localCheckpoint()
+    tf = scale_checkpoint(
+        bg.groupBy("doc_id", "term").agg(
+            F.count("*").cast("long").alias("tf")
+        )
     )
     dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     q = dft.orderBy(F.desc("df"), "term").limit(8)
@@ -4248,11 +4252,10 @@ def eval_bm25_mrr_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = textops.tokens(F.col("text"))
-    base = (
+    base = scale_checkpoint(
         docs.select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") >= 2)
-        .repartition("doc_id")
-        .localCheckpoint()
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     dl = base.select("doc_id", (F.size("toks") - 1).cast("long").alias("dl"))
     bg = base.select(
@@ -4277,6 +4280,7 @@ def eval_bm25_mrr_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("qid")
         .limit(64),
         dedup.shingle_rows(docs, "doc_id", "text", 3),
+        disk_only=(True, False, True),
     )
     dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     scal = dl.agg(
@@ -4320,7 +4324,7 @@ def eval_bm25_mrr_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > SHINGLE_DF_CAP)
         .select("s")
     )
-    ex = ex0.join(F.broadcast(shhubs), "s", "left_anti").localCheckpoint()
+    ex = scale_checkpoint(ex0.join(F.broadcast(shhubs), "s", "left_anti"))
     sizes = ex.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
     qsh = ex.join(
         F.broadcast(qpanel), F.col("doc_id") == F.col("qid")
@@ -4484,7 +4488,7 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = docs.select(
         "doc_id",
         F.expr(f"transform(sequence(0, 56), j -> {cell_j})").alias("cells"),
-    ).repartition("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
     closed = F.expr(
         "aggregate(sequence(0, 55), 0L, (acc, i) -> acc + "
         "(CASE WHEN element_at(cells, cast(i + 2 as int)) "
@@ -4614,7 +4618,7 @@ def dedup_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = docs.select(
         "doc_id",
         F.expr(f"transform(sequence(0, 62), j -> {cell_j})").alias("cells"),
-    ).repartition("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
     closed = F.expr(
         "aggregate(sequence(0, 55), 0L, (acc, i) -> acc + "
         "(CASE WHEN element_at(cells, cast((i div 8) * 9 + (i % 8) + 2 as int)) "
@@ -4895,6 +4899,7 @@ def pipeline_multimodal_corpus_build(spark: SparkSession, sf_dir: str) -> DataFr
         multimodal.audio_fingerprint(multimodal.synthesize_tone_assets(docs)),
         multimodal.video_keyframe_dhash(multimodal.synthesize_video_assets(docs)),
         dedup.shingle_rows(docs, "doc_id", "text", 3),
+        disk_only=(False, False, False, True),
     )
     # text stage: df-capped exact 3-gram Jaccard at 0.9 (the
     # dedup_minhash_lsh_mid shingle universe — cap certified inactive
@@ -4917,6 +4922,7 @@ def pipeline_multimodal_corpus_build(spark: SparkSession, sf_dir: str) -> DataFr
         _banded_hamming_pairs(vkf, "phash", max_hamming=6)
         .select(F.col("doc_b").alias("doc_id")).distinct(),
         ex_raw.join(F.broadcast(hubs), "s", "left_anti"),
+        disk_only=(False, False, False, True),
     )
     tdrop = (
         dedup.ngram_jaccard_pairs(
@@ -5111,6 +5117,7 @@ def eval_crossmodal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         multimodal.image_dhash(multimodal.synthesize_texture_assets(docs)),
         multimodal.audio_fingerprint(multimodal.synthesize_tone_assets(docs)),
         dedup.shingle_rows(docs, "doc_id", "text", 3),
+        disk_only=(False, False, True),
     )
     hubs = (
         ex_raw.groupBy("s")
@@ -5133,6 +5140,7 @@ def eval_crossmodal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", "doc_b"
         ),
         ex_raw.join(F.broadcast(hubs), "s", "left_anti"),
+        disk_only=(False, False, True),
     )
     tpairs = dedup.ngram_jaccard_pairs(
         docs, threshold=0.9, round_digits=None, exploded=ex
@@ -5314,14 +5322,14 @@ def eval_dedup_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(toks, F.size(toks)) == "dup", F.lit(1)
         ).otherwise(F.lit(0)).alias("is_dup"),
     )
-    ex_raw = dedup.shingle_rows(docs, "doc_id", "text", 3).localCheckpoint()
+    ex_raw = scale_checkpoint(dedup.shingle_rows(docs, "doc_id", "text", 3))
     hubs = (
         ex_raw.groupBy("s")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > SHINGLE_DF_CAP)
         .select("s")
     )
-    ex = ex_raw.join(F.broadcast(hubs), "s", "left_anti").localCheckpoint()
+    ex = scale_checkpoint(ex_raw.join(F.broadcast(hubs), "s", "left_anti"))
     tpairs = dedup.ngram_jaccard_pairs(
         docs, threshold=0.9, round_digits=None, exploded=ex
     ).select("doc_a", "doc_b").localCheckpoint()
