@@ -188,6 +188,35 @@ ENTRIES: dict[str, tuple[list[int], str]] = {
         "by the ubiquitous-term cut (df <= max(256, n/10)): expect "
         "~linear in documents.",
     ),
+    # r12 extension tier (the r11 "extend the measured tier every
+    # round" rule): the next-heaviest battery entries without a
+    # direct SCALING row.
+    "text_boilerplate_strip": (
+        DEFAULT_SCALES,
+        "(doc, line) explode -> line-frequency agg -> broadcast "
+        "join-back + per-doc re-assembly: expect ~linear in docs.",
+    ),
+    "ml_kmeans_int": (
+        DEFAULT_SCALES,
+        "integer Lloyd k-means, fixed rounds; per-round assign is "
+        "one broadcast join + min-agg over vectors: expect ~linear.",
+    ),
+    "text_quality_scores": (
+        DEFAULT_SCALES,
+        "per-row token/char metrics, one projection + agg: expect "
+        "~linear, scan-floored at 1x.",
+    ),
+    "pipeline_contamination_report": (
+        DEFAULT_SCALES,
+        "8-gram eval-slice broadcast semi-join over train shingles "
+        "(the decontaminate machinery) + per-source rollup: expect "
+        "~linear in documents.",
+    ),
+    "pipeline_dataset_card": (
+        DEFAULT_SCALES,
+        "composed per-source aggs over one tokenized pass: expect "
+        "~linear in documents.",
+    ),
     # r11 extension tier: the remaining top-25-bench entries without
     # a direct SCALING row (each previously argued via a measured
     # structural twin; now measured directly).
@@ -312,7 +341,18 @@ EVENTS_ENTRIES = {
         "exact two-pass MAD: the med/mad scalars ride broadcasts and "
         "the dev frame re-derives from the fact scan under each of "
         "its two consumers (r12 tier — measured to decide VERDICT "
-        "r11 #6's proposed dev-frame checkpoint at scale).",
+        "r11 #6's proposed dev-frame checkpoint at scale: a WASH at "
+        "ev30 as at fixture, checkpoint rejected).",
+    ),
+    "graph_triangle_count": (
+        DEFAULT_SCALES,
+        "closed k-domain transition graph saturates to ~K_100 — "
+        "expect domain-bounded (r12 extension tier).",
+    ),
+    "graph_reachability": (
+        DEFAULT_SCALES,
+        "frontier iteration over the closed-domain graph: rounds "
+        "bounded by diameter, frames domain-bounded (r12 tier).",
     ),
     "w_holt_linear_int": (
         DEFAULT_SCALES,

@@ -54,10 +54,12 @@ def test_clamp_constant_is_small():
 
 def test_callers_do_not_reference_results_within_one_call():
     """Phasing invariant, mechanically: inside any checkpoint_all(...)
-    call in the repo, no argument expression may reference a name that
-    is bound by THAT call's own assignment targets (a frame cannot
-    depend on a sibling from the same call). Dependents must use a
-    later call — the docstring contract."""
+    call in the repo, no argument expression may reference a RESULT of
+    that same call (a frame cannot depend on a sibling from the same
+    call). Rebinding an existing name (``banded, sh =
+    checkpoint_all(banded..., sh...)``) is legal — args evaluate
+    before assignment — so a name only counts as a result-reference
+    when it has no binding EARLIER in the same module/function scope."""
     import glob
 
     violations = []
@@ -67,6 +69,32 @@ def test_callers_do_not_reference_results_within_one_call():
     ):
         with open(path) as f:
             tree = ast.parse(f.read(), filename=path)
+        # line numbers of every binding per name (assignments, fors,
+        # function args), coarse but sufficient: a rebinding caller
+        # always has an earlier binding line for the name.
+        bound_lines: dict[str, list[int]] = {}
+        for node in ast.walk(tree):
+            names = []
+            if isinstance(node, ast.Assign):
+                for t in node.targets:
+                    names += [
+                        el.id for el in ast.walk(t) if isinstance(el, ast.Name)
+                    ]
+            elif isinstance(node, (ast.For, ast.comprehension)):
+                t = node.target
+                names += [
+                    el.id for el in ast.walk(t) if isinstance(el, ast.Name)
+                ]
+            elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                a = node.args
+                names += [
+                    x.arg
+                    for x in a.args + a.posonlyargs + a.kwonlyargs
+                ]
+            ln = getattr(node, "lineno", None)
+            if ln is not None:
+                for n in names:
+                    bound_lines.setdefault(n, []).append(ln)
         for node in ast.walk(tree):
             if not isinstance(node, ast.Assign):
                 continue
@@ -89,7 +117,14 @@ def test_callers_do_not_reference_results_within_one_call():
                         targets.add(el.id)
             for arg in call.args:
                 for el in ast.walk(arg):
-                    if isinstance(el, ast.Name) and el.id in targets:
+                    if (
+                        isinstance(el, ast.Name)
+                        and el.id in targets
+                        and not any(
+                            ln < node.lineno
+                            for ln in bound_lines.get(el.id, [])
+                        )
+                    ):
                         violations.append(
                             f"{path}:{node.lineno} arg references sibling "
                             f"result '{el.id}'"
